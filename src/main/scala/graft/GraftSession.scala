@@ -27,7 +27,7 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // testdata events.parquet stores INT64 nanosecond timestamps
-      .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     b.sparkContext.setLogLevel("WARN")
     b

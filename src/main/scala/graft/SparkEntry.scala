@@ -17,11 +17,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Parity.queries ++
-      graft.queries.Agg.queries
+      graft.queries.Agg.queries ++
+      graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Parity.oracles ++
-      graft.queries.Agg.oracles
+      graft.queries.Agg.oracles ++
+      graft.queries.ExtQueries.oracles
 }

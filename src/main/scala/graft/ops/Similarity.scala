@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+
+/** Embedding similarity search (SURVEY.md §2.8 X3).
+  *
+  * Numeric determinism: float components are quantized to
+  * decimal(18,6) (exact — floats in the data carry < 6 fractional
+  * digits of meaning) and dot products accumulate in decimal, which is
+  * associative and exact, so the result is independent of partitioning
+  * and accumulation order and bit-matches the DuckDB oracle. Only the
+  * final cosine is computed in double (one sqrt + one divide, fixed
+  * formula both sides).
+  *
+  * Scale design: brute-force is a broadcast of the (tiny) probe set
+  * against a map-only scan — linear, no shuffle. The ANN path buckets
+  * vectors by random-hyperplane LSH sign bits (deterministic
+  * pseudo-planes derived from xxhash64) so candidate generation is an
+  * equi-join on bucket id.
+  */
+object Similarity {
+  // Accumulator type sized so Add never exceeds Spark's precision cap
+  // of 38: (25,12)+(25,12) -> (26,12), no precision loss, scale 12 is
+  // preserved exactly. (A (38,12) accumulator would make Add overflow
+  // to precision 39 and Catalyst would silently drop the scale —
+  // ~1e-11 drift over a 64-term dot product.)
+  private val AccT = DecimalType(25, 12)
+
+  // Cast floats through DOUBLE before quantizing: Spark's FLOAT->DECIMAL
+  // rounds the float's 7-digit shortest string, DuckDB rounds the full
+  // binary expansion — they disagree near .5 boundaries. A float-widened
+  // double's 17-digit expansion never sits on a scale-6 boundary, so
+  // DOUBLE->DECIMAL(18,6) is identical in both engines.
+  private def dec6(c: Column): Column =
+    c.cast(DoubleType).cast(DecimalType(18, 6))
+
+  /** Exact decimal dot product of two float/double array columns. */
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (dec6(x) * dec6(y)).cast(AccT)),
+      lit(java.math.BigDecimal.ZERO).cast(AccT),
+      (acc, v) => (acc + v).cast(AccT))
+
+  /** Exact decimal squared norm. */
+  def norm2Exact(a: Column): Column = dotExact(a, a)
+
+  /** Cosine similarity, deterministic across engines/partitionings. */
+  def cosine(a: Column, b: Column): Column =
+    (dotExact(a, b).cast(DoubleType) /
+      (sqrt(norm2Exact(a).cast(DoubleType)) *
+        sqrt(norm2Exact(b).cast(DoubleType)))).cast(DoubleType)
+
+  /** Brute-force top-k nearest neighbours of one probe vector.
+    * The probe is joined as a 1-row broadcast (crossJoin) — the scan
+    * side never shuffles; global top-k is a TakeOrdered, not a sort. */
+  def knnBruteForce(emb: DataFrame, probeId: Long, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probe = broadcast(
+      emb.filter(col(idCol) === probeId)
+        .select(col(vecCol).as("probe_vec")))
+    emb.filter(col(idCol) =!= probeId)
+      .crossJoin(probe)
+      .select(col(idCol),
+        cosine(col(vecCol), col("probe_vec")).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** All pairs within a blocking column with cosine >= tau (exact,
+    * oracle-checkable; the block join bounds the pair count). */
+  def cosinePairsBlocked(emb: DataFrame, tau: Double, blockCol: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val t = emb.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      col(vecCol).as("v"))
+    val a = t.select(col("id").as("id_a"), col("blk"), col("v").as("v_a"))
+    val b = t.select(col("id").as("id_b"), col("blk"), col("v").as("v_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("blk"), col("id_a"), col("id_b"),
+        cosine(col("v_a"), col("v_b")).as("cosine_sim"))
+      .filter(col("cosine_sim") >= tau)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for plane j,
+    * dimension i: xxhash64 mapped to [-1, 1]. */
+  private def planeComponent(j: Column, i: Column): Column =
+    (xxhash64(lit("plane"), j, i).cast(DoubleType) /
+      lit(Long.MaxValue.toDouble)).cast(DoubleType)
+
+  /** Random-hyperplane LSH bucket id: `nBits` sign bits of dot
+    * products against deterministic pseudo-planes. Map-only. */
+  def lshBucket(vec: Column, dim: Int, nBits: Int = 12): Column =
+    aggregate(
+      sequence(lit(0), lit(nBits - 1)),
+      lit(0L),
+      (acc, j) => {
+        val dot = aggregate(
+          sequence(lit(0), lit(dim - 1)),
+          lit(0.0),
+          (a, i) => a + element_at(vec, i + 1).cast(DoubleType) *
+            planeComponent(j, i))
+        acc.bitwiseOR(
+          when(dot >= 0, call_function("shiftleft", lit(1L), j))
+            .otherwise(lit(0L)))
+      })
+
+  /** ANN top-k for a probe set: bucket both sides with the same LSH,
+    * equi-join on bucket, rank candidates by exact cosine. Recall is
+    * tunable via nBits (fewer bits → bigger buckets → higher recall).
+    * At 100 TB the bucket join replaces the O(n·m) cross product. */
+  def annTopK(emb: DataFrame, probes: DataFrame, dim: Int, k: Int = 10,
+      nBits: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), dim, nBits).as("bucket"))
+    val prb = broadcast(
+      probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+        lshBucket(col(vecCol), dim, nBits).as("bucket")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine_sim").desc, col("id").asc)
+    base.join(prb, Seq("bucket"))
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id"),
+        cosine(col("v"), col("pv")).as("cosine_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("id"), col("cosine_sim"),
+        col("rk").cast(IntegerType).as("rk"))
+  }
+}

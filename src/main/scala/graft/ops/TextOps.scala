@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
+
+/** Text-analysis building blocks for large-scale training-data
+  * pipelines: tokenization, shingling, quality stats, language ID,
+  * document fingerprinting.
+  *
+  * Everything here is a pure Catalyst `Column` expression (built-in
+  * functions + higher-order array functions) — no UDFs, so whole-stage
+  * codegen and column pruning stay intact, and each transform is
+  * embarrassingly parallel per row: the 100 TB path is a plain
+  * map-only stage with no shuffle.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (ref analog: the engine-side counterpart of
+    * the reference's pandas text cleaning; SURVEY.md §2.8 X4). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column =
+    size(tokens(text)).cast(IntegerType)
+
+  /** Exact average token length: integer sums then one double divide,
+    * so results are bit-stable and oracle-matchable. */
+  def avgTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    val totalLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+    (totalLen.cast(DoubleType) / size(t)).cast(DoubleType)
+  }
+
+  /** Ratio of tokens found in a small stopword list (quality signal). */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+  def stopwordCount(text: Column): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(sw, lower(t))))
+      .cast(IntegerType)
+  }
+
+  def stopwordRatio(text: Column): Column =
+    (stopwordCount(text).cast(DoubleType) /
+      size(tokens(text)).cast(DoubleType)).cast(DoubleType)
+
+  /** Heuristic quality score in [0,1]: length sweet-spot + stopword
+    * presence + token-length sanity. Deterministic arithmetic only. */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast(DoubleType)
+    val lenScore = least(n / lit(50.0), lit(1.0))
+    val swScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    val atl = avgTokenLen(text)
+    val atlScore =
+      when(atl.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
+    ((lenScore + swScore + atlScore) / lit(3.0)).cast(DoubleType)
+  }
+
+  /** Canonical text normalization used for fingerprinting/dedup:
+    * lowercase, strip non-alphanumerics, collapse whitespace. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Content fingerprint over normalized text (ref: the md5 content
+    * keys of copy_into_*.sql, generalized to document identity). */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** 64-bit rolling-hash-style fingerprint (xxhash64 over the
+    * normalized text) for cheap joins; not oracle-expressible. */
+  def fingerprint64(text: Column): Column = xxhash64(normalized(text))
+
+  /** Word n-gram shingles as a DISTINCT set (for Jaccard / MinHash).
+    * Guarded so docs shorter than n yield an empty set (Spark's
+    * `sequence` would otherwise descend). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    val make = transform(
+      sequence(lit(0), size(t) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*))
+    array_distinct(
+      when(size(t) >= n, make).otherwise(array().cast("array<string>")))
+  }
+
+  /** Exact Jaccard similarity of two shingle sets; |A∩B| and set
+    * sizes are ints, so the single double division is deterministic. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    (inter / (size(a) + size(b) - size(array_intersect(a, b)))
+      .cast(DoubleType)).cast(DoubleType)
+  }
+
+  /** Language-ID heuristic: score each candidate language by hits of
+    * its characteristic stopwords / character classes; best score wins
+    * (ties broken by fixed language order; default "en"). Pure column
+    * arithmetic — a real model would plug in the same shape.
+    * [Not oracle-expressible — checked by ScalaTest.] */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "es", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "zh" -> Seq() // marked by CJK characters instead
+  )
+
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores: Seq[(String, Column)] = langMarkers.map {
+      case ("zh", _) =>
+        // CJK presence: count of Han characters
+        "zh" -> length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+          .cast(DoubleType)
+      case (lang, words) =>
+        val sw = array(words.map(lit): _*)
+        lang -> size(filter(toks, t => array_contains(sw, t)))
+          .cast(DoubleType)
+    }
+    // argmax with deterministic tie-break = first in langMarkers order
+    val best = scores.tail.foldLeft(
+      struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
+      case (acc, (lang, score)) =>
+        when(score > acc.getField("score"),
+          struct(score.as("score"), lit(lang).as("lang"))).otherwise(acc)
+    }
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("en"))
+  }
+}

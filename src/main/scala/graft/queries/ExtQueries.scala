@@ -1,0 +1,244 @@
+package graft.queries
+
+import graft.Tables._
+import graft.ops.{Dedup, Sessionize, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** North-star extension queries (SURVEY.md §2.8): dedup, similarity
+  * search, text analysis, sessionization, sketches — the operators a
+  * 100 TB training-data pipeline needs, each wired to the harness
+  * `documents` / `embeddings` / `events` tables.
+  *
+  * Queries with a DuckDB-expressible semantics carry an oracle; the
+  * hash-based ones (xxhash64 MinHash/SimHash/LSH) are declared without
+  * oracle (driver rows-only check) and are instead verified by
+  * ScalaTest against planted near-duplicates and the exact operators.
+  */
+object ExtQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** events.ts is INT64 epoch-nanos; make sure any session reads it
+    * as long even if the driver built the session without the flag. */
+  private def eventsNs(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events(s, d)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ---- X4 text analysis --------------------------------------
+    "x4_text_stats" -> { (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast(IntegerType).as("n_chars_len"),
+        TextOps.avgTokenLen(col("text")).as("avg_token_len"),
+        TextOps.stopwordCount(col("text")).as("stop_cnt"),
+        TextOps.stopwordRatio(col("text")).as("stop_ratio"))
+    },
+    "x4_quality_score" -> { (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality_score"))
+    },
+    "x4_fingerprint" -> { (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))
+    },
+    "x4_langid" -> { (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        col("lang"),
+        TextOps.langId(col("text")).as("lang_pred"))
+    },
+
+    // ---- X1/X2 dedup -------------------------------------------
+    "x1_dedup_exact" -> { (s, d) =>
+      Dedup.exactGroups(documents(s, d))
+    },
+    "x2_ngram_jaccard" -> { (s, d) =>
+      Dedup.ngramJaccardPairs(documents(s, d), tau = 0.5, blockCol = "lang")
+    },
+    // xxhash64-based — no SQL oracle; rows-only + ScalaTest.
+    "x2_minhash_lsh" -> { (s, d) =>
+      Dedup.minhashNearDupPairs(documents(s, d), tau = 0.5)
+    },
+    "x2_simhash" -> { (s, d) =>
+      Dedup.simhashNearDupPairs(documents(s, d), maxHamming = 3)
+    },
+
+    // ---- X3 similarity search ----------------------------------
+    "x3_knn_bruteforce" -> { (s, d) =>
+      Similarity.knnBruteForce(embeddings(s, d), probeId = 0L, k = 10)
+    },
+    "x3_neardup_pairs" -> { (s, d) =>
+      Similarity.cosinePairsBlocked(embeddings(s, d), tau = 0.3,
+        blockCol = "label")
+    },
+    // LSH-bucketed ANN — no SQL oracle; rows-only + ScalaTest.
+    "x3_ann_lsh" -> { (s, d) =>
+      val emb = embeddings(s, d)
+      Similarity.annTopK(emb, emb.filter(col("vec_id") < 3), dim = 64,
+        k = 5, nBits = 6)
+    },
+
+    // ---- X5 event windows / sessionization ---------------------
+    "x5_tumbling" -> { (s, d) => Sessionize.tumblingAgg(eventsNs(s, d)) },
+    "x5_sessionize" -> { (s, d) => Sessionize.sessionize(eventsNs(s, d)) },
+
+    // ---- X6 sketches / distinct --------------------------------
+    "x6_exact_distinct" -> { (s, d) =>
+      eventsNs(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+    },
+    // HLL++ / KLL — approximate by design; rows-only check, accuracy
+    // asserted against exact counts in ScalaTest.
+    "x6_approx_sketch" -> { (s, d) =>
+      eventsNs(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(10000))
+            .as("approx_p50"))
+    },
+    "x6_quantiles" -> { (s, d) =>
+      eventsNs(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"))
+    })
+
+  private val toksCte =
+    """WITH tk AS (
+         SELECT doc_id, lang, text,
+                string_split_regex(trim(text), '\s+') AS t
+         FROM documents)"""
+
+  val oracles: Map[String, String] = Map(
+    "x4_text_stats" -> s"""$toksCte
+      SELECT doc_id,
+        CAST(length(t) AS INTEGER) AS n_tokens,
+        CAST(length(text) AS INTEGER) AS n_chars_len,
+        CAST(CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE) / length(t) AS DOUBLE) AS avg_token_len,
+        CAST(len(list_filter(t, x -> lower(x) IN ('the','a','and','of','to','in','is','it','for','on'))) AS INTEGER) AS stop_cnt,
+        CAST(CAST(len(list_filter(t, x -> lower(x) IN ('the','a','and','of','to','in','is','it','for','on'))) AS DOUBLE) / length(t) AS DOUBLE) AS stop_ratio
+      FROM tk""",
+    "x4_quality_score" -> s"""$toksCte
+      , st AS (SELECT doc_id,
+          CAST(length(t) AS DOUBLE) AS n,
+          CAST(CAST(len(list_filter(t, x -> lower(x) IN ('the','a','and','of','to','in','is','it','for','on'))) AS DOUBLE) / length(t) AS DOUBLE) AS ratio,
+          CAST(CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE) / length(t) AS DOUBLE) AS atl
+        FROM tk)
+      SELECT doc_id,
+        CAST((least(n / 50.0, 1.0) + least(ratio * 5.0, 1.0) +
+              (CASE WHEN atl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0 AS DOUBLE) AS quality_score
+      FROM st""",
+    "x4_fingerprint" ->
+      """SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+         FROM documents""",
+    "x4_langid" -> """
+      WITH tk AS (SELECT doc_id, lang, text,
+          string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+      sc AS (SELECT doc_id, lang,
+        CAST(len(list_filter(t, x -> x IN ('the','and','of','is','with'))) AS DOUBLE) AS s_en,
+        CAST(len(list_filter(t, x -> x IN ('le','la','les','et','est'))) AS DOUBLE) AS s_fr,
+        CAST(len(list_filter(t, x -> x IN ('el','los','las','es','y'))) AS DOUBLE) AS s_es,
+        CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS DOUBLE) AS s_de,
+        CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE) AS s_zh
+        FROM tk)
+      SELECT doc_id, lang,
+        CASE WHEN greatest(s_en, s_fr, s_es, s_de, s_zh) <= 0 THEN 'en'
+             WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+             WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+             WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+             WHEN s_de >= s_zh THEN 'de'
+             ELSE 'zh' END AS lang_pred
+      FROM sc""",
+    "x1_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+         min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY 1""",
+    "x2_ngram_jaccard" -> s"""$toksCte
+      , sh AS (SELECT doc_id, lang,
+          list_distinct(CASE WHEN length(t) >= 3
+            THEN list_transform(generate_series(1, length(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+            ELSE CAST([] AS VARCHAR[]) END) AS s
+        FROM tk)
+      SELECT a.lang AS blk, a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
+             (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))) AS DOUBLE) AS jaccard
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE length(a.s) > 0 AND length(b.s) > 0
+        AND CAST(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
+             (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))) AS DOUBLE) >= 0.5""",
+    "x3_knn_bruteforce" -> """
+      WITH ex AS (SELECT vec_id, CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings),
+      n2 AS (SELECT vec_id, sum(x * x) AS n2 FROM ex GROUP BY vec_id),
+      px AS (SELECT x AS p, i FROM ex WHERE vec_id = 0),
+      dots AS (SELECT e.vec_id, sum(e.x * px.p) AS d
+               FROM ex e JOIN px ON e.i = px.i
+               WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+      SELECT dots.vec_id,
+        CAST(CAST(d AS DOUBLE) /
+             (sqrt(CAST(n2.n2 AS DOUBLE)) * sqrt(CAST(pn.n2 AS DOUBLE))) AS DOUBLE) AS cosine_sim
+      FROM dots
+      JOIN n2 ON dots.vec_id = n2.vec_id
+      JOIN n2 pn ON pn.vec_id = 0
+      ORDER BY cosine_sim DESC, dots.vec_id ASC
+      LIMIT 10""",
+    "x3_neardup_pairs" -> """
+      WITH ex AS (SELECT vec_id, label, CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings),
+      n2 AS (SELECT vec_id, sum(x * x) AS n2 FROM ex GROUP BY vec_id),
+      dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                      max(a.label) AS blk, sum(a.x * b.x) AS d
+               FROM ex a JOIN ex b
+                 ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+               GROUP BY a.vec_id, b.vec_id)
+      SELECT blk, id_a, id_b,
+        CAST(CAST(d AS DOUBLE) /
+             (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS DOUBLE) AS cosine_sim
+      FROM dots
+      JOIN n2 na ON dots.id_a = na.vec_id
+      JOIN n2 nb ON dots.id_b = nb.vec_id
+      WHERE CAST(CAST(d AS DOUBLE) /
+             (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS DOUBLE) >= 0.3""",
+    "x5_tumbling" -> """
+      SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+             event_type, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2""",
+    "x5_sessionize" -> """
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+      m AS (SELECT *, lag(ts_us) OVER
+              (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS prev_us FROM e),
+      f AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                           THEN 1 ELSE 0 END AS new_session FROM m),
+      g AS (SELECT *, sum(new_session) OVER
+              (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM f)
+      SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+             count(*) AS n_events,
+             min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM g GROUP BY user_id, session_seq""",
+    "x6_exact_distinct" -> """
+      SELECT event_type, count(DISTINCT user_id) AS n_users,
+             count(*) AS n_events
+      FROM events GROUP BY event_type""",
+    "x6_quantiles" -> """
+      SELECT event_type,
+             round(quantile_cont(value, 0.5), 4) AS p50,
+             round(quantile_cont(value, 0.95), 4) AS p95
+      FROM events GROUP BY event_type""")
+}
