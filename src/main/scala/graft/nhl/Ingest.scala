@@ -1,0 +1,119 @@
+package graft.nhl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Raw-layer ingestion: the Spark re-homing of the reference's
+  * `COPY INTO` subquery transforms (SURVEY.md §2 rows S6-S8, P3, P4,
+  * F3, F5, F6, F10).
+  *
+  * Every reader is per-file parallel (Spark file-source splits),
+  * projects the hidden `_metadata` struct for file lineage, and
+  * derives the same md5 content keys the reference uses for
+  * idempotence (ref: copy_into_nhl_stats_seasons.sql:6,
+  * copy_into_nhl_api_schedules.sql:6). No driver-side I/O.
+  */
+object Ingest {
+
+  /** `metadata$filename` equivalent (ref: copy_into_*.sql) —
+    * the hidden Spark `_metadata.file_name`. */
+  val sourceFile: Column = col("_metadata").getField("file_name")
+
+  /** Clean a positional CSV field: trim + strip embedded quotes
+    * (ref F5/F6: trim(replace($n, '"', ''))). */
+  def cleanField(c: Column): Column =
+    trim(regexp_replace(c, "\"", ""))
+
+  /** Snowflake `::time` replacement (SURVEY.md §7 hard part 1):
+    * "H:MM" / "HH:MM[:SS]" -> seconds since midnight. */
+  def timeToSecs(c: Column): Column = {
+    val parts = split(c, ":")
+    // try_element_at: ANSI-safe on short "H:MM" forms (no seconds part)
+    (coalesce(try_element_at(parts, lit(1)).cast(LongType), lit(0L)) * 3600 +
+      coalesce(try_element_at(parts, lit(2)).cast(LongType), lit(0L)) * 60 +
+      coalesce(try_element_at(parts, lit(3)).cast(LongType), lit(0L)))
+      .cast(IntegerType)
+  }
+
+  /** Canonical "HH:MM" form of a time-of-day string. */
+  def timeCanon(c: Column): Column = {
+    val parts = split(c, ":")
+    concat_ws(":",
+      lpad(try_element_at(parts, lit(1)), 2, "0"),
+      lpad(coalesce(try_element_at(parts, lit(2)), lit("00")), 2, "0"))
+  }
+
+  /** Hockey-reference regular-season games CSV -> RAW.REGULAR_SEASON
+    * (ref: copy_into_nhl_stats_seasons.sql:3-14; $7 OT/SO skipped,
+    * $10 notes dropped, every field trim+dequote, typed casts). */
+  def readGamesCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.gamesCsv).csv(path)
+      .select(
+        current_timestamp().as("updated_at"),
+        sourceFile.as("source_file"),
+        md5(concat_ws("|",
+          sourceFile,
+          cleanField(col("_c0")), cleanField(col("_c1")),
+          cleanField(col("_c2")), cleanField(col("_c3")),
+          cleanField(col("_c4")), cleanField(col("_c5")),
+          cleanField(col("_c7")), cleanField(col("_c8"))))
+          .as("unique_key"),
+        to_date(cleanField(col("_c0")), "yyyy-MM-dd").as("game_date"),
+        timeCanon(cleanField(col("_c1"))).as("game_time"),
+        timeToSecs(cleanField(col("_c1"))).as("game_time_secs"),
+        cleanField(col("_c2")).as("visitor"),
+        cleanField(col("_c3")).cast(LongType).as("visitor_goals"),
+        cleanField(col("_c4")).as("home"),
+        cleanField(col("_c5")).cast(LongType).as("home_goals"),
+        // _c6 (OT/SO) deliberately skipped — ref skips $7
+        cleanField(col("_c7")).cast(LongType).as("guests_in_attendance"),
+        timeCanon(cleanField(col("_c8"))).as("length_of_game"),
+        timeToSecs(cleanField(col("_c8"))).as("length_of_game_secs"))
+
+  /** Hockey-reference team-stats CSV -> RAW.TEAM_STATS
+    * (ref: copy_into_nhl_stats_teams.sql:3-20: 14 positional string
+    * columns, md5 over filename + all fields). */
+  def readTeamStatsCsv(spark: SparkSession, path: String): DataFrame = {
+    val renamed = Schemas.teamStatsCols.zipWithIndex.map {
+      case (name, i) => cleanField(col(s"_c$i")).as(name)
+    }
+    val keyCols = sourceFile +: Schemas.teamStatsCols.map(n => col(n))
+    spark.read.schema(Schemas.teamStatsCsv).csv(path)
+      .select((col("*") +: renamed): _*)
+      .select(
+        Seq(
+          current_timestamp().as("updated_at"),
+          sourceFile.as("source_file"),
+          md5(concat_ws("|", keyCols: _*)).as("unique_key")) ++
+          Schemas.teamStatsCols.map(col): _*)
+  }
+
+  /** SportRadar schedule JSON -> RAW.NHL_API_*_SCHEDULES
+    * (ref: copy_into_nhl_api_schedules.sql:3-11 — parse_json + path
+    * promotion; here schema-first so Catalyst prunes nested fields).
+    * The empty-payload guard (ref: nhl_api_dag.py:97-98) becomes a
+    * games-not-null filter. */
+  def readScheduleJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.sportradarSchedule)
+      .option("multiLine", true).json(path)
+      .select(
+        current_timestamp().as("updated_at"),
+        sourceFile.as("source_file"),
+        md5(concat_ws("|", sourceFile, to_json(struct(col("*")))))
+          .as("unique_key"),
+        col("league"), col("season"), col("games"))
+      .filter(col("games").isNotNull)
+
+  /** SportRadar teams JSON -> RAW.NHL_API_TEAMS
+    * (ref: copy_into_nhl_api_teams.sql:3-9). */
+  def readTeamsJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.sportradarTeams)
+      .option("multiLine", true).json(path)
+      .select(
+        current_timestamp().as("updated_at"),
+        sourceFile.as("source_file"),
+        md5(concat_ws("|", sourceFile, to_json(struct(col("*")))))
+          .as("unique_key"),
+        col("league"), col("teams"))
+}

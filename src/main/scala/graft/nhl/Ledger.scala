@@ -1,0 +1,75 @@
+package graft.nhl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** `COPY INTO` load-history semantics (SURVEY.md §2 row S7 + §7):
+  * load each staged file exactly once, so replays are no-ops.
+  *
+  * Without a table format, the ledger is a small parquet table of
+  * loaded `source_file` names; new data is anti-joined against it
+  * before an append. The ledger is tiny (one row per file), so the
+  * anti-join broadcasts — the big side never shuffles. With a table
+  * format this collapses to MERGE; with Structured Streaming the
+  * checkpoint plays the ledger role (see graft.streaming).
+  *
+  * Also covers S11/P7 (dbt incremental delete+insert): because keys
+  * are content hashes, "delete rows whose key is in the new batch then
+  * insert the new batch" ≡ "append rows whose key isn't already in the
+  * target" — implemented as the same anti-join on `unique_key`.
+  */
+object Ledger {
+
+  def ledgerPath(targetPath: String): String = s"$targetPath/_ledger"
+  def dataPath(targetPath: String): String = s"$targetPath/data"
+
+  private def loadedFiles(spark: SparkSession, target: String): DataFrame = {
+    val p = ledgerPath(target)
+    if (new java.io.File(p).exists())
+      spark.read.parquet(p)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "source_file", org.apache.spark.sql.types.StringType))))
+  }
+
+  /** Read the incrementally-maintained table. */
+  def readTarget(spark: SparkSession, target: String): Option[DataFrame] = {
+    val p = dataPath(target)
+    if (new java.io.File(p).exists()) Some(spark.read.parquet(p)) else None
+  }
+
+  /** Append only rows from not-yet-loaded files; record those files.
+    * Returns the number of rows appended. Exactly the reference's
+    * COPY INTO idempotence: re-running on the same stage is a no-op
+    * (ref: include/sql/copy_into_*.sql + Snowflake load history). */
+  def copyInto(spark: SparkSession, batch: DataFrame, target: String): Long = {
+    val ledger = broadcast(loadedFiles(spark, target))
+    val fresh = batch.join(ledger, Seq("source_file"), "left_anti")
+    val n = fresh.count()
+    if (n > 0) {
+      fresh.write.mode(SaveMode.Append).parquet(dataPath(target))
+      fresh.select(col("source_file")).distinct()
+        .write.mode(SaveMode.Append).parquet(ledgerPath(target))
+    }
+    n
+  }
+
+  /** dbt incremental (delete+insert by content key) as an idempotent
+    * key-level append (ref: games.sql:1-13 config + NOT IN filter). */
+  def incrementalByKey(spark: SparkSession, batch: DataFrame,
+      target: String, key: String = "unique_key"): Long = {
+    val existing = readTarget(spark, target)
+    val fresh = existing match {
+      case Some(t) =>
+        batch.join(t.select(col(key)), Seq(key), "left_anti")
+      case None => batch
+    }
+    val deduped = fresh.dropDuplicates(key)
+    val n = deduped.count()
+    if (n > 0) deduped.write.mode(SaveMode.Append).parquet(dataPath(target))
+    n
+  }
+}

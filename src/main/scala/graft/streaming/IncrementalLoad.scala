@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming form of the reference's incremental load
+  * (SURVEY.md §2 rows S7/S9, §2.7): the file-source checkpoint plays
+  * the role of Snowflake's COPY INTO load history — each staged file
+  * is processed exactly once, replays are no-ops, and the FileSensor
+  * (ref: nhl_api_dag.py:179-193) is subsumed by the source's
+  * file-arrival tracking.
+  *
+  * `Trigger.AvailableNow` drains everything currently staged and
+  * stops — the batch-cadence operating mode of the reference's DAGs,
+  * but with streaming-grade exactly-once bookkeeping. The same code
+  * runs continuously by switching the trigger.
+  */
+object IncrementalLoad {
+
+  /** Ingest staged CSV files into a parquet table, exactly once per
+    * file. `transform` is the per-batch COPY INTO subquery (projection
+    * + md5 keys), applied to the streaming frame. */
+  def runCsv(spark: SparkSession, schema: StructType, srcDir: String,
+      targetDir: String, checkpointDir: String,
+      transform: DataFrame => DataFrame,
+      pathGlob: String = "*.csv"): StreamingQuery = {
+    val src = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", pathGlob) // ref S6: PATTERN '.*csv.*'
+      .csv(srcDir)
+    transform(src).writeStream
+      .format("parquet")
+      .option("path", targetDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Same for multiLine JSON staging (SportRadar payloads). */
+  def runJson(spark: SparkSession, schema: StructType, srcDir: String,
+      targetDir: String, checkpointDir: String,
+      transform: DataFrame => DataFrame,
+      pathGlob: String = "*.json"): StreamingQuery = {
+    val src = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", pathGlob)
+      .option("multiLine", true)
+      .json(srcDir)
+    transform(src).writeStream
+      .format("parquet")
+      .option("path", targetDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Event-time windowed aggregation with watermarking (SURVEY.md
+    * §2.8 X5 streaming form): 10-minute tumbling counts per type,
+    * tolerating 5 minutes of lateness. The batch testdata drives it
+    * through Trigger.AvailableNow in tests. */
+  def windowedEventCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_ts", timestamp_micros(
+        call_function("div", col("ts"), lit(1000L))))
+      .withWatermark("ts_ts", "5 minutes")
+      .groupBy(window(col("ts_ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+}

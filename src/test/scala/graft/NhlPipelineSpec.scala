@@ -1,0 +1,177 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.nhl._
+
+/** End-to-end NHL-shaped fixtures through ingest -> staging -> mart,
+  * pinning the reference semantics (SURVEY.md §2/§5).
+  */
+class NhlPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val fx = s"${TestSpark.fixtures}/nhl"
+
+  private def write(path: String, content: String): Unit = {
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  // ref-shaped games CSV ($7 = OT/SO col, $10 = notes)
+  private lazy val gamesDir = {
+    val d = s"$fx/games_csv"
+    write(s"$d/games_2024.csv",
+      """2024-01-01,7:00,Boston Bruins,3,Chicago Blackhawks,2,OT,18000,2:28,
+        |2024-01-02,6:30,Chicago Blackhawks,1,Boston Bruins,4,,17500,2:31,note
+        |2024-01-03,8:00,Denver Devils,2,Boston Bruins,2,SO,16000,2:45,
+        |""".stripMargin)
+    d
+  }
+
+  // team stats CSV with an embedded division-header row (ref P6)
+  private lazy val statsDir = {
+    val d = s"$fx/stats_csv"
+    write(s"$d/teams_2024.csv",
+      """Atlantic Division,,,,,,,,,,,,,
+        |Boston Bruins,82,47,20,15,109,0.665,267,224,0.61,0.02,3.26,2.73,39-17-10
+        |Chicago Blackhawks,82,23,53,6,52,0.317,179,290,-1.36,0.01,2.18,3.54,18-46-5
+        |""".stripMargin)
+    d
+  }
+
+  private lazy val teamsJsonDir = {
+    val d = s"$fx/teams_json"
+    write(s"$d/teams.json",
+      """{"league": {"id": "l1", "name": "NHL", "alias": "NHL"},
+        | "teams": [
+        |   {"id": "t1", "name": "Bruins", "alias": "BOS", "market": "Boston"},
+        |   {"id": "t2", "name": "Blackhawks", "alias": "CHI", "market": "Chicago"}
+        | ]}""".stripMargin)
+    d
+  }
+
+  test("games CSV ingest: positional rename, skipped col, time dual-rep") {
+    val df = Ingest.readGamesCsv(spark, gamesDir)
+    val rows = df.orderBy("game_date").collect()
+    assert(rows.length == 3)
+    val r0 = rows(0)
+    assert(r0.getAs[String]("visitor") == "Boston Bruins")
+    assert(r0.getAs[Long]("visitor_goals") == 3L)
+    assert(r0.getAs[String]("game_time") == "07:00")
+    assert(r0.getAs[Int]("game_time_secs") == 7 * 3600)
+    assert(r0.getAs[String]("length_of_game") == "02:28")
+    assert(r0.getAs[Int]("length_of_game_secs") == 2 * 3600 + 28 * 60)
+    // $7 (OT/SO) must not survive ingestion — ref skips it
+    assert(!df.columns.contains("_c6"))
+    assert(r0.getAs[String]("source_file").endsWith("games_2024.csv"))
+  }
+
+  test("md5 unique_key is deterministic and row-distinct") {
+    val k1 = Ingest.readGamesCsv(spark, gamesDir).select("unique_key").collect()
+    val k2 = Ingest.readGamesCsv(spark, gamesDir).select("unique_key").collect()
+    assert(k1.map(_.getString(0)).sorted.sameElements(k2.map(_.getString(0)).sorted))
+    assert(k1.map(_.getString(0)).distinct.length == 3)
+  }
+
+  test("team stats staging: division row nulled then dropped (P6 ∘ P5)") {
+    val raw = Ingest.readTeamStatsCsv(spark, statsDir)
+    assert(raw.count() == 3)
+    val stg = Staging.stgTeamStatistics(raw)
+    val teams = stg.select("team").collect().map(_.getString(0)).sorted
+    assert(teams.sameElements(Array("Boston Bruins", "Chicago Blackhawks")))
+    val bos = stg.filter(col("team") === "Boston Bruins").head()
+    assert(bos.getAs[Long]("total_points") == 109L)
+    assert(math.abs(bos.getAs[Double]("point_pctg") - 0.665) < 1e-12)
+  }
+
+  test("P6∘P5 never drops a row lacking DIVISION (property)") {
+    val raw = Ingest.readTeamStatsCsv(spark, statsDir)
+    val cleaned = Staging.dropNullStatRows(Staging.nullOutDivisionRows(raw))
+    val survivors = cleaned.select("TEAM").collect().map(_.getString(0))
+    val nonDivision = raw.filter(!upper(col("TEAM")).like("%DIVISION%"))
+      .filter(Schemas.teamStatsCols.map(col(_).isNotNull).reduce(_ && _))
+      .select("TEAM").collect().map(_.getString(0))
+    assert(survivors.sorted.sameElements(nonDivision.sorted))
+  }
+
+  test("teams JSON flatten carries parent cols and builds full_name (J1+F4)") {
+    val raw = Ingest.readTeamsJson(spark, teamsJsonDir)
+    val stg = Staging.stgTeams(raw)
+    val rows = stg.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("full_name") == "Boston Bruins")
+    assert(rows(1).getAs[String]("full_name") == "Chicago Blackhawks")
+    assert(rows.map(_.getAs[String]("unique_key")).distinct.length == 2)
+  }
+
+  test("mart: visitor/home join-union with set semantics (J2+J3+A2)") {
+    val games = Ingest.readGamesCsv(spark, gamesDir)
+    val stats = Staging.stgTeamStatistics(Ingest.readTeamStatsCsv(spark, statsDir))
+    val mart = Mart.seasonalMetricsAgg(games, stats)
+    assert(mart.columns.length == 21)
+    // game1 BOS@CHI: both teams have stats -> 2 rows; game2 CHI@BOS -> 2;
+    // game3 Denver@BOS: only home side matches -> 1. Total 5 distinct.
+    assert(mart.count() == 5)
+    val g3 = mart.filter(col("visitor") === "Denver Devils").collect()
+    assert(g3.length == 1 && g3(0).getAs[String]("team") == "Boston Bruins")
+    // idempotent under re-union (set semantics)
+    assert(mart.union(mart).distinct().count() == 5)
+  }
+
+  test("ledger COPY INTO: replayed files are no-ops (S7 idempotence)") {
+    val target = s"$fx/target_games_${System.nanoTime()}"
+    val batch = Ingest.readGamesCsv(spark, gamesDir)
+    val n1 = Ledger.copyInto(spark, batch, target)
+    val n2 = Ledger.copyInto(spark, batch, target)
+    assert(n1 == 3 && n2 == 0)
+    assert(Ledger.readTarget(spark, target).get.count() == 3)
+  }
+
+  test("incremental by key: only new unique_keys append (P7/S11)") {
+    val target = s"$fx/target_keys_${System.nanoTime()}"
+    val batch = Ingest.readGamesCsv(spark, gamesDir)
+    assert(Ledger.incrementalByKey(spark, batch, target) == 3)
+    assert(Ledger.incrementalByKey(spark, batch, target) == 0)
+    // a genuinely new row appends
+    write(s"$fx/games_csv2/games_2025.csv",
+      "2025-01-01,7:00,New Team,1,Boston Bruins,2,,100,2:10,\n")
+    val b2 = Ingest.readGamesCsv(spark, s"$fx/games_csv2")
+    assert(Ledger.incrementalByKey(spark, b2, target) == 1)
+    assert(Ledger.readTarget(spark, target).get.count() == 4)
+  }
+
+  test("quality gate: passes on clean col, throws on nulls (A1)") {
+    val stats = Staging.stgTeamStatistics(Ingest.readTeamStatsCsv(spark, statsDir))
+    Quality.requireNoNulls(stats, Seq("team")) // must not throw
+    val raw = Staging.nullOutDivisionRows(Ingest.readTeamStatsCsv(spark, statsDir))
+    val ex = intercept[Quality.NullCheckFailure] {
+      Quality.requireNoNulls(raw, Seq("TEAM"))
+    }
+    assert(ex.nulls == 1)
+  }
+
+  test("api schedule JSON: promoted paths + empty-payload guard (P8)") {
+    val d = s"$fx/sched_json"
+    write(s"$d/sched_reg.json",
+      """{"league": {"id": "l1", "name": "NHL", "alias": "NHL"},
+        | "season": {"id": "s1", "year": 2024, "type": "REG"},
+        | "games": [
+        |  {"id": "g1", "status": "closed", "scheduled": "2024-01-01T19:00:00Z",
+        |   "home_points": 2, "away_points": 3,
+        |   "home": {"id": "t2", "name": "Blackhawks", "alias": "CHI"},
+        |   "away": {"id": "t1", "name": "Bruins", "alias": "BOS"}}
+        | ]}""".stripMargin)
+    write(s"$d/sched_empty.json",
+      """{"league": {"id": "l1", "name": "NHL", "alias": "NHL"},
+        | "season": {"id": "s1", "year": 2024, "type": "REG"}}""")
+    val raw = Ingest.readScheduleJson(spark, d)
+    // empty payload filtered out (ref nhl_api_dag.py:97-98)
+    assert(raw.count() == 1)
+    val games = Staging.stgApiGames(raw)
+    val g = games.head()
+    assert(g.getAs[String]("home_team") == "Blackhawks")
+    assert(g.getAs[Long]("away_points") == 3L)
+    assert(g.getAs[Long]("season_year") == 2024L)
+  }
+}

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops._
+
+/** Extension-operator checks: planted near-dups, LSH recall vs exact,
+  * sessionization gap semantics, langid, multimodal plumbing. */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsDf(rows: Seq[(Long, String, String)]) =
+    rows.toDF("doc_id", "text", "lang")
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the old river bank today"
+  private val nearDup =
+    "the quick brown fox jumps over the lazy dog near the old river bank tonight"
+  private val other =
+    "completely different words about spark catalyst plans and shuffle exchanges here"
+
+  private lazy val planted = docsDf(Seq(
+    (1L, base, "en"), (2L, nearDup, "en"), (3L, other, "en"),
+    (4L, base, "en"), // exact duplicate of 1
+    (5L, "short text only", "en")))
+
+  test("exact dedup collapses identical normalized docs") {
+    val groups = Dedup.exactGroups(planted)
+    assert(groups.count() == 4) // 1&4 share a fingerprint
+    val kept = Dedup.exactDedup(planted).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(Array(1L, 2L, 3L, 5L)))
+  }
+
+  test("minhash LSH finds planted near-dup and exact-dup pairs") {
+    val pairs = Dedup.minhashNearDupPairs(planted, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // near dup
+    assert(pairs.contains((1L, 4L))) // exact dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH agrees with exact blocked jaccard on planted set") {
+    val lsh = Dedup.minhashNearDupPairs(planted, tau = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(planted, tau = 0.5, blockCol = "lang")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH at 16 bands / r=2 has >99% recall at j>=0.5 — on this tiny
+    // planted set it must find everything the exact pass finds.
+    assert(lsh == exact)
+  }
+
+  test("minhashDedup drops the higher-id near-duplicates") {
+    val kept = Dedup.minhashDedup(planted, tau = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(Array(1L, 3L, 5L)))
+  }
+
+  test("simhash: near-dups within hamming 3, unrelated docs far") {
+    val sigs = planted.select(col("doc_id"),
+      Dedup.simhash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(4L)) // identical text -> identical simhash
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <= 3)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 10)
+    val pairs = Dedup.simhashNearDupPairs(planted, maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)))
+  }
+
+  test("langId picks marker language; defaults en") {
+    val df = docsDf(Seq(
+      (1L, "le chat est sur la table et les livres", "fr"),
+      (2L, "el gato y los perros es bueno", "es"),
+      (3L, "der hund und die katze ist gut", "de"),
+      (4L, "the cat and the dog is good with food", "en"),
+      (5L, "zzz qqq xxx", "en")))
+    val got = df.select(col("doc_id"), TextOps.langId(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "fr", 2L -> "es", 3L -> "de", 4L -> "en", 5L -> "en"))
+  }
+
+  test("ann LSH candidates rank by exact cosine and overlap brute force") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ann = Similarity.annTopK(emb, emb.filter(col("vec_id") === 0), dim = 64,
+      k = 10, nBits = 4)
+    val annIds = ann.select("id").collect().map(_.getLong(0)).toSet
+    assert(annIds.nonEmpty && annIds.size <= 10)
+    // every ANN hit must carry the same cosine the brute-force path computes
+    val brute = Similarity.knnBruteForce(emb, 0L, k = 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ann.collect().foreach { r =>
+      assert(math.abs(brute(r.getAs[Long]("id")) -
+        r.getAs[Double]("cosine_sim")) < 1e-12)
+    }
+  }
+
+  test("sessionize splits exactly at the gap threshold") {
+    val gap = 30L * 60 * 1000000 // 30 min in us
+    val t0 = 1700000000000000000L // ns
+    val ev = Seq(
+      // user 1: two events 29m59s apart -> one session
+      (1L, 1L, t0),
+      (2L, 1L, t0 + (gap - 1000000L) * 1000L),
+      // user 2: two events exactly 30m apart -> still one session (gap > not >=)
+      (3L, 2L, t0),
+      (4L, 2L, t0 + gap * 1000L),
+      // user 3: 30m + 1s apart -> two sessions
+      (5L, 3L, t0),
+      (6L, 3L, t0 + (gap + 1000000L) * 1000L)
+    ).toDF("event_id", "user_id", "ts").withColumn("value", lit(1.0))
+    val sessions = Sessionize.sessionize(ev)
+    val byUser = sessions.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byUser == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("multimodal: per-partition feature extraction preserves ids and shape") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val media = Multimodal.fromText(docs)
+    assert(media.schema.fieldNames.sameElements(
+      Multimodal.mediaSchema.fieldNames))
+    val feats = Multimodal.extractFeatures(spark, media, dim = 8).collect()
+    assert(feats.length == 50)
+    assert(feats.forall(_.feature.length == 8))
+    assert(feats.forall(f => f.n_bytes > 0))
+    // deterministic
+    val again = Multimodal.extractFeatures(spark, media, dim = 8)
+      .collect().map(f => f.media_id -> f.feature.toSeq).toMap
+    feats.foreach(f => assert(again(f.media_id) == f.feature.toSeq))
+  }
+
+  test("frame sampling emits ceil(len/stride) frames per payload") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(5)
+    val media = Multimodal.fromText(docs)
+    val frames = Multimodal.sampleFrames(spark, media, stride = 64)
+    val lens = docs.select(length(col("text"))).collect().map(_.getInt(0))
+    val expected = lens.map(l => (l + 63) / 64).sum
+    assert(frames.count() == expected)
+  }
+
+  test("approx sketches stay within tolerance of exact (X6)") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val exact = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    val approx = ev.select(approx_count_distinct(col("user_id"))).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.nhl.{Ingest, Schemas}
+import graft.streaming.IncrementalLoad
+
+/** Structured-Streaming COPY INTO semantics: exactly-once per staged
+  * file via the checkpoint (SURVEY.md §2 row S7). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val fx = s"${TestSpark.fixtures}/streaming_${System.nanoTime()}"
+
+  private def write(path: String, content: String): Unit = {
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  private val transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+    df => df.select(
+      trim(col("_c0")).as("game_date"),
+      trim(col("_c2")).as("visitor"),
+      trim(col("_c4")).as("home"))
+
+  test("AvailableNow drains staged files once; replays are no-ops") {
+    val src = s"$fx/src"; val tgt = s"$fx/tgt"; val ckp = s"$fx/ckp"
+    write(s"$src/a.csv", "2024-01-01,7:00,A,1,B,2,,100,2:10,\n")
+    val q1 = IncrementalLoad.runCsv(spark, Schemas.gamesCsv, src, tgt, ckp, transform)
+    q1.awaitTermination()
+    assert(spark.read.parquet(tgt).count() == 1)
+
+    // re-run with no new files: checkpoint suppresses everything
+    val q2 = IncrementalLoad.runCsv(spark, Schemas.gamesCsv, src, tgt, ckp, transform)
+    q2.awaitTermination()
+    assert(spark.read.parquet(tgt).count() == 1)
+
+    // new file arrives: only it is ingested
+    write(s"$src/b.csv", "2024-01-02,7:00,C,3,D,4,,200,2:20,\n")
+    val q3 = IncrementalLoad.runCsv(spark, Schemas.gamesCsv, src, tgt, ckp, transform)
+    q3.awaitTermination()
+    val rows = spark.read.parquet(tgt)
+    assert(rows.count() == 2)
+    assert(rows.filter(col("visitor") === "C").count() == 1)
+  }
+
+  test("watermarked windowed counts match the batch tumbling aggregate") {
+    import org.apache.spark.sql.streaming.Trigger
+    // streaming file source wants a directory of files
+    val srcDir = s"$fx/events_src"
+    Files.createDirectories(Paths.get(srcDir))
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$srcDir/events.parquet"))
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val agg = IncrementalLoad.windowedEventCounts(stream)
+    val name = s"win_${System.nanoTime()}"
+    // complete mode so every window is visible regardless of watermark
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table(name)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+    val batch = graft.ops.Sessionize
+      .tumblingAgg(Tables.events(spark, "/root/testdata/sf0.001"),
+        10L * 60 * 1000000)
+      .select(col("window_start"), col("event_type"), col("n_events"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+}
