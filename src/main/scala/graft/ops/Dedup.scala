@@ -39,45 +39,62 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** MinHash signature: for each of `k` hash functions, the min
-    * xxhash64 over the shingle set. Pure array expression. */
-  def minhashSignature(shingleSet: Column, k: Int = 32): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleSet, s => xxhash64(i, s))))
-
-  /** LSH band keys: split the k-long signature into `bands` bands and
-    * hash each; docs sharing any (band, hash) become candidates. */
-  def bandKeys(sig: Column, k: Int = 32, bands: Int = 16): Column = {
-    val r = k / bands
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      j => struct(
-        j.cast(IntegerType).as("band"),
-        xxhash64(slice(sig, j * r + 1, lit(r))).as("bh")))
+  /** Per-doc MinHash signatures computed map-reduce style: explode
+    * shingles, hash each shingle ONCE (`xxhash64` on the string), then
+    * a codegen'd hash aggregate takes k mins of cheap fixed-width
+    * re-hashes `xxhash64(h, i)`. One shuffle on doc id; no nested
+    * higher-order functions (those re-evaluate the inner expression
+    * tree per outer element — k× the string hashing). ANSI-safe: no
+    * overflowing arithmetic, hashing only.
+    * Returns (id, sh, sz, m0..m{k-1}). */
+  private def signatures(docs: DataFrame, textCol: String, idCol: String,
+      n: Int, k: Int): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("id"), TextOps.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val exploded = base
+      .select(col("id"), explode(col("sh")).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+    val mins = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    exploded.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .join(base, Seq("id"))
   }
 
   /** Near-duplicate pairs via MinHash LSH, verified by exact Jaccard.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= tau.
-    * The band equi-join is the only shuffle — no O(n²) compare. */
+    *
+    * Scale shape: signature = one explode + hash aggregate; candidate
+    * generation = equi-join on (band, bandHash) over slim (id, band,
+    * hash) rows — shingle sets are NOT carried through the band join,
+    * they are re-attached only for the (few) verified candidates. No
+    * O(n²) compare anywhere. */
   def minhashNearDupPairs(docs: DataFrame, tau: Double = 0.5,
       textCol: String = "text", idCol: String = "doc_id",
       n: Int = 3, k: Int = 32, bands: Int = 16): DataFrame = {
-    val withSig = docs
-      .select(col(idCol).as("id"), TextOps.shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("bk", explode(bandKeys(minhashSignature(col("sh"), k), k, bands)))
-      .select(col("id"), col("sh"), col("bk.band"), col("bk.bh"))
-    val a = withSig.select(col("id").as("id_a"), col("sh").as("sh_a"),
-      col("band"), col("bh"))
-    val b = withSig.select(col("id").as("id_b"), col("sh").as("sh_b"),
-      col("band"), col("bh"))
-    a.join(b, Seq("band", "bh"))
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val sigs = signatures(docs, textCol, idCol, n, k)
+    val bandStructs = (0 until bands).map { j =>
+      val cols = (0 until r).map(q => col(s"m${j * r + q}"))
+      struct(lit(j).as("band"), xxhash64(lit(j) +: cols: _*).as("bh"))
+    }
+    val banded = sigs
+      .select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bh"))
+    val cand = banded.select(col("id").as("id_a"), col("band"), col("bh"))
+      .join(banded.select(col("id").as("id_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val sets = sigs.select(col("id"), col("sh"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= tau)
-      .distinct()
   }
 
   /** Drop every doc that has a near-duplicate with a smaller id
@@ -92,7 +109,9 @@ object Dedup {
 
   /** 64-bit SimHash over the token multiset: bit i is the sign of the
     * sum over tokens of ±1 according to bit i of xxhash64(token).
-    * Pure per-row expression — map-only at any scale. */
+    * Column form — fine for small frames/tests; `simhashSignatures`
+    * below is the aggregate form used at scale (the nested HOF here
+    * re-hashes every token per bit: 64× the work). */
   def simhash(text: Column): Column = {
     val toks = TextOps.tokens(text)
     val hashes = transform(toks, t => xxhash64(t))
@@ -110,20 +129,39 @@ object Dedup {
       })
   }
 
+  /** SimHash signatures via explode + codegen'd hash aggregate: token
+    * hash computed once per token, 64 conditional-sum aggregates, then
+    * the signature is reassembled from the per-bit sign sums. Same
+    * semantics as `simhash` (bit i set iff sum > 0), one shuffle. */
+  def simhashSignatures(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val exploded = docs
+      .select(col(idCol).as("id"),
+        explode(TextOps.tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(call_function("getbit", col("h"), lit(i)) === 1, 1L)
+        .otherwise(-1L)).as(s"b$i"))
+    val sig = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    exploded.groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), sig.as("sig"))
+  }
+
   /** Candidate pairs with SimHash Hamming distance <= maxHamming,
     * generated by joining on 16-bit signature chunks (pigeonhole for
     * maxHamming <= 3), then verified exactly with bit_count(xor). */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(maxHamming <= 3, "chunk join covers Hamming <= 3")
-    val sigs = docs
-      .select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-      .withColumn("chunk", explode(transform(
-        sequence(lit(0), lit(3)),
-        j => struct(
-          j.cast(IntegerType).as("ci"),
-          call_function("shiftright", col("sig"), j * 16)
-            .bitwiseAND(0xFFFFL).as("cv")))))
+    val chunkStructs = (0 until 4).map(j =>
+      struct(lit(j).as("ci"),
+        call_function("shiftright", col("sig"), lit(j * 16))
+          .bitwiseAND(0xFFFFL).as("cv")))
+    val sigs = simhashSignatures(docs, textCol, idCol)
+      .withColumn("chunk", explode(array(chunkStructs: _*)))
       .select(col("id"), col("sig"), col("chunk.ci"), col("chunk.cv"))
     val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"),
       col("ci"), col("cv"))
@@ -139,21 +177,38 @@ object Dedup {
   }
 
   /** Exact pairwise n-gram Jaccard within a blocking key (e.g. lang):
-    * the oracle-checkable exact counterpart of the LSH path. Blocked
-    * self-join keeps the pair count bounded per block. */
+    * the oracle-checkable exact counterpart of the LSH path.
+    *
+    * Inverted-index shape, not a cross join: explode shingles, join
+    * docs on (block, shingle), count shared shingles per pair, then
+    * jaccard = shared / (|A| + |B| - shared) from integer counts —
+    * bit-identical to the array_intersect formulation but with cost
+    * O(sum over shingles of df(shingle)^2) instead of O(n^2 per
+    * block). Pairs with zero overlap never materialize (they can't
+    * reach any tau > 0). */
   def ngramJaccardPairs(docs: DataFrame, tau: Double,
       blockCol: String, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 3): DataFrame = {
-    val t = docs
+    val base = docs
       .select(col(idCol).as("id"), col(blockCol).as("blk"),
         TextOps.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val a = t.select(col("id").as("id_a"), col("blk"), col("sh").as("sh_a"))
-    val b = t.select(col("id").as("id_b"), col("blk"), col("sh").as("sh_b"))
-    a.join(b, Seq("blk"))
+      .withColumn("sz", size(col("sh")))
+    val inv = base.select(col("id"), col("blk"), col("sz"),
+      explode(col("sh")).as("shingle"))
+    val a = inv.select(col("id").as("id_a"), col("blk"),
+      col("sz").as("sz_a"), col("shingle"))
+    val b = inv.select(col("id").as("id_b"), col("blk"),
+      col("sz").as("sz_b"), col("shingle"))
+    a.join(b, Seq("blk", "shingle"))
       .filter(col("id_a") < col("id_b"))
+      .groupBy(col("blk"), col("id_a"), col("id_b"),
+        col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("shared"))
       .select(col("blk"), col("id_a"), col("id_b"),
-        TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        (col("shared").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("shared")).cast(DoubleType))
+          .cast(DoubleType).as("jaccard"))
       .filter(col("jaccard") >= tau)
   }
 }

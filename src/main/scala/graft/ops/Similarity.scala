@@ -46,40 +46,85 @@ object Similarity {
   /** Exact decimal squared norm. */
   def norm2Exact(a: Column): Column = dotExact(a, a)
 
-  /** Cosine similarity, deterministic across engines/partitionings. */
+  /** Quantize a vector ONCE into exact micro-unit longs: each
+    * component becomes `cast(x as decimal(18,6)) * 1e6` — an integer,
+    * so all downstream dot products are plain long arithmetic (fast,
+    * codegen-friendly) while staying exactly equal to the decimal
+    * formulation: dotExact(a,b) == dotScaled(qa,qb) / 1e12.
+    * Range: safe while sum(|x_i*y_i|) < 9.2e6 (long) and each partial
+    * < 2^53 for the exact double conversion — embeddings are O(1). */
+  def quantize(vec: Column): Column =
+    transform(vec, x => (dec6(x) * lit(1000000)).cast("long"))
+
+  /** Long dot product over micro-unit vectors (exact integer). */
+  def dotScaled(qa: Column, qb: Column): Column =
+    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** cosine from scaled-long parts. Each operand below is the
+    * correctly-rounded double of the same exact rational the decimal
+    * oracle computes (longs < 2^53 are exact in double; one division
+    * by 1e12 rounds once, as does DuckDB's CAST(decimal AS DOUBLE)),
+    * and the final op tree matches the oracle's formula — so results
+    * are bit-identical to the decimal path. */
+  def cosineFromScaled(dotL: Column, naL: Column, nbL: Column): Column =
+    ((dotL.cast(DoubleType) / lit(1e12)) /
+      (sqrt(naL.cast(DoubleType) / lit(1e12)) *
+        sqrt(nbL.cast(DoubleType) / lit(1e12)))).cast(DoubleType)
+
+  /** cosine from precomputed parts: exact decimal dot + squared
+    * norms, one double sqrt/divide at the end. */
+  def cosineFromParts(dot: Column, na2: Column, nb2: Column): Column =
+    (dot.cast(DoubleType) /
+      (sqrt(na2.cast(DoubleType)) * sqrt(nb2.cast(DoubleType))))
+      .cast(DoubleType)
+
+  /** Cosine similarity, deterministic across engines/partitionings.
+    * Prefer the precomputed-norm paths below in pair queries — this
+    * recomputes both norms per invocation. */
   def cosine(a: Column, b: Column): Column =
-    (dotExact(a, b).cast(DoubleType) /
-      (sqrt(norm2Exact(a).cast(DoubleType)) *
-        sqrt(norm2Exact(b).cast(DoubleType)))).cast(DoubleType)
+    cosineFromParts(dotExact(a, b), norm2Exact(a), norm2Exact(b))
 
   /** Brute-force top-k nearest neighbours of one probe vector.
     * The probe is joined as a 1-row broadcast (crossJoin) — the scan
-    * side never shuffles; global top-k is a TakeOrdered, not a sort. */
+    * side never shuffles; global top-k is a TakeOrdered, not a sort.
+    * Norms are computed once per row (scan side) / once total (probe),
+    * not per comparison. */
   def knnBruteForce(emb: DataFrame, probeId: Long, k: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val probe = broadcast(
       emb.filter(col(idCol) === probeId)
-        .select(col(vecCol).as("probe_vec")))
+        .select(quantize(col(vecCol)).as("probe_q")))
+      .withColumn("probe_n2", dotScaled(col("probe_q"), col("probe_q")))
     emb.filter(col(idCol) =!= probeId)
+      .select(col(idCol), quantize(col(vecCol)).as("q"))
       .crossJoin(probe)
       .select(col(idCol),
-        cosine(col(vecCol), col("probe_vec")).as("cosine_sim"))
+        cosineFromScaled(
+          dotScaled(col("q"), col("probe_q")),
+          dotScaled(col("q"), col("q")),
+          col("probe_n2")).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col(idCol).asc)
       .limit(k)
   }
 
   /** All pairs within a blocking column with cosine >= tau (exact,
-    * oracle-checkable; the block join bounds the pair count). */
+    * oracle-checkable; the block join bounds the pair count). Norms
+    * are computed once per vector before the pair join — at n rows
+    * that is n norm evaluations instead of O(pairs). */
   def cosinePairsBlocked(emb: DataFrame, tau: Double, blockCol: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val t = emb.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      col(vecCol).as("v"))
-    val a = t.select(col("id").as("id_a"), col("blk"), col("v").as("v_a"))
-    val b = t.select(col("id").as("id_b"), col("blk"), col("v").as("v_b"))
+      quantize(col(vecCol)).as("q"))
+      .withColumn("n2", dotScaled(col("q"), col("q")))
+    val a = t.select(col("id").as("id_a"), col("blk"),
+      col("q").as("q_a"), col("n2").as("n2_a"))
+    val b = t.select(col("id").as("id_b"), col("blk"),
+      col("q").as("q_b"), col("n2").as("n2_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("blk"), col("id_a"), col("id_b"),
-        cosine(col("v_a"), col("v_b")).as("cosine_sim"))
+        cosineFromScaled(dotScaled(col("q_a"), col("q_b")),
+          col("n2_a"), col("n2_b")).as("cosine_sim"))
       .filter(col("cosine_sim") >= tau)
   }
 
@@ -114,17 +159,22 @@ object Similarity {
       nBits: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val base = emb.select(col(idCol).as("id"),
+      quantize(col(vecCol)).as("q"),
       lshBucket(col(vecCol), dim, nBits).as("bucket"))
+      .withColumn("n2", dotScaled(col("q"), col("q")))
     val prb = broadcast(
-      probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
-        lshBucket(col(vecCol), dim, nBits).as("bucket")))
+      probes.select(col(idCol).as("probe_id"),
+        quantize(col(vecCol)).as("pq"),
+        lshBucket(col(vecCol), dim, nBits).as("bucket"))
+        .withColumn("pn2", dotScaled(col("pq"), col("pq"))))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine_sim").desc, col("id").asc)
     base.join(prb, Seq("bucket"))
       .filter(col("id") =!= col("probe_id"))
       .select(col("probe_id"), col("id"),
-        cosine(col("v"), col("pv")).as("cosine_sim"))
+        cosineFromScaled(dotScaled(col("q"), col("pq")),
+          col("n2"), col("pn2")).as("cosine_sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("probe_id"), col("id"), col("cosine_sim"),

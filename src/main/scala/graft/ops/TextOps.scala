@@ -72,15 +72,19 @@ object TextOps {
   def fingerprint64(text: Column): Column = xxhash64(normalized(text))
 
   /** Word n-gram shingles as a DISTINCT set (for Jaccard / MinHash).
-    * Guarded so docs shorter than n yield an empty set (Spark's
-    * `sequence` would otherwise descend). */
+    * Built by zipping n shifted slices of the token array — NOT by
+    * indexing `element_at(tokens(text), i)` inside a lambda, which
+    * would re-evaluate the split for every element (O(n·tokens)
+    * splits per row instead of O(n)). Guarded so docs shorter than n
+    * yield an empty set. */
   def shingles(text: Column, n: Int = 3): Column = {
     val t = tokens(text)
-    val make = transform(
-      sequence(lit(0), size(t) - n),
-      i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*))
+    val cnt = size(t) - (n - 1)
+    val slices = (0 until n).map(k => slice(t, lit(k + 1), cnt))
+    val zipped = slices.reduce((acc, s) =>
+      zip_with(acc, s, (a, b) => concat(a, lit(" "), b)))
     array_distinct(
-      when(size(t) >= n, make).otherwise(array().cast("array<string>")))
+      when(size(t) >= n, zipped).otherwise(array().cast("array<string>")))
   }
 
   /** Exact Jaccard similarity of two shingle sets; |A∩B| and set

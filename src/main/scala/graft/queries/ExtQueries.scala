@@ -105,6 +105,17 @@ object ExtQueries {
           percentile_approx(col("value"), lit(0.5), lit(10000))
             .as("approx_p50"))
     },
+    // ---- multimodal plumbing (decode stubbed; SURVEY §2.8) ------
+    "mm_frames" -> { (s, d) =>
+      graft.ops.Multimodal.sampleFrames(s,
+        graft.ops.Multimodal.fromText(documents(s, d)), stride = 64)
+    },
+    // mapPartitions feature extraction — rows-only check.
+    "mm_features" -> { (s, d) =>
+      graft.ops.Multimodal.extractFeatures(s,
+        graft.ops.Multimodal.fromText(documents(s, d)), dim = 8)
+        .toDF()
+    },
     "x6_quantiles" -> { (s, d) =>
       eventsNs(s, d)
         .groupBy(col("event_type"))
@@ -236,6 +247,15 @@ object ExtQueries {
       SELECT event_type, count(DISTINCT user_id) AS n_users,
              count(*) AS n_events
       FROM events GROUP BY event_type""",
+    "mm_frames" -> """
+      WITH d AS (SELECT doc_id AS media_id, length(text) AS len FROM documents),
+      f AS (SELECT media_id, len,
+              unnest(generate_series(0, CAST(ceil(len / 64.0) AS INTEGER) - 1)) AS fi
+            FROM d)
+      SELECT media_id, CAST(fi AS INTEGER) AS frame_idx,
+             CAST(CASE WHEN (fi + 1) * 64 <= len THEN 64
+                       ELSE len - fi * 64 END AS INTEGER) AS frame_bytes
+      FROM f""",
     "x6_quantiles" -> """
       SELECT event_type,
              round(quantile_cont(value, 0.5), 4) AS p50,

@@ -168,6 +168,15 @@ object Parity {
         col("p_size").cast("long").as("size_l"))
     },
 
+    // S8 — file metadata projection: the hidden _metadata struct is
+    // the engine's metadata$filename (ref: copy_into_*.sql S8).
+    "s8_file_metadata" -> { (s, d) =>
+      lineitem(s, d)
+        .groupBy(regexp_extract(col("_metadata.file_name"), "[^/]+$", 0)
+          .as("source_file"))
+        .agg(count(lit(1)).as("n_rows"))
+    },
+
     // F11-ish — temporal scalar functions on timestamps
     // (ref: nhl_api_dag.py:68 date handling; F10 casts).
     "f_datetime" -> { (s, d) =>
@@ -248,6 +257,8 @@ object Parity {
               ELSE 'small' END AS size_class,
          CAST(p_size AS BIGINT) AS size_l
          FROM part""",
+    "s8_file_metadata" ->
+      "SELECT 'lineitem.parquet' AS source_file, count(*) AS n_rows FROM lineitem",
     "f_datetime" ->
       """SELECT o_orderkey,
          CAST(year(o_orderdate) AS INTEGER) AS o_year,
