@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Parity.queries ++
       graft.queries.Agg.queries ++
+      graft.queries.Parity2.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -25,5 +26,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Parity.oracles ++
       graft.queries.Agg.oracles ++
+      graft.queries.Parity2.oracles ++
       graft.queries.ExtQueries.oracles
 }

@@ -47,18 +47,32 @@ object Dedup {
     * tree per outer element — k× the string hashing). ANSI-safe: no
     * overflowing arithmetic, hashing only.
     * Returns (id, sh, sz, m0..m{k-1}). */
-  private def signatures(docs: DataFrame, textCol: String, idCol: String,
-      n: Int, k: Int): DataFrame = {
+  private[graft] def signatures(docs: DataFrame, textCol: String,
+      idCol: String, n: Int, k: Int,
+      native: Boolean = true): DataFrame = {
     val base = docs
       .select(col(idCol).as("id"), TextOps.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val exploded = base
-      .select(col("id"), explode(col("sh")).as("s"))
-      .withColumn("h", xxhash64(col("s")))
-    val mins = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-    exploded.groupBy(col("id"))
-      .agg(mins.head, mins.tail: _*)
-      .join(base, Seq("id"))
+    if (native) {
+      // Map-only: the custom Catalyst expression computes all k mins
+      // in one pass per row — no explode, no shuffle (bit-compatible
+      // with the aggregate fallback below; cross-checked in tests).
+      base
+        .withColumn("sig",
+          graft.functions.MinHashSig.minhash_sig(
+            docs.sparkSession, col("sh"), k))
+        .select(Seq(col("id"), col("sh")) ++
+          (0 until k).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
+    } else {
+      val exploded = base
+        .select(col("id"), explode(col("sh")).as("s"))
+        .withColumn("h", xxhash64(col("s")))
+      val mins =
+        (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+      exploded.groupBy(col("id"))
+        .agg(mins.head, mins.tail: _*)
+        .join(base, Seq("id"))
+    }
   }
 
   /** Near-duplicate pairs via MinHash LSH, verified by exact Jaccard.

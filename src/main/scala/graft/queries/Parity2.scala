@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Second operator batch: semi/exists joins, set operations, grouping
+  * sets, selective filter-aggregates, token-level text analytics, and
+  * frame-based windows — rounding out the relational surface a user
+  * of the engine expects (SURVEY.md §2.3/§2.5 extensions).
+  */
+object Parity2 {
+  import Exact._
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Semi-join — the complement of J4's anti-join (SURVEY §2.3).
+    "j5_semi_join" -> { (s, d) =>
+      val big = orders(s, d).filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("c_custkey"))
+      customer(s, d).join(big, Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    },
+
+    // Correlated EXISTS through the SQL path (RewritePredicateSubquery).
+    "j6_exists_subquery" -> { (s, d) =>
+      customer(s, d).createOrReplaceTempView("g2_customer")
+      orders(s, d).createOrReplaceTempView("g2_orders")
+      s.sql("""SELECT c_custkey, c_mktsegment FROM g2_customer c
+               WHERE EXISTS (SELECT 1 FROM g2_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                   AND o.o_orderstatus = 'F'
+                   AND o.o_totalprice > 300000)""")
+    },
+
+    // Set operations beyond UNION (SURVEY §2.5 notes none in ref).
+    "set_intersect" -> { (s, d) =>
+      customer(s, d).select(col("c_nationkey").cast("int").as("nationkey"))
+        .intersect(
+          supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey")))
+    },
+    "set_except" -> { (s, d) =>
+      val c = customer(s, d)
+      c.filter(col("c_acctbal") > 9000)
+        .select(col("c_mktsegment"), col("c_nationkey").cast("int").as("nationkey"))
+        .except(
+          c.filter(col("c_acctbal") < 0)
+            .select(col("c_mktsegment"), col("c_nationkey").cast("int").as("nationkey")))
+    },
+
+    // Grouping sets: rollup + cube with exact sums. grouping_id
+    // disambiguates NULL-as-total from NULL data on both engines.
+    "a4_rollup" -> { (s, d) =>
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sumD(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().cast(IntegerType).as("gid"))
+    },
+    "a5_cube" -> { (s, d) =>
+      orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sumD(col("o_totalprice")).as("sum_price"),
+          count(lit(1)).as("n"),
+          grouping_id().cast(IntegerType).as("gid"))
+    },
+
+    // TPC-H Q6 shape: highly selective scan-level predicates, single
+    // global aggregate — the pushdown showcase.
+    "q6_filter_agg" -> { (s, d) =>
+      lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+        .agg(sumExprD(dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // Token-level text analytics: explode + count + deterministic
+    // top-k (X4 at corpus granularity — the word-count of a
+    // training-data pipeline).
+    "x4_token_topk" -> { (s, d) =>
+      documents(s, d)
+        .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)
+    },
+
+    // Frame-based moving average over event time (SURVEY §2.5 W-ext).
+    "w3_moving_avg" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(-2, Window.currentRow)
+      orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        (sum(dec2(col("o_totalprice"))).over(w).cast("double") /
+          count(lit(1)).over(w)).cast("double").as("avg3"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "j5_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 400000)""",
+    "j6_exists_subquery" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+             AND o.o_orderstatus = 'F'
+             AND o.o_totalprice > 300000)""",
+    "set_intersect" ->
+      """SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+         INTERSECT
+         SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier""",
+    "set_except" ->
+      """SELECT c_mktsegment, CAST(c_nationkey AS INTEGER) AS nationkey
+         FROM customer WHERE c_acctbal > 9000
+         EXCEPT
+         SELECT c_mktsegment, CAST(c_nationkey AS INTEGER) AS nationkey
+         FROM customer WHERE c_acctbal < 0""",
+    "a4_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         count(*) AS n,
+         CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "a5_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         count(*) AS n,
+         CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS gid
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q6_filter_agg" ->
+      """SELECT
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         count(*) AS n_rows
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+           AND l_shipdate < TIMESTAMP '1995-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "x4_token_topk" ->
+      """WITH t AS (
+           SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+           FROM documents)
+         SELECT token, count(*) AS n FROM t
+         GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""",
+    "w3_moving_avg" ->
+      """SELECT o_orderkey, o_custkey,
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) /
+              count(*) OVER w AS DOUBLE) AS avg3
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""")
+}

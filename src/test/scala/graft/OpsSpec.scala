@@ -140,6 +140,18 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.count() == expected)
   }
 
+  test("native MinHashSig expression == aggregate fallback signatures") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Dedup.signatures(docs, "text", "doc_id", 3, 32, native = true)
+      .drop("sh").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val b = Dedup.signatures(docs, "text", "doc_id", 3, 32, native = false)
+      .drop("sh").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (id, sig) => assert(sig == b(id), s"doc $id") }
+  }
+
   test("approx sketches stay within tolerance of exact (X6)") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val exact = ev.select(countDistinct(col("user_id"))).head().getLong(0)
