@@ -151,6 +151,61 @@ object Similarity {
             .otherwise(lit(0L)))
       })
 
+  /** IVF-style ANN: partition vectors into `nLists` inverted lists by
+    * nearest centroid (centroids = a deterministic sample — the
+    * lowest-id vectors, broadcast); probes search only their
+    * `nProbe` nearest lists, candidates ranked by exact cosine.
+    *
+    * Scale: assignment is a map-only broadcast argmax; the search is
+    * an equi-join on list id — cost O(n/nLists · nProbe) per probe
+    * instead of O(n). A production build would plug k-means centroids
+    * into the same plan; the join shape is identical. */
+  def ivfTopK(emb: DataFrame, probes: DataFrame, k: Int = 10,
+      nLists: Int = 16, nProbe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(
+      emb.orderBy(col(idCol).asc).limit(nLists)
+        .select(col(idCol).as("cent_id"), quantize(col(vecCol)).as("cq"))
+        .withColumn("cn2", dotScaled(col("cq"), col("cq"))))
+    val base = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
+      .withColumn("n2", dotScaled(col("q"), col("q")))
+    // assign every vector to its best centroid (rank-1 over the
+    // broadcast cross of nLists candidates)
+    val assignW = Window.partitionBy(col("id"))
+      .orderBy(col("cent_sim").desc, col("cent_id").asc)
+    val assigned = base.crossJoin(cents)
+      .withColumn("cent_sim",
+        cosineFromScaled(dotScaled(col("q"), col("cq")), col("n2"), col("cn2")))
+      .withColumn("rk", row_number().over(assignW))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("q"), col("n2"), col("cent_id"))
+    // probes pick their nProbe nearest lists
+    val probeW = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cent_sim").desc, col("cent_id").asc)
+    val probeLists = broadcast(
+      probes.select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
+        .withColumn("pn2", dotScaled(col("pq"), col("pq")))
+        .crossJoin(cents)
+        .withColumn("cent_sim",
+          cosineFromScaled(dotScaled(col("pq"), col("cq")),
+            col("pn2"), col("cn2")))
+        .withColumn("prk", row_number().over(probeW))
+        .filter(col("prk") <= nProbe)
+        .select(col("probe_id"), col("pq"), col("pn2"), col("cent_id")))
+    val rankW = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine_sim").desc, col("id").asc)
+    assigned.join(probeLists, Seq("cent_id"))
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id"),
+        cosineFromScaled(dotScaled(col("q"), col("pq")),
+          col("n2"), col("pn2")).as("cosine_sim"))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("id"), col("cosine_sim"),
+        col("rk").cast(IntegerType).as("rk"))
+  }
+
   /** ANN top-k for a probe set: bucket both sides with the same LSH,
     * equi-join on bucket, rank candidates by exact cosine. Recall is
     * tunable via nBits (fewer bits → bigger buckets → higher recall).

@@ -108,8 +108,13 @@ object TextOps {
     "zh" -> Seq() // marked by CJK characters instead
   )
 
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
+  def langId(text: Column): Column =
+    langIdFromTokens(text, tokens(lower(text)))
+
+  /** langId with the lowercased token array precomputed as a column —
+    * bind `tokens(lower(text))` to a named column first so the split
+    * runs once per row, not once per language score. */
+  def langIdFromTokens(text: Column, toks: Column): Column = {
     val scores: Seq[(String, Column)] = langMarkers.map {
       case ("zh", _) =>
         // CJK presence: count of Han characters

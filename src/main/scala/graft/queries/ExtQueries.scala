@@ -48,10 +48,12 @@ object ExtQueries {
         TextOps.fingerprint(col("text")).as("fp"))
     },
     "x4_langid" -> { (s, d) =>
-      documents(s, d).select(
-        col("doc_id"),
-        col("lang"),
-        TextOps.langId(col("text")).as("lang_pred"))
+      documents(s, d)
+        .withColumn("toks", TextOps.tokens(lower(col("text"))))
+        .select(
+          col("doc_id"),
+          col("lang"),
+          TextOps.langIdFromTokens(col("text"), col("toks")).as("lang_pred"))
     },
 
     // ---- X1/X2 dedup -------------------------------------------
@@ -82,6 +84,12 @@ object ExtQueries {
       val emb = embeddings(s, d)
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 3), dim = 64,
         k = 5, nBits = 6)
+    },
+    // IVF-list ANN — no SQL oracle; rows-only + ScalaTest.
+    "x3_ann_ivf" -> { (s, d) =>
+      val emb = embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3), k = 5,
+        nLists = 16, nProbe = 4)
     },
 
     // ---- X5 event windows / sessionization ---------------------
@@ -122,6 +130,18 @@ object ExtQueries {
         .agg(
           round(expr("percentile(value, 0.5)"), 4).as("p50"),
           round(expr("percentile(value, 0.95)"), 4).as("p95"))
+    },
+    // Mergeable HLL sketches (Apache DataSketches built-ins): the
+    // persistable-sketch path for X6 — per-group sketches unioned to
+    // a global estimate without re-scanning. Rows-only check.
+    "x6_hll_sketch" -> { (s, d) =>
+      val perType = eventsNs(s, d)
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      perType.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk")))
+          .cast("long").as("approx_total_users"),
+        count(lit(1)).as("n_groups"))
     })
 
   private val toksCte =

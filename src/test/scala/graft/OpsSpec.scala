@@ -96,6 +96,19 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf ANN returns exact cosines and overlaps brute force") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ivf = Similarity.ivfTopK(emb, emb.filter(col("vec_id") === 0),
+      k = 10, nLists = 8, nProbe = 8) // nProbe = nLists -> exhaustive
+    val brute = Similarity.knnBruteForce(emb, 0L, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = ivf.collect().map(r =>
+      r.getAs[Long]("id") -> r.getAs[Double]("cosine_sim")).toMap
+    // probing every list makes IVF exhaustive -> must equal brute force
+    assert(got.keySet == brute.keySet)
+    got.foreach { case (id, c) => assert(c == brute(id)) }
+  }
+
   test("sessionize splits exactly at the gap threshold") {
     val gap = 30L * 60 * 1000000 // 30 min in us
     val t0 = 1700000000000000000L // ns

@@ -45,6 +45,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.filter(col("visitor") === "C").count() == 1)
   }
 
+  test("stateful flatMapGroupsWithState sessions == batch closed sessions") {
+    import graft.streaming.StatefulSessions
+    val srcDir = s"$fx/events_state_src"
+    Files.createDirectories(Paths.get(srcDir))
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$srcDir/events.parquet"))
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val sessions = StatefulSessions.sessionize(spark,
+      StatefulSessions.fromRaw(spark, stream))
+    val name = s"sess_${System.nanoTime()}"
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table(name)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+    // batch gaps-and-islands over the same data; the stream never
+    // closes each user's LAST session (it stays in state), so compare
+    // against batch sessions minus the per-user last one.
+    val batchAll = graft.ops.Sessionize
+      .sessionize(Tables.events(spark, "/root/testdata/sf0.001"))
+    val lastSeq = batchAll.groupBy("user_id")
+      .agg(max("session_seq").as("session_seq"))
+    val batchClosed = batchAll.join(lastSeq, Seq("user_id", "session_seq"),
+        "left_anti")
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batchClosed).count() == 0)
+    assert(batchClosed.exceptAll(streamed).count() == 0)
+  }
+
   test("watermarked windowed counts match the batch tumbling aggregate") {
     import org.apache.spark.sql.streaming.Trigger
     // streaming file source wants a directory of files
