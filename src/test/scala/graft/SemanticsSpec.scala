@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops._
+
+/** Semantics pins: MinHash sketch union property, salted-join
+  * equivalence, NOT IN null-awareness (SURVEY.md §7 hard part 2),
+  * union-distinct set semantics. */
+class SemanticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("MinHashUnionAgg: elementwise-min of signatures == signature of set union") {
+    val k = 32
+    val docs = Seq(
+      (1L, 10L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, 10L, "a completely different second document about spark plans"),
+      (3L, 20L, "another group with its own text payload here")
+    ).toDF("doc_id", "grp", "text")
+    val sigs = docs
+      .withColumn("sh", TextOps.shingles(col("text")))
+      .withColumn("sig",
+        graft.functions.MinHashSig.minhash_sig(spark, col("sh"), k))
+    // aggregate per group with the custom TypedImperativeAggregate
+    val grouped = sigs.groupBy("grp")
+      .agg(graft.functions.MinHashUnionAgg
+        .minhash_union(spark, col("sig"), k).as("gsig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // MinHash property: the group signature equals the signature
+    // computed directly on the union of the groups' shingle sets
+    val shingleUnion = sigs.select(col("grp"), explode(col("sh")).as("s"))
+      .groupBy("grp").agg(collect_set(col("s")).as("sh"))
+      .withColumn("gsig2",
+        graft.functions.MinHashSig.minhash_sig(spark, col("sh"), k))
+      .collect().map(r => r.getAs[Long]("grp") -> r.getSeq[Long](2)).toMap
+    assert(grouped.keySet == shingleUnion.keySet)
+    grouped.foreach { case (g, sig) => assert(sig == shingleUnion(g), s"grp $g") }
+  }
+
+  test("saltedJoin == plain inner join on a skewed key") {
+    val left = Seq.tabulate(1000)(i =>
+      (if (i % 10 == 0) 1L else i.toLong, s"v$i"))
+      .toDF("k", "payload") // key 1 is hot
+    val right = Seq((1L, "hot"), (5L, "cold"), (77L, "other"))
+      .toDF("k", "side")
+    val plain = left.join(right, Seq("k"), "inner")
+      .select("k", "payload", "side")
+    val salted = Skew.saltedJoin(left, right, "k", salt = 8)
+      .select("k", "payload", "side")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("NOT IN is null-aware; left_anti is not (pin the divergence)") {
+    Seq(Some(1L), Some(2L), Some(3L)).toDF("k").createOrReplaceTempView("t_l")
+    Seq(Some(1L), None).toDF("k").createOrReplaceTempView("t_r_null")
+    Seq(Some(1L)).toDF("k").createOrReplaceTempView("t_r_clean")
+    // NOT IN against a subquery containing NULL selects nothing (SQL
+    // three-valued logic)…
+    assert(spark.sql(
+      "SELECT * FROM t_l WHERE k NOT IN (SELECT k FROM t_r_null)").count() == 0)
+    // …while left_anti treats NULL as non-matching.
+    val anti = spark.table("t_l")
+      .join(spark.table("t_r_null"), Seq("k"), "left_anti")
+    assert(anti.count() == 2)
+    // With non-null keys (our md5 content keys) the two agree — the
+    // precondition SURVEY.md §7 relies on.
+    assert(spark.sql(
+      "SELECT * FROM t_l WHERE k NOT IN (SELECT k FROM t_r_clean)").count() == 2)
+    val anti2 = spark.table("t_l")
+      .join(spark.table("t_r_clean"), Seq("k"), "left_anti")
+    assert(anti2.count() == 2)
+  }
+
+  test("union is UNION ALL; distinct() restores set semantics (A2)") {
+    val a = Seq(1, 2, 3).toDF("x")
+    val dup = a.union(a)
+    assert(dup.count() == 6)
+    assert(dup.distinct().count() == 3)
+  }
+}
