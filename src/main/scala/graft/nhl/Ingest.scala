@@ -52,13 +52,9 @@ object Ingest {
       .select(
         current_timestamp().as("updated_at"),
         sourceFile.as("source_file"),
-        md5(concat_ws("|",
-          sourceFile,
-          cleanField(col("_c0")), cleanField(col("_c1")),
-          cleanField(col("_c2")), cleanField(col("_c3")),
-          cleanField(col("_c4")), cleanField(col("_c5")),
-          cleanField(col("_c7")), cleanField(col("_c8"))))
-          .as("unique_key"),
+        // ref key: MD5(METADATA$FILENAME || $1) — filename + raw
+        // first field (copy_into_nhl_stats_seasons.sql:6)
+        md5(concat(sourceFile, col("_c0"))).as("unique_key"),
         to_date(cleanField(col("_c0")), "yyyy-MM-dd").as("game_date"),
         timeCanon(cleanField(col("_c1"))).as("game_time"),
         timeToSecs(cleanField(col("_c1"))).as("game_time_secs"),
@@ -78,14 +74,15 @@ object Ingest {
     val renamed = Schemas.teamStatsCols.zipWithIndex.map {
       case (name, i) => cleanField(col(s"_c$i")).as(name)
     }
-    val keyCols = sourceFile +: Schemas.teamStatsCols.map(n => col(n))
     spark.read.schema(Schemas.teamStatsCsv).csv(path)
       .select((col("*") +: renamed): _*)
       .select(
         Seq(
           current_timestamp().as("updated_at"),
           sourceFile.as("source_file"),
-          md5(concat_ws("|", keyCols: _*)).as("unique_key")) ++
+          // ref key: MD5(METADATA$FILENAME || TEAM)
+          // (copy_into_nhl_stats_teams.sql:20)
+          md5(concat(sourceFile, col("TEAM"))).as("unique_key")) ++
           Schemas.teamStatsCols.map(col): _*)
   }
 

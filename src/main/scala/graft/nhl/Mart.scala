@@ -22,20 +22,24 @@ object Mart {
 
   private def branch(games: DataFrame, stats: DataFrame,
       gameKey: String): DataFrame =
-    games.join(broadcast(stats), games(gameKey) === stats("team"), "inner")
+    games.join(broadcast(stats), games(gameKey) === stats("TEAM"), "inner")
       .select(
-        // game side (ref :22-31)
-        games("game_date"), games("game_time"), games("game_time_secs"),
-        games("visitor"), games("visitor_goals"),
-        games("home"), games("home_goals"),
-        games("guests_in_attendance"),
-        games("length_of_game"), games("length_of_game_secs"),
-        // team-stat side (ref :32-42)
-        stats("team"), stats("gp"), stats("overall_wins"),
-        stats("overall_losses"), stats("overall_ot"),
-        stats("total_points"), stats("point_pctg"),
-        stats("goals_for"), stats("goals_against"),
-        stats("goals_per_game"), stats("goals_against_per_game"))
+        // the exact 21-column select list (ref :21-42,:49-70)
+        games("game_date").as("GAME_DATE"),
+        games("game_time").as("GAME_TIME"),
+        games("visitor").as("VISITOR"),
+        games("visitor_goals").as("VISITOR_GOALS"),
+        games("home").as("HOME"),
+        games("home_goals").as("HOME_GOALS"),
+        games("guests_in_attendance").as("GUESTS_IN_ATTENDANCE"),
+        games("length_of_game").as("LENGTH_OF_GAME"),
+        stats("GP"), stats("OVERALL_WINS"), stats("OVERALL_LOSSES"),
+        stats("OVERTIME_LOSSES"), stats("TOTAL_POINTS"),
+        stats("POINTS_PERCENTAGE"), stats("GOALS_FOR"),
+        stats("GOALS_AGAINST"), stats("HOCKEY_REFERENCE_SRS"),
+        stats("STRENGTH_OF_SCHEDULE"),
+        stats("POINTS_PERCENTAGE_IN_REGULATION"),
+        stats("WINS_IN_REGULATION"), stats("REGULATION_RECORD"))
 
   /** visitor-branch ∪ home-branch with set semantics
     * (ref :43-47,:71-73; UNION not UNION ALL — the distinct is

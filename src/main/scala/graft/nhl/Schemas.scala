@@ -36,9 +36,10 @@ object Schemas {
   /** Header-less team-stats CSV, positional $1..$14
     * (ref: copy_into_nhl_stats_teams.sql:4-17). */
   val teamStatsCols: Seq[String] = Seq(
-    "TEAM", "GP", "OVERALL_WINS", "OVERALL_LOSSES", "OVERALL_OT",
-    "TOTAL_POINTS", "POINT_PCTG", "GOALS_FOR", "GOALS_AGAINST",
-    "SRS_RATING", "SOS_RATING", "GOALS_PER_GAME", "GOALS_AGAINST_PER_GAME",
+    "TEAM", "GP", "OVERALL_WINS", "OVERALL_LOSSES", "OVERTIME_LOSSES",
+    "TOTAL_POINTS", "POINTS_PERCENTAGE", "GOALS_FOR", "GOALS_AGAINST",
+    "HOCKEY_REFERENCE_SRS", "STRENGTH_OF_SCHEDULE",
+    "POINTS_PERCENTAGE_IN_REGULATION", "WINS_IN_REGULATION",
     "REGULATION_RECORD")
 
   val teamStatsCsv: StructType =
@@ -92,11 +93,11 @@ object Schemas {
 
   final case class TeamStat(
       team: String, gp: Long, overall_wins: Long, overall_losses: Long,
-      overall_ot: Long, total_points: Long, point_pctg: Double,
-      goals_for: Long, goals_against: Long, srs_rating: Double,
-      sos_rating: Double, goals_per_game: Double,
-      goals_against_per_game: Double, regulation_record: String,
-      source_file: String, unique_key: String)
+      overtime_losses: Long, total_points: Long,
+      points_percentage: Double, goals_for: Long, goals_against: Long,
+      hockey_reference_srs: Double, strength_of_schedule: Double,
+      points_percentage_in_regulation: Double, wins_in_regulation: Long,
+      regulation_record: String, source_file: String, unique_key: String)
 
   final case class Team(
       id: String, name: String, alias: String, market: String,

@@ -32,10 +32,18 @@ object Staging {
   def dropNullStatRows(df: DataFrame): DataFrame =
     df.filter(statCols.map(col(_).isNotNull).reduce(_ && _))
 
-  /** stg team_statistics: P6 ∘ P5 + typed casts
-    * (ref: team_statistics.sql:1-50; casts are ours — the raw CSV
-    * layer keeps strings, the staging layer types them). */
-  def stgTeamStatistics(raw: DataFrame): DataFrame = {
+  /** stg team_statistics, faithful to the reference: the 14 cleaned
+    * columns stay UNTYPED strings and the model carries updated_at +
+    * unique_key (ref: team_statistics.sql:10-46 — note the reference
+    * drops source_file here). */
+  def stgTeamStatistics(raw: DataFrame): DataFrame =
+    dropNullStatRows(nullOutDivisionRows(raw))
+      .select((statCols.map(col) ++
+        Seq(col("updated_at"), col("unique_key"))): _*)
+
+  /** Engine extension: the typed view of team_statistics for
+    * consumers that want real numerics (Dataset[TeamStat]-shaped). */
+  def stgTeamStatisticsTyped(raw: DataFrame): DataFrame = {
     val cleaned = dropNullStatRows(nullOutDivisionRows(raw))
     cleaned.select(
       col("updated_at"), col("source_file"), col("unique_key"),
@@ -43,36 +51,37 @@ object Staging {
       col("GP").cast(LongType).as("gp"),
       col("OVERALL_WINS").cast(LongType).as("overall_wins"),
       col("OVERALL_LOSSES").cast(LongType).as("overall_losses"),
-      col("OVERALL_OT").cast(LongType).as("overall_ot"),
+      col("OVERTIME_LOSSES").cast(LongType).as("overtime_losses"),
       col("TOTAL_POINTS").cast(LongType).as("total_points"),
-      col("POINT_PCTG").cast(DoubleType).as("point_pctg"),
+      col("POINTS_PERCENTAGE").cast(DoubleType).as("points_percentage"),
       col("GOALS_FOR").cast(LongType).as("goals_for"),
       col("GOALS_AGAINST").cast(LongType).as("goals_against"),
-      col("SRS_RATING").cast(DoubleType).as("srs_rating"),
-      col("SOS_RATING").cast(DoubleType).as("sos_rating"),
-      col("GOALS_PER_GAME").cast(DoubleType).as("goals_per_game"),
-      col("GOALS_AGAINST_PER_GAME").cast(DoubleType)
-        .as("goals_against_per_game"),
+      col("HOCKEY_REFERENCE_SRS").cast(DoubleType)
+        .as("hockey_reference_srs"),
+      col("STRENGTH_OF_SCHEDULE").cast(DoubleType)
+        .as("strength_of_schedule"),
+      col("POINTS_PERCENTAGE_IN_REGULATION").cast(DoubleType)
+        .as("points_percentage_in_regulation"),
+      col("WINS_IN_REGULATION").cast(LongType).as("wins_in_regulation"),
       col("REGULATION_RECORD").as("regulation_record"))
   }
 
   /** stg teams: lateral-flatten of the JSON teams array with parent
-    * columns carried along + market||' '||name full name
-    * (ref: teams.sql:11-17 LATERAL FLATTEN + concat). */
+    * columns (incl. the parent's unique_key, duplicated per team — as
+    * the reference does) + league path promotions + market||' '||name
+    * (ref: teams.sql:8-17 LATERAL FLATTEN + concat). */
   def stgTeams(rawTeams: DataFrame): DataFrame =
     rawTeams
       .select(
-        col("updated_at"), col("source_file"), col("unique_key"),
-        explode(col("teams")).as("f"))
+        col("unique_key"), col("updated_at"), col("source_file"),
+        col("league"), explode(col("teams")).as("f"))
       .select(
-        col("updated_at"), col("source_file"),
-        md5(concat_ws("|", col("unique_key"), col("f.id")))
-          .as("unique_key"),
-        col("f.id").as("id"),
-        col("f.name").as("name"),
-        col("f.alias").as("alias"),
-        col("f.market").as("market"),
-        concat_ws(" ", col("f.market"), col("f.name")).as("full_name"))
+        col("unique_key"), col("updated_at"), col("source_file"),
+        col("league.alias").as("league_name"),
+        col("league.id").as("league_id"),
+        col("f.alias").as("team_state_code"),
+        col("f.id").as("team_id"),
+        concat(col("f.market"), lit(" "), col("f.name")).as("team_name"))
 
   /** stg games from the JSON schedules: explode the promoted games
     * array into one row per game (SURVEY.md §3 E2 staging). */

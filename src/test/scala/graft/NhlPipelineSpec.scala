@@ -34,8 +34,8 @@ class NhlPipelineSpec extends AnyFunSuite {
     val d = s"$fx/stats_csv"
     write(s"$d/teams_2024.csv",
       """Atlantic Division,,,,,,,,,,,,,
-        |Boston Bruins,82,47,20,15,109,0.665,267,224,0.61,0.02,3.26,2.73,39-17-10
-        |Chicago Blackhawks,82,23,53,6,52,0.317,179,290,-1.36,0.01,2.18,3.54,18-46-5
+        |Boston Bruins,82,47,20,15,109,0.665,267,224,0.61,0.02,0.64,39,39-17-10
+        |Chicago Blackhawks,82,23,53,6,52,0.317,179,290,-1.36,0.01,0.30,18,18-46-5
         |""".stripMargin)
     d
   }
@@ -67,10 +67,11 @@ class NhlPipelineSpec extends AnyFunSuite {
     assert(r0.getAs[String]("source_file").endsWith("games_2024.csv"))
   }
 
-  test("md5 unique_key is deterministic and row-distinct") {
+  test("md5 unique_key (filename||$1, as the ref derives it) is deterministic") {
     val k1 = Ingest.readGamesCsv(spark, gamesDir).select("unique_key").collect()
     val k2 = Ingest.readGamesCsv(spark, gamesDir).select("unique_key").collect()
     assert(k1.map(_.getString(0)).sorted.sameElements(k2.map(_.getString(0)).sorted))
+    // three distinct game dates -> three distinct keys
     assert(k1.map(_.getString(0)).distinct.length == 3)
   }
 
@@ -78,11 +79,14 @@ class NhlPipelineSpec extends AnyFunSuite {
     val raw = Ingest.readTeamStatsCsv(spark, statsDir)
     assert(raw.count() == 3)
     val stg = Staging.stgTeamStatistics(raw)
-    val teams = stg.select("team").collect().map(_.getString(0)).sorted
+    // faithful model: 14 string stat cols + updated_at + unique_key
+    assert(stg.columns.length == 16)
+    val teams = stg.select("TEAM").collect().map(_.getString(0)).sorted
     assert(teams.sameElements(Array("Boston Bruins", "Chicago Blackhawks")))
-    val bos = stg.filter(col("team") === "Boston Bruins").head()
+    val typed = Staging.stgTeamStatisticsTyped(raw)
+    val bos = typed.filter(col("team") === "Boston Bruins").head()
     assert(bos.getAs[Long]("total_points") == 109L)
-    assert(math.abs(bos.getAs[Double]("point_pctg") - 0.665) < 1e-12)
+    assert(math.abs(bos.getAs[Double]("points_percentage") - 0.665) < 1e-12)
   }
 
   test("P6∘P5 never drops a row lacking DIVISION (property)") {
@@ -95,26 +99,36 @@ class NhlPipelineSpec extends AnyFunSuite {
     assert(survivors.sorted.sameElements(nonDivision.sorted))
   }
 
-  test("teams JSON flatten carries parent cols and builds full_name (J1+F4)") {
+  test("teams JSON flatten carries parent cols and builds team_name (J1+F4)") {
     val raw = Ingest.readTeamsJson(spark, teamsJsonDir)
     val stg = Staging.stgTeams(raw)
-    val rows = stg.orderBy("id").collect()
+    val rows = stg.orderBy("team_id").collect()
     assert(rows.length == 2)
-    assert(rows(0).getAs[String]("full_name") == "Boston Bruins")
-    assert(rows(1).getAs[String]("full_name") == "Chicago Blackhawks")
-    assert(rows.map(_.getAs[String]("unique_key")).distinct.length == 2)
+    assert(rows(0).getAs[String]("team_name") == "Boston Bruins")
+    assert(rows(1).getAs[String]("team_name") == "Chicago Blackhawks")
+    assert(rows(0).getAs[String]("league_name") == "NHL")
+    // ref duplicates the parent unique_key across flattened rows
+    assert(rows.map(_.getAs[String]("unique_key")).distinct.length == 1)
   }
 
   test("mart: visitor/home join-union with set semantics (J2+J3+A2)") {
     val games = Ingest.readGamesCsv(spark, gamesDir)
     val stats = Staging.stgTeamStatistics(Ingest.readTeamStatsCsv(spark, statsDir))
     val mart = Mart.seasonalMetricsAgg(games, stats)
-    assert(mart.columns.length == 21)
+    // the reference's exact 21-column output (seasonal_metrics_agg.sql:21-42)
+    assert(mart.columns.toSeq == Seq(
+      "GAME_DATE", "GAME_TIME", "VISITOR", "VISITOR_GOALS", "HOME",
+      "HOME_GOALS", "GUESTS_IN_ATTENDANCE", "LENGTH_OF_GAME", "GP",
+      "OVERALL_WINS", "OVERALL_LOSSES", "OVERTIME_LOSSES", "TOTAL_POINTS",
+      "POINTS_PERCENTAGE", "GOALS_FOR", "GOALS_AGAINST",
+      "HOCKEY_REFERENCE_SRS", "STRENGTH_OF_SCHEDULE",
+      "POINTS_PERCENTAGE_IN_REGULATION", "WINS_IN_REGULATION",
+      "REGULATION_RECORD"))
     // game1 BOS@CHI: both teams have stats -> 2 rows; game2 CHI@BOS -> 2;
     // game3 Denver@BOS: only home side matches -> 1. Total 5 distinct.
     assert(mart.count() == 5)
-    val g3 = mart.filter(col("visitor") === "Denver Devils").collect()
-    assert(g3.length == 1 && g3(0).getAs[String]("team") == "Boston Bruins")
+    val g3 = mart.filter(col("VISITOR") === "Denver Devils").collect()
+    assert(g3.length == 1 && g3(0).getAs[String]("TOTAL_POINTS") == "109")
     // idempotent under re-union (set semantics)
     assert(mart.union(mart).distinct().count() == 5)
   }
@@ -143,7 +157,7 @@ class NhlPipelineSpec extends AnyFunSuite {
 
   test("quality gate: passes on clean col, throws on nulls (A1)") {
     val stats = Staging.stgTeamStatistics(Ingest.readTeamStatsCsv(spark, statsDir))
-    Quality.requireNoNulls(stats, Seq("team")) // must not throw
+    Quality.requireNoNulls(stats, Seq("TEAM")) // must not throw
     val raw = Staging.nullOutDivisionRows(Ingest.readTeamStatsCsv(spark, statsDir))
     val ex = intercept[Quality.NullCheckFailure] {
       Quality.requireNoNulls(raw, Seq("TEAM"))
