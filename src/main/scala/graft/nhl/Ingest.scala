@@ -95,11 +95,20 @@ object Ingest {
     spark.read.schema(Schemas.sportradarSchedule)
       .option("multiLine", true).json(path)
       .select(
+        // ref column set: updated_at, raw_json, unique_key,
+        // source_file, games, league, season
+        // (copy_into_nhl_api_schedules.sql:4-10). raw_json here is the
+        // canonical re-serialization of the typed struct — byte-level
+        // serialization divergence from Snowflake documented in
+        // SURVEY.md §7 hard part 3.
         current_timestamp().as("updated_at"),
-        sourceFile.as("source_file"),
-        md5(concat_ws("|", sourceFile, to_json(struct(col("*")))))
+        to_json(struct(col("league"), col("season"), col("games")))
+          .as("raw_json"),
+        md5(concat(sourceFile,
+          to_json(struct(col("league"), col("season"), col("games")))))
           .as("unique_key"),
-        col("league"), col("season"), col("games"))
+        sourceFile.as("source_file"),
+        col("games"), col("league"), col("season"))
       .filter(col("games").isNotNull)
 
   /** SportRadar teams JSON -> RAW.NHL_API_TEAMS
@@ -109,8 +118,10 @@ object Ingest {
       .option("multiLine", true).json(path)
       .select(
         current_timestamp().as("updated_at"),
-        sourceFile.as("source_file"),
-        md5(concat_ws("|", sourceFile, to_json(struct(col("*")))))
+        to_json(struct(col("league"), col("teams"))).as("raw_json"),
+        md5(concat(sourceFile,
+          to_json(struct(col("league"), col("teams")))))
           .as("unique_key"),
+        sourceFile.as("source_file"),
         col("league"), col("teams"))
 }
