@@ -111,6 +111,22 @@ object Ingest {
         col("games"), col("league"), col("season"))
       .filter(col("games").isNotNull)
 
+  /** SportRadar seasons JSON -> RAW.NHL_API_SEASONS
+    * (ref: copy_into_nhl_api_seasons.sql:3-9; note the reference
+    * aliases the `seasons` array to column name `season`). */
+  def readSeasonsJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.sportradarSeasons)
+      .option("multiLine", true).json(path)
+      .select(
+        current_timestamp().as("updated_at"),
+        to_json(struct(col("league"), col("seasons"))).as("raw_json"),
+        md5(concat(sourceFile,
+          to_json(struct(col("league"), col("seasons")))))
+          .as("unique_key"),
+        sourceFile.as("source_file"),
+        col("league"),
+        col("seasons").as("season"))
+
   /** SportRadar teams JSON -> RAW.NHL_API_TEAMS
     * (ref: copy_into_nhl_api_teams.sql:3-9). */
   def readTeamsJson(spark: SparkSession, path: String): DataFrame =

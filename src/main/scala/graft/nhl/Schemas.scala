@@ -78,6 +78,17 @@ object Schemas {
     StructField("alias", StringType),
     StructField("market", StringType)))
 
+  /** SportRadar seasons payload (ref: copy_into_nhl_api_seasons
+    * .sql:3-9 — raw_json['seasons'] promoted as `season`). */
+  val sportradarSeasons: StructType = StructType(Seq(
+    StructField("league", StructType(Seq(
+      StructField("id", StringType), StructField("name", StringType),
+      StructField("alias", StringType)))),
+    StructField("seasons", ArrayType(StructType(Seq(
+      StructField("id", StringType), StructField("year", LongType),
+      StructField("type", StructType(Seq(
+        StructField("code", StringType))))))))))
+
   val sportradarTeams: StructType = StructType(Seq(
     StructField("league", StructType(Seq(
       StructField("id", StringType), StructField("name", StringType),

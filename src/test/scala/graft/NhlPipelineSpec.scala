@@ -165,6 +165,47 @@ class NhlPipelineSpec extends AnyFunSuite {
     assert(ex.nulls == 1)
   }
 
+  test("seasons JSON: league + seasons array promoted as `season`") {
+    val d = s"$fx/seasons_json"
+    write(s"$d/seasons.json",
+      """{"league": {"id": "l1", "name": "NHL", "alias": "NHL"},
+        | "seasons": [
+        |  {"id": "s1", "year": 2023, "type": {"code": "REG"}},
+        |  {"id": "s2", "year": 2024, "type": {"code": "REG"}}
+        | ]}""".stripMargin)
+    val raw = Ingest.readSeasonsJson(spark, d)
+    assert(raw.count() == 1)
+    assert(raw.select(size(col("season"))).head().getInt(0) == 2)
+    assert(raw.columns.contains("raw_json"))
+  }
+
+  test("full pipeline: raw -> staging -> quality -> mart, idempotent re-run") {
+    val wh = s"$fx/warehouse_${System.nanoTime()}"
+    val layout = Pipeline.Layout(
+      gamesCsvDir = gamesDir, teamStatsCsvDir = statsDir,
+      schedulesJsonDir = s"$fx/sched_json", playoffsJsonDir = s"$fx/nope",
+      seasonsJsonDir = s"$fx/seasons_json", teamsJsonDir = teamsJsonDir,
+      warehouseDir = wh)
+    // ensure sched_json fixture exists (created by the P8 test lazily)
+    write(s"$fx/sched_json/sched_reg.json",
+      """{"league": {"id": "l1", "name": "NHL", "alias": "NHL"},
+        | "season": {"id": "s1", "year": 2024, "type": "REG"},
+        | "games": [
+        |  {"id": "g1", "status": "closed", "scheduled": "2024-01-01T19:00:00Z",
+        |   "home_points": 2, "away_points": 3,
+        |   "home": {"id": "t2", "name": "Blackhawks", "alias": "CHI"},
+        |   "away": {"id": "t1", "name": "Bruins", "alias": "BOS"}}
+        | ]}""".stripMargin)
+    val r1 = Pipeline.run(spark, layout)
+    assert(r1.seasonalMetricsAgg.count() == 5)
+    assert(r1.stgTeams.count() == 2)
+    assert(r1.regularSeason.count() == 3)
+    // re-running the whole pipeline must not duplicate anything (S7)
+    val r2 = Pipeline.run(spark, layout)
+    assert(r2.regularSeason.count() == 3)
+    assert(r2.seasonalMetricsAgg.count() == 5)
+  }
+
   test("api schedule JSON: promoted paths + empty-payload guard (P8)") {
     val d = s"$fx/sched_json"
     write(s"$d/sched_reg.json",
