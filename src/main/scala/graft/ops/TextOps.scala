@@ -95,6 +95,22 @@ object TextOps {
       .cast(DoubleType)).cast(DoubleType)
   }
 
+  /** Winnowing document fingerprints (Schleimer et al., MOSS): hash
+    * every n-gram shingle, slide a window of `w` hashes, keep each
+    * window's minimum — the classic rolling-hash fingerprint set that
+    * guarantees shared fingerprints for sufficiently long shared
+    * substrings. Pure array expressions over a bound hash column;
+    * map-only at scale. Overlap(fingerprints) is a plagiarism/overlap
+    * signal robust to position shifts. */
+  def winnowingFingerprints(text: Column, n: Int = 3, w: Int = 4): Column = {
+    val hs = transform(shingles(text, n), s => xxhash64(s))
+    val windows = transform(
+      sequence(lit(1), greatest(size(hs) - (w - 1), lit(0))),
+      i => array_min(slice(hs, i, lit(w))))
+    array_distinct(when(size(hs) >= w, windows)
+      .otherwise(array_distinct(hs)))
+  }
+
   /** Language-ID heuristic: score each candidate language by hits of
     * its characteristic stopwords / character classes; best score wins
     * (ties broken by fixed language order; default "en"). Pure column

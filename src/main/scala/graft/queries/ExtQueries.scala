@@ -47,6 +47,15 @@ object ExtQueries {
         col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"))
     },
+    // Winnowing rolling-hash fingerprints — xxhash64-based, rows-only.
+    "x4_winnowing" -> { (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        TextOps.winnowingFingerprints(col("text")).as("fingerprints"))
+        .select(col("doc_id"),
+          size(col("fingerprints")).as("n_fingerprints"),
+          col("fingerprints"))
+    },
     "x4_langid" -> { (s, d) =>
       documents(s, d)
         .withColumn("toks", TextOps.tokens(lower(col("text"))))

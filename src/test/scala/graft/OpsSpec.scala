@@ -165,6 +165,19 @@ class OpsSpec extends AnyFunSuite {
     a.foreach { case (id, sig) => assert(sig == b(id), s"doc $id") }
   }
 
+  test("winnowing: shared long substrings share fingerprints; disjoint texts don't") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = docsDf(Seq(
+      (1L, s"intro words here $shared closing words", "en"),
+      (2L, s"totally other start $shared different tail tokens", "en"),
+      (3L, "unrelated content with no overlap at all in any window position", "en")))
+    val fps = df.select(col("doc_id"),
+      TextOps.winnowingFingerprints(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty)   // shared region -> shared prints
+    assert((fps(1L) & fps(3L)).isEmpty)    // disjoint text -> none
+  }
+
   test("approx sketches stay within tolerance of exact (X6)") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val exact = ev.select(countDistinct(col("user_id"))).head().getLong(0)
