@@ -102,14 +102,24 @@ object TextOps {
     * substrings. Pure array expressions over a bound hash column;
     * map-only at scale. Overlap(fingerprints) is a plagiarism/overlap
     * signal robust to position shifts. */
-  def winnowingFingerprints(text: Column, n: Int = 3, w: Int = 4): Column = {
-    val hs = transform(shingles(text, n), s => xxhash64(s))
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    transform(shingles(text, n), s => xxhash64(s))
+
+  /** Winnow from a BOUND hash-array column. Callers on big data must
+    * bind `shingleHashes` to a named column first — passing the hash
+    * expression directly re-evaluates it per window (the nested-HOF
+    * trap). */
+  def winnowFromHashes(hs: Column, w: Int = 4): Column = {
     val windows = transform(
       sequence(lit(1), greatest(size(hs) - (w - 1), lit(0))),
       i => array_min(slice(hs, i, lit(w))))
     array_distinct(when(size(hs) >= w, windows)
       .otherwise(array_distinct(hs)))
   }
+
+  /** Convenience form for small frames/tests. */
+  def winnowingFingerprints(text: Column, n: Int = 3, w: Int = 4): Column =
+    winnowFromHashes(shingleHashes(text, n), w)
 
   /** Language-ID heuristic: score each candidate language by hits of
     * its characteristic stopwords / character classes; best score wins

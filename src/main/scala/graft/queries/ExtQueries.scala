@@ -49,9 +49,10 @@ object ExtQueries {
     },
     // Winnowing rolling-hash fingerprints — xxhash64-based, rows-only.
     "x4_winnowing" -> { (s, d) =>
-      documents(s, d).select(
-        col("doc_id"),
-        TextOps.winnowingFingerprints(col("text")).as("fingerprints"))
+      documents(s, d)
+        .withColumn("hs", TextOps.shingleHashes(col("text")))
+        .select(col("doc_id"),
+          TextOps.winnowFromHashes(col("hs")).as("fingerprints"))
         .select(col("doc_id"),
           size(col("fingerprints")).as("n_fingerprints"),
           col("fingerprints"))

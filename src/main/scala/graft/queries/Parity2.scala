@@ -81,6 +81,21 @@ object Parity2 {
           count(lit(1)).as("n_rows"))
     },
 
+    // GROUP BY + HAVING + join back (TPC-H Q18 shape): post-aggregate
+    // filtering, then enriching the surviving keys.
+    "q18_having" -> { (s, d) =>
+      val bigOrders = lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sumD(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      bigOrders
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          Exact.dec2(col("o_totalprice")).cast("double").as("o_totalprice"),
+          col("total_qty"))
+    },
+
     // Token-level text analytics: explode + count + deterministic
     // top-k (X4 at corpus granularity — the word-count of a
     // training-data pipeline).
@@ -148,6 +163,16 @@ object Parity2 {
            AND l_shipdate < TIMESTAMP '1995-01-01'
            AND l_discount BETWEEN 0.05 AND 0.07
            AND l_quantity < 24""",
+    "q18_having" ->
+      """SELECT c_name, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+         total_qty
+         FROM (SELECT l_orderkey,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+               FROM lineitem GROUP BY l_orderkey
+               HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250)
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey""",
     "x4_token_topk" ->
       """WITH t AS (
            SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
