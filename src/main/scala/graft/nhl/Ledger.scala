@@ -23,9 +23,17 @@ object Ledger {
   def ledgerPath(targetPath: String): String = s"$targetPath/_ledger"
   def dataPath(targetPath: String): String = s"$targetPath/data"
 
+  /** Path existence through the Hadoop FileSystem API so the ledger
+    * works on any supported store (local, HDFS, s3a, …), not just
+    * local disk. */
+  private[nhl] def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   private def loadedFiles(spark: SparkSession, target: String): DataFrame = {
     val p = ledgerPath(target)
-    if (new java.io.File(p).exists())
+    if (pathExists(spark, p))
       spark.read.parquet(p)
     else
       spark.createDataFrame(
@@ -38,7 +46,7 @@ object Ledger {
   /** Read the incrementally-maintained table. */
   def readTarget(spark: SparkSession, target: String): Option[DataFrame] = {
     val p = dataPath(target)
-    if (new java.io.File(p).exists()) Some(spark.read.parquet(p)) else None
+    if (pathExists(spark, p)) Some(spark.read.parquet(p)) else None
   }
 
   /** Append only rows from not-yet-loaded files; record those files.

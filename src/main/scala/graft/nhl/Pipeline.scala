@@ -28,7 +28,7 @@ object Pipeline {
 
   private def loadIfPresent(spark: SparkSession, dir: String,
       read: (SparkSession, String) => DataFrame, target: String): Option[DataFrame] = {
-    if (new java.io.File(dir).exists()) {
+    if (Ledger.pathExists(spark, dir)) {
       Ledger.copyInto(spark, read(spark, dir), target)
       Ledger.readTarget(spark, target)
     } else None
