@@ -102,6 +102,29 @@ object ExtQueries {
         nLists = 16, nProbe = 4)
     },
 
+    // As-of (backward) join: enrich each event with the customer's
+    // most recent order at event time (union-merge window pattern;
+    // oracle = DuckDB native ASOF JOIN). Right side deduplicated to
+    // one deterministic row per (key, time) so ties are well-defined.
+    "asof_join" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = eventsNs(s, d).select(
+        col("event_id"),
+        (col("user_id") % 100 + 1).cast("long").as("custkey"),
+        Sessionize.nsToUs(col("ts")).as("t_us"))
+      val dedupW = Window.partitionBy(col("custkey"), col("o_us"))
+        .orderBy(col("o_orderkey").desc)
+      val od = orders(s, d).select(
+        col("o_custkey").as("custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"),
+        col("o_orderkey"),
+        Exact.dec2(col("o_totalprice")).cast("double").as("o_price"))
+        .withColumn("_rn", row_number().over(dedupW))
+        .filter(col("_rn") === 1).drop("_rn")
+      graft.ops.AsofJoin.asofBackward(ev, od, "custkey", "t_us", "o_us",
+        Seq("o_orderkey", "o_price"))
+    },
+
     // ---- X5 event windows / sessionization ---------------------
     "x5_tumbling" -> { (s, d) => Sessionize.tumblingAgg(eventsNs(s, d)) },
     "x5_sessionize" -> { (s, d) => Sessionize.sessionize(eventsNs(s, d)) },
@@ -254,6 +277,19 @@ object ExtQueries {
       JOIN n2 nb ON dots.id_b = nb.vec_id
       WHERE CAST(CAST(d AS DOUBLE) /
              (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS DOUBLE) >= 0.3""",
+    "asof_join" -> """
+      WITH e AS (SELECT event_id, CAST(user_id % 100 + 1 AS BIGINT) AS custkey,
+                        epoch_us(ts) AS t_us FROM events),
+      o_raw AS (SELECT o_custkey AS custkey, epoch_us(o_orderdate) AS o_us,
+                       o_orderkey,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_price,
+                       row_number() OVER (PARTITION BY o_custkey, epoch_us(o_orderdate)
+                                          ORDER BY o_orderkey DESC) AS rn
+                FROM orders),
+      o AS (SELECT custkey, o_us, o_orderkey, o_price FROM o_raw WHERE rn = 1)
+      SELECT e.event_id, e.custkey, e.t_us, o.o_orderkey, o.o_price
+      FROM e ASOF LEFT JOIN o
+        ON e.custkey = o.custkey AND e.t_us >= o.o_us""",
     "x5_tumbling" -> """
       SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
              event_type, count(*) AS n_events,

@@ -74,6 +74,24 @@ class SemanticsSpec extends AnyFunSuite {
     assert(anti2.count() == 2)
   }
 
+  test("asofBackward: latest right row at-or-before left time, per key") {
+    val left = Seq(
+      (1L, 100L, 5L),   // event at t=5
+      (2L, 100L, 10L),  // exactly at right t=10 -> takes v10
+      (3L, 100L, 11L),
+      (4L, 200L, 7L),   // key with no right rows -> null
+      (5L, 100L, 1L)    // before first right row -> null
+    ).toDF("event_id", "k", "t")
+    val right = Seq(
+      (100L, 3L, "v3"), (100L, 10L, "v10"), (100L, 20L, "v20")
+    ).toDF("k", "rt", "v")
+    val got = AsofJoin.asofBackward(left, right, "k", "t", "rt", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("v"))).toMap
+    assert(got == Map(
+      1L -> Some("v3"), 2L -> Some("v10"), 3L -> Some("v10"),
+      4L -> None, 5L -> None))
+  }
+
   test("union is UNION ALL; distinct() restores set semantics (A2)") {
     val a = Seq(1, 2, 3).toDF("x")
     val dup = a.union(a)
