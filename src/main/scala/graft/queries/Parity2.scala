@@ -108,6 +108,49 @@ object Parity2 {
         .limit(20)
     },
 
+    // Pivot (conditional aggregation): event counts per user bucket x
+    // event_type, expressed as a real pivot in Spark and conditional
+    // sums in the oracle — identical output columns.
+    "a6_pivot" -> { (s, d) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      events(s, d)
+        .withColumn("user_bucket", (col("user_id") % 10).cast("int"))
+        .groupBy(col("user_bucket"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    },
+
+    // Sorted collect: deterministic array aggregation (collect_list
+    // order is undefined -> sort_array pins it; oracle list_sort).
+    "a7_collect_sorted" -> { (s, d) =>
+      nation(s, d)
+        .join(customer(s, d), col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sort_array(collect_list(col("c_custkey"))).as("ck"))
+        .select(col("n_name"),
+          concat_ws(",", col("ck")).as("custkeys"),
+          size(col("ck")).as("n_customers"))
+    },
+
+    // Exact statistical moments: stddev/variance recomposed from
+    // exact decimal sums so results are order-independent and match
+    // the oracle bit-for-bit (single-pass stddev would drift).
+    "x6_moments" -> { (s, d) =>
+      val x = dec2(col("l_quantity"))
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).cast("double").as("sum_x"),
+          sum(x * x).cast("double").as("sum_xx"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("sum_xx") - col("sum_x") * col("sum_x") / col("n")) /
+            (col("n") - 1)).as("var_samp"),
+          sqrt((col("sum_xx") - col("sum_x") * col("sum_x") / col("n")) /
+            (col("n") - 1)).as("stddev_samp"))
+    },
+
     // Frame-based moving average over event time (SURVEY §2.5 W-ext).
     "w3_moving_avg" -> { (s, d) =>
       val w = Window.partitionBy(col("o_custkey"))
@@ -173,6 +216,30 @@ object Parity2 {
                HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250)
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey""",
+    "a6_pivot" -> """
+      SELECT CAST(user_id % 10 AS INTEGER) AS user_bucket,
+        count(*) FILTER (WHERE event_type = 'click') AS click,
+        count(*) FILTER (WHERE event_type = 'view') AS view,
+        count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        count(*) FILTER (WHERE event_type = 'error') AS error
+      FROM events GROUP BY 1""",
+    "a7_collect_sorted" -> """
+      SELECT n_name,
+             array_to_string(list_sort(list(c_custkey)), ',') AS custkeys,
+             CAST(count(*) AS INTEGER) AS n_customers
+      FROM nation JOIN customer ON n_nationkey = c_nationkey
+      GROUP BY n_name""",
+    "x6_moments" -> """
+      WITH s AS (
+        SELECT l_returnflag, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_xx
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        (sum_xx - sum_x * sum_x / n) / (n - 1) AS var_samp,
+        sqrt((sum_xx - sum_x * sum_x / n) / (n - 1)) AS stddev_samp
+      FROM s""",
     "x4_token_topk" ->
       """WITH t AS (
            SELECT unnest(string_split_regex(trim(text), '\s+')) AS token

@@ -22,6 +22,12 @@ with open(os.path.join(outdir, "oracle_sql.json")) as f:
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # arrays/lists are unhashable for sorting -- stringify them
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, (list, tuple)) or
+                     hasattr(v, "__array__") and not isinstance(v, (str, bytes))
+                     ).any():
+            df[c] = df[c].map(lambda v: str(list(v)) if v is not None else None)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
