@@ -25,12 +25,35 @@ import org.apache.spark.sql.catalyst.expressions.XXH64
   * and the signature element i is min over shingles of m_i.
   */
 case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData], k)
+
+  /** Real codegen (not CodegenFallback): emits a single static call,
+    * so a projection containing this expression stays inside
+    * whole-stage codegen with no interpreted detour per row. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSig.compute($c, $k);")
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSig {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.functions.{call_function, lit}
+
+  /** One-pass k-minima evaluation; called from interpreted eval AND
+    * from generated code (must stay public + JVM-static-reachable). */
+  def compute(arr: ArrayData, k: Int): GenericArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
@@ -48,15 +71,6 @@ case class MinHashSig(child: Expression, k: Int)
     }
     new GenericArrayData(mins)
   }
-
-  override protected def withNewChildInternal(c: Expression): MinHashSig =
-    copy(child = c)
-  override def prettyName: String = "minhash_sig"
-}
-
-object MinHashSig {
-  import org.apache.spark.sql.SparkSession
-  import org.apache.spark.sql.functions.{call_function, lit}
 
   val FuncName = "graft_minhash_sig"
 
