@@ -78,6 +78,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchClosed.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming dropDuplicates on content key: replayed rows collapse (A3 streaming)") {
+    // the streaming form of the md5 content-key dedup: the same file
+    // staged twice under different names must load its rows once
+    val src = s"$fx/dedup_src"; val ckp = s"$fx/dedup_ckp"
+    val row = "2024-01-01,7:00,A,1,B,2,,100,2:10,\n"
+    write(s"$src/a.csv", row)
+    write(s"$src/b.csv", row) // replayed content, different file
+    val stream = spark.readStream.schema(graft.nhl.Schemas.gamesCsv).csv(src)
+    val deduped = stream
+      .select(md5(concat_ws("|", col("_c0"), col("_c2"), col("_c4"))).as("unique_key"),
+        col("_c0").as("game_date"))
+      .dropDuplicates("unique_key")
+    val name = s"dedup_${System.nanoTime()}"
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .option("checkpointLocation", ckp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table(name).count() == 1)
+  }
+
   test("watermarked windowed counts match the batch tumbling aggregate") {
     import org.apache.spark.sql.streaming.Trigger
     // streaming file source wants a directory of files
