@@ -210,6 +210,10 @@ object Dedup {
       .withColumn("sz", size(col("sh")))
     val inv = base.select(col("id"), col("blk"), col("sz"),
       explode(col("sh")).as("shingle"))
+    // two renamed legs of the same (cheap, map-only) subplan; an
+    // aliased self-join with the inequality in the join condition
+    // measured ~2x slower here, and ReuseExchange does not fire for
+    // either formulation under AQE in this Spark build.
     val a = inv.select(col("id").as("id_a"), col("blk"),
       col("sz").as("sz_a"), col("shingle"))
     val b = inv.select(col("id").as("id_b"), col("blk"),
