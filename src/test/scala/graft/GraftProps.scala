@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAllNoShrink
+import graft.ops.{Dedup, Sessionize, TextOps}
+import graft.nhl.Ingest
+
+/** Property-based pins (SURVEY.md §5 engine test plan): idempotence,
+  * set semantics, metric bounds — over generated inputs. Spark jobs
+  * per case are expensive, so each property runs a reduced number of
+  * generated cases. */
+object GraftProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val word = Gen.oneOf(
+    "the", "fox", "dog", "spark", "plan", "data", "row", "key",
+    "join", "scan", "hash", "sort")
+  private val text = Gen.chooseNum(3, 20)
+    .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+  private val docs = Gen.chooseNum(2, 12).flatMap(n =>
+    Gen.listOfN(n, text)).map(ts =>
+    ts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en") })
+
+  property("exactDedup is idempotent") = forAllNoShrink(docs) { rows =>
+    val df = rows.toDF("doc_id", "text", "lang")
+    val once = Dedup.exactDedup(df)
+    val twice = Dedup.exactDedup(once)
+    once.count() == twice.count() &&
+      once.exceptAll(twice).count() == 0
+  }
+
+  property("exactDedup keeps one row per distinct normalized text") =
+    forAllNoShrink(docs) { rows =>
+      val df = rows.toDF("doc_id", "text", "lang")
+      val expect = rows.map(r => TestNorm.normalize(r._2)).distinct.size
+      Dedup.exactDedup(df).count() == expect
+    }
+
+  property("jaccard is within [0,1] and symmetric") =
+    forAllNoShrink(text, text) { (t1, t2) =>
+      val df = Seq((t1, t2)).toDF("a", "b")
+        .select(
+          TextOps.jaccard(TextOps.shingles(col("a")),
+            TextOps.shingles(col("b"))).as("j_ab"),
+          TextOps.jaccard(TextOps.shingles(col("b")),
+            TextOps.shingles(col("a"))).as("j_ba"))
+      val r = df.head()
+      val (jab, jba) = (r.getDouble(0), r.getDouble(1))
+      (jab.isNaN && jba.isNaN) ||
+        (jab == jba && jab >= 0.0 && jab <= 1.0)
+    }
+
+  property("union+distinct == set union") =
+    forAllNoShrink(Gen.listOf(Gen.chooseNum(0, 20)),
+      Gen.listOf(Gen.chooseNum(0, 20))) { (xs, ys) =>
+      val got = xs.toDF("x").union(ys.toDF("x")).distinct().count()
+      got == (xs.toSet ++ ys.toSet).size
+    }
+
+  property("sessionize conserves events and orders bounds") =
+    forAllNoShrink(Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 3L),
+        Gen.chooseNum(0L, 4L * 3600 * 1000000L))))) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, us), i) =>
+        (i.toLong, u, us * 1000L, 1.0) } // ns
+      val df = rows.toDF("event_id", "user_id", "ts", "value")
+      val sess = Sessionize.sessionize(df).collect()
+      val conserved = sess.map(_.getAs[Long]("n_events")).sum == evs.size
+      val ordered = sess.forall(r =>
+        r.getAs[Long]("session_start_us") <= r.getAs[Long]("session_end_us"))
+      conserved && ordered
+    }
+
+  property("timeToSecs agrees with timeCanon round-trip") =
+    forAllNoShrink(Gen.chooseNum(0, 23), Gen.chooseNum(0, 59)) { (h, m) =>
+      val df = Seq(s"$h:$m").toDF("t").select(
+        Ingest.timeToSecs(col("t")).as("s1"),
+        Ingest.timeToSecs(Ingest.timeCanon(col("t"))).as("s2"))
+      val r = df.head()
+      r.getInt(0) == h * 3600 + m * 60 && r.getInt(0) == r.getInt(1)
+    }
+
+  /** Scala-side replica of TextOps.normalized for the oracle. */
+  private object TestNorm {
+    def normalize(s: String): String =
+      s.toLowerCase.replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim
+  }
+}
