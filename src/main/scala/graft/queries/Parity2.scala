@@ -151,6 +151,17 @@ object Parity2 {
             (col("n") - 1)).as("stddev_samp"))
     },
 
+    // Custom physical operator: bounded-heap top-k per key (see
+    // graft.plans.TopKPerKey) — semantically identical to the
+    // row_number window formulation the oracle uses, but without
+    // sorting whole partitions.
+    "topk_per_key" -> { (s, d) =>
+      graft.plans.TopKPerKey.topKPerKey(
+        orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey"),
+        Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+    },
+
     // Frame-based moving average over event time (SURVEY §2.5 W-ext).
     "w3_moving_avg" -> { (s, d) =>
       val w = Window.partitionBy(col("o_custkey"))
@@ -240,6 +251,13 @@ object Parity2 {
         (sum_xx - sum_x * sum_x / n) / (n - 1) AS var_samp,
         sqrt((sum_xx - sum_x * sum_x / n) / (n - 1)) AS stddev_samp
       FROM s""",
+    "topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders)
+         WHERE rn <= 3""",
     "x4_token_topk" ->
       """WITH t AS (
            SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
