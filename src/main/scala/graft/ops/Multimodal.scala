@@ -82,6 +82,27 @@ object Multimodal {
       }
   }
 
+  /** Resize stub: deterministic downsample of the opaque payload by
+    * `factor` (every factor-th byte), with metadata kept consistent —
+    * the plumbing a real image resize (decode → scale → re-encode)
+    * plugs into at the same mapPartitions seam. */
+  def resizeStub(spark: SparkSession, media: DataFrame,
+      factor: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(factor >= 1)
+    media.select(col("media_id"), col("modality"), col("mime"),
+      col("payload"), col("width"), col("height"))
+      .as[(Long, String, String, Array[Byte], Option[Int], Option[Int])]
+      .mapPartitions { it =>
+        // per-partition setup (real codec/scaler handle) goes here
+        it.map { case (id, modality, mime, payload, w, h) =>
+          val sampled = payload.grouped(factor).map(_.head).toArray
+          (id, modality, mime, sampled, w.map(_ / factor), h.map(_ / factor))
+        }
+      }
+      .toDF("media_id", "modality", "mime", "payload", "width", "height")
+  }
+
   /** Resize/frame-sample stub with the same per-partition seam:
     * emits fixed-stride byte samples as "frames". */
   def sampleFrames(spark: SparkSession, media: DataFrame,

@@ -165,6 +165,23 @@ class NhlPipelineSpec extends AnyFunSuite {
     assert(ex.nulls == 1)
   }
 
+  test("csv edge cases: quoted fields with commas, embedded quotes, short rows") {
+    val d = s"$fx/games_edge"
+    write(s"$d/edge.csv",
+      "2024-02-01,7:00,\"St. Louis, Blues\",2,\"Team \"\"Quoted\"\"\",3,,9000,2:20,\n" +
+      "2024-02-02,8:15,Plain Team,1,Other Team,0,OT,,2:05,\n")
+    val df = Ingest.readGamesCsv(spark, d)
+    val rows = df.orderBy("game_date").collect()
+    assert(rows.length == 2)
+    // Spark CSV unquotes "St. Louis, Blues" (comma preserved inside quotes)
+    assert(rows(0).getAs[String]("visitor") == "St. Louis, Blues")
+    // embedded quotes stripped by cleanField (ref F6 replace($n,'\"',''))
+    assert(rows(0).getAs[String]("home") == "Team Quoted")
+    // empty attendance -> null long, not a parse failure
+    assert(rows(1).isNullAt(rows(1).fieldIndex("guests_in_attendance")))
+    assert(rows(1).getAs[Int]("game_time_secs") == 8 * 3600 + 15 * 60)
+  }
+
   test("seasons JSON: league + seasons array promoted as `season`") {
     val d = s"$fx/seasons_json"
     write(s"$d/seasons.json",

@@ -144,6 +144,20 @@ class OpsSpec extends AnyFunSuite {
     feats.foreach(f => assert(again(f.media_id) == f.feature.toSeq))
   }
 
+  test("resize stub downsamples payloads deterministically") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(10)
+    val media = Multimodal.fromText(docs)
+    val resized = Multimodal.resizeStub(spark, media, factor = 4)
+    val before = media.select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    resized.select("media_id", "payload").collect().foreach { r =>
+      val orig = before(r.getLong(0))
+      val got = r.getAs[Array[Byte]](1)
+      assert(got.length == (orig.length + 3) / 4)
+      assert(got.toSeq == orig.grouped(4).map(_.head).toSeq)
+    }
+  }
+
   test("frame sampling emits ceil(len/stride) frames per payload") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(5)
     val media = Multimodal.fromText(docs)
