@@ -122,7 +122,6 @@ object Agg {
         .agg(
           sumD(col("c_acctbal")).as("total_bal"),
           count(lit(1)).as("n_customers"))
-      val w = Window.orderBy(col("total_bal").desc, col("c_nationkey").asc)
       perNation
         .join(broadcast(nation(s, d)),
           col("c_nationkey") === col("n_nationkey"))
