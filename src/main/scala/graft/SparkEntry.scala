@@ -19,6 +19,7 @@ object SparkEntry {
     graft.queries.Parity.queries ++
       graft.queries.Agg.queries ++
       graft.queries.Parity2.queries ++
+      graft.queries.Parity3.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.Parity.oracles ++
       graft.queries.Agg.oracles ++
       graft.queries.Parity2.oracles ++
+      graft.queries.Parity3.oracles ++
       graft.queries.ExtQueries.oracles
 }
