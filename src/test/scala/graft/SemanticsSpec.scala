@@ -92,6 +92,22 @@ class SemanticsSpec extends AnyFunSuite {
       4L -> None, 5L -> None))
   }
 
+  test("observeNulls is a free side-output: metrics appear after one action") {
+    val df = Seq((1L, "a"), (2L, null), (3L, "c")).toDF("id", "v")
+    val (observed, get) = graft.nhl.Quality.observeNulls(df, Seq("v"))
+    observed.count()
+    assert(get() == Map("v" -> 1L))
+  }
+
+  test("Exact.sumD/avgD are partition-count independent") {
+    val xs = (1 to 1000).map(i => i / 100.0)
+    val a = xs.toDF("x").repartition(1)
+      .agg(graft.queries.Exact.sumD(col("x"))).head().getDouble(0)
+    val b = xs.toDF("x").repartition(17)
+      .agg(graft.queries.Exact.sumD(col("x"))).head().getDouble(0)
+    assert(a == b) // bitwise equality, not approx
+  }
+
   test("union is UNION ALL; distinct() restores set semantics (A2)") {
     val a = Seq(1, 2, 3).toDF("x")
     val dup = a.union(a)
