@@ -143,9 +143,11 @@ object TextOps {
   def langIdFromTokens(text: Column, toks: Column): Column = {
     val scores: Seq[(String, Column)] = langMarkers.map {
       case ("zh", _) =>
-        // CJK presence: count of Han characters
-        "zh" -> length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
-          .cast(DoubleType)
+        // CJK presence: count of Han characters. Gated behind a cheap
+        // match so ASCII docs (the common case) skip the rewrite.
+        "zh" -> when(text.rlike("[\\u4e00-\\u9fff]"),
+          length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+            .cast(DoubleType)).otherwise(lit(0.0))
       case (lang, words) =>
         val sw = array(words.map(lit): _*)
         lang -> size(filter(toks, t => array_contains(sw, t)))
