@@ -20,6 +20,7 @@ object SparkEntry {
       graft.queries.Agg.queries ++
       graft.queries.Parity2.queries ++
       graft.queries.Parity3.queries ++
+      graft.queries.Parity4.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.queries.Agg.oracles ++
       graft.queries.Parity2.oracles ++
       graft.queries.Parity3.oracles ++
+      graft.queries.Parity4.oracles ++
       graft.queries.ExtQueries.oracles
 }

@@ -48,14 +48,18 @@ object ExtQueries {
         TextOps.fingerprint(col("text")).as("fp"))
     },
     // Winnowing rolling-hash fingerprints — xxhash64-based, rows-only.
+    // Scalar summary columns only (count + order-independent xor-fold):
+    // the driver's compare sorts rows by every column, so array-typed
+    // outputs are not allowed in harness results. The full fingerprint
+    // set is pinned by OpsSpec's shared-substring property instead.
     "x4_winnowing" -> { (s, d) =>
       documents(s, d)
         .withColumn("hs", TextOps.shingleHashes(col("text")))
-        .select(col("doc_id"),
-          TextOps.winnowFromHashes(col("hs")).as("fingerprints"))
+        .withColumn("fingerprints", TextOps.winnowFromHashes(col("hs")))
         .select(col("doc_id"),
           size(col("fingerprints")).as("n_fingerprints"),
-          col("fingerprints"))
+          aggregate(col("fingerprints"), lit(0L),
+            (acc, x) => acc.bitwiseXOR(x)).as("fp_xor"))
     },
     "x4_langid" -> { (s, d) =>
       documents(s, d)
@@ -151,11 +155,17 @@ object ExtQueries {
       graft.ops.Multimodal.sampleFrames(s,
         graft.ops.Multimodal.fromText(documents(s, d)), stride = 64)
     },
-    // mapPartitions feature extraction — rows-only check.
+    // mapPartitions feature extraction — rows-only check. The 8-dim
+    // feature vector is widened to scalar f0..f7 columns because the
+    // driver's compare cannot sort array-typed columns; the array form
+    // is pinned by OpsSpec.
     "mm_features" -> { (s, d) =>
-      graft.ops.Multimodal.extractFeatures(s,
+      val feat = graft.ops.Multimodal.extractFeatures(s,
         graft.ops.Multimodal.fromText(documents(s, d)), dim = 8)
         .toDF()
+      feat.select(
+        Seq(col("media_id"), col("modality"), col("n_bytes")) ++
+          (0 until 8).map(i => col("feature").getItem(i).as(s"f$i")): _*)
     },
     "x6_quantiles" -> { (s, d) =>
       eventsNs(s, d)
