@@ -21,6 +21,7 @@ object SparkEntry {
       graft.queries.Parity2.queries ++
       graft.queries.Parity3.queries ++
       graft.queries.Parity4.queries ++
+      graft.queries.Parity5.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.Parity2.oracles ++
       graft.queries.Parity3.oracles ++
       graft.queries.Parity4.oracles ++
+      graft.queries.Parity5.oracles ++
       graft.queries.ExtQueries.oracles
 }
