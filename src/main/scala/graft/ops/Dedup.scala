@@ -143,25 +143,37 @@ object Dedup {
       })
   }
 
-  /** SimHash signatures via explode + codegen'd hash aggregate: token
-    * hash computed once per token, 64 conditional-sum aggregates, then
-    * the signature is reassembled from the per-bit sign sums. Same
-    * semantics as `simhash` (bit i set iff sum > 0), one shuffle. */
+  /** SimHash signatures. Default path: the native one-pass
+    * `graft.functions.SimHashSig` expression — map-only, no shuffle,
+    * stays in whole-stage codegen. Fallback (`native = false`):
+    * explode + a 64-column conditional-sum hash aggregate (one full
+    * shuffle of every (doc, token) pair) — kept for the
+    * bit-compatibility cross-check in OpsSpec. Same semantics as
+    * `simhash` (bit i set iff the ±1 bit-sum is positive). Note the
+    * fallback drops docs whose token array is empty (explode emits
+    * nothing); `TextOps.tokens` never yields an empty array, so the
+    * two paths agree on any real text column. */
   def simhashSignatures(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val exploded = docs
-      .select(col(idCol).as("id"),
-        explode(TextOps.tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(call_function("getbit", col("h"), lit(i)) === 1, 1L)
-        .otherwise(-1L)).as(s"b$i"))
-    val sig = (0 until 64)
-      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    exploded.groupBy(col("id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"), sig.as("sig"))
+      idCol: String = "doc_id", native: Boolean = true): DataFrame = {
+    if (native) {
+      docs.select(col(idCol).as("id"),
+        graft.functions.SimHashSig.simhash_sig(
+          TextOps.tokens(col(textCol))).as("sig"))
+    } else {
+      val exploded = docs
+        .select(col(idCol).as("id"),
+          explode(TextOps.tokens(col(textCol))).as("t"))
+        .withColumn("h", xxhash64(col("t")))
+      val bitSums = (0 until 64).map(i =>
+        sum(when(call_function("getbit", col("h"), lit(i)) === 1, 1L)
+          .otherwise(-1L)).as(s"b$i"))
+      val sig = (0 until 64)
+        .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b))
+      exploded.groupBy(col("id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("id"), sig.as("sig"))
+    }
   }
 
   /** Candidate pairs with SimHash Hamming distance <= maxHamming,
@@ -220,6 +232,12 @@ object Dedup {
       col("sz").as("sz_b"), col("shingle"))
     a.join(b, Seq("blk", "shingle"))
       .filter(col("id_a") < col("id_b"))
+      // size-ratio prune: jaccard(A,B) <= min/max of the set sizes, so
+      // any pair failing min >= tau*max can never reach tau — drop it
+      // BEFORE the pair-count aggregate (this is where the inverted
+      // index blows up on skewed shingles; the prune is semantics-free)
+      .filter(least(col("sz_a"), col("sz_b")).cast(DoubleType) >=
+        lit(tau) * greatest(col("sz_a"), col("sz_b")).cast(DoubleType))
       .groupBy(col("blk"), col("id_a"), col("id_b"),
         col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("shared"))

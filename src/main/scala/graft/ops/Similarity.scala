@@ -56,8 +56,15 @@ object Similarity {
   def quantize(vec: Column): Column =
     transform(vec, x => (dec6(x) * lit(1000000)).cast("long"))
 
-  /** Long dot product over micro-unit vectors (exact integer). */
+  /** Long dot product over micro-unit vectors (exact integer).
+    * Native one-loop expression — this sits on the pair side of every
+    * similarity join, so it runs O(pairs) times; the HOF fallback
+    * below exists for the bit-compatibility cross-check in OpsSpec. */
   def dotScaled(qa: Column, qb: Column): Column =
+    graft.functions.DotLongs.dot_longs(qa, qb)
+
+  /** Built-in-functions fallback of `dotScaled` (same semantics). */
+  def dotScaledHof(qa: Column, qb: Column): Column =
     aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** cosine from scaled-long parts. Each operand below is the

@@ -71,13 +71,20 @@ object TextOps {
     * normalized text) for cheap joins; not oracle-expressible. */
   def fingerprint64(text: Column): Column = xxhash64(normalized(text))
 
-  /** Word n-gram shingles as a DISTINCT set (for Jaccard / MinHash).
+  /** Word n-gram shingles as a DISTINCT set (for Jaccard / MinHash),
+    * first-occurrence order. Native one-pass expression
+    * (graft.functions.ShingleSet); `shinglesHof` is the built-in
+    * formulation kept for the bit-compatibility cross-check. */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.ShingleSet.shingle_set(tokens(text), n)
+
+  /** Built-in-functions fallback of `shingles` (same semantics).
     * Built by zipping n shifted slices of the token array — NOT by
     * indexing `element_at(tokens(text), i)` inside a lambda, which
     * would re-evaluate the split for every element (O(n·tokens)
     * splits per row instead of O(n)). Guarded so docs shorter than n
     * yield an empty set. */
-  def shingles(text: Column, n: Int = 3): Column = {
+  def shinglesHof(text: Column, n: Int = 3): Column = {
     val t = tokens(text)
     val cnt = size(t) - (n - 1)
     val slices = (0 until n).map(k => slice(t, lit(k + 1), cnt))
@@ -137,20 +144,44 @@ object TextOps {
   def langId(text: Column): Column =
     langIdFromTokens(text, tokens(lower(text)))
 
+  private val wordLangs = langMarkers.filter(_._2.nonEmpty)
+
+  /** All four stopword scores in ONE `aggregate` pass, packed into
+    * 16-bit lanes of a single long (the marker lists are disjoint, so
+    * each token increments at most one lane; a doc would need 65k+
+    * stopword hits to overflow a lane). Higher-order lambdas are
+    * interpreted per element, so one pass beats four
+    * `filter(...)`+`size` passes ~4x. Bind this to a named column
+    * before extracting lanes so it evaluates once per row. */
+  def langPacked(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => {
+      val hit = wordLangs.zipWithIndex.foldLeft(when(lit(false), lit(0L))) {
+        case (w, ((_, words), i)) =>
+          w.when(array_contains(array(words.map(lit): _*), t),
+            lit(1L << (16 * i)))
+      }
+      acc + coalesce(hit, lit(0L))
+    })
+
   /** langId with the lowercased token array precomputed as a column —
     * bind `tokens(lower(text))` to a named column first so the split
-    * runs once per row, not once per language score. */
-  def langIdFromTokens(text: Column, toks: Column): Column = {
+    * runs once per row, not once per language score. Convenience form:
+    * evaluates `langPacked` inline (fine for tests/small frames; big
+    * scans should bind it — see `langIdFromPacked`). */
+  def langIdFromTokens(text: Column, toks: Column): Column =
+    langIdFromPacked(text, langPacked(toks))
+
+  /** langId from a BOUND packed-score column (see `langPacked`). */
+  def langIdFromPacked(text: Column, packed: Column): Column = {
+    val laneOf: Map[String, Int] = wordLangs.map(_._1).zipWithIndex.toMap
     val scores: Seq[(String, Column)] = langMarkers.map {
       case ("zh", _) =>
-        // CJK presence: count of Han characters. Gated behind a cheap
-        // match so ASCII docs (the common case) skip the rewrite.
-        "zh" -> when(text.rlike("[\\u4e00-\\u9fff]"),
-          length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
-            .cast(DoubleType)).otherwise(lit(0.0))
-      case (lang, words) =>
-        val sw = array(words.map(lit): _*)
-        lang -> size(filter(toks, t => array_contains(sw, t)))
+        // CJK presence: count of Han characters in a single regex scan
+        // (regexp_count builds no intermediate string, unlike the
+        // strip-and-measure regexp_replace formulation).
+        "zh" -> regexp_count(text, lit("[\\u4e00-\\u9fff]")).cast(DoubleType)
+      case (lang, _) =>
+        lang -> shiftright(packed, 16 * laneOf(lang)).bitwiseAND(lit(0xFFFFL))
           .cast(DoubleType)
     }
     // argmax with deterministic tie-break = first in langMarkers order

@@ -64,10 +64,11 @@ object ExtQueries {
     "x4_langid" -> { (s, d) =>
       documents(s, d)
         .withColumn("toks", TextOps.tokens(lower(col("text"))))
+        .withColumn("lp", TextOps.langPacked(col("toks")))
         .select(
           col("doc_id"),
           col("lang"),
-          TextOps.langIdFromTokens(col("text"), col("toks")).as("lang_pred"))
+          TextOps.langIdFromPacked(col("text"), col("lp")).as("lang_pred"))
     },
 
     // ---- X1/X2 dedup -------------------------------------------

@@ -167,6 +167,39 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.count() == expected)
   }
 
+  test("native DotLongs expression == HOF fallback dot product") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+    val both = emb.select(col("vec_id"),
+      Similarity.dotScaled(col("q"), col("q")).as("native"),
+      Similarity.dotScaledHof(col("q"), col("q")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2), s"vec ${r.getLong(0)}"))
+  }
+
+  test("native ShingleSet expression == HOF fallback shingles") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val both = docs.select(col("doc_id"),
+      TextOps.shingles(col("text")).as("native"),
+      TextOps.shinglesHof(col("text")).as("hof")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("native SimHashSig expression == aggregate fallback signatures") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Dedup.simhashSignatures(docs, native = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.simhashSignatures(docs, native = false).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (id, sig) => assert(sig == b(id), s"doc $id") }
+  }
+
   test("native MinHashSig expression == aggregate fallback signatures") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val a = Dedup.signatures(docs, "text", "doc_id", 3, 32, native = true)
