@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Deployment entry point: `spark.sql.extensions=graft.GraftExtensions`
+  * (or `SparkSession.builder().withExtensions(new GraftExtensions)`).
+  *
+  * Injects everything the library adds at the Catalyst level, so a
+  * cluster operator gets the whole surface without any per-session
+  * imperative registration:
+  *  - the TopKPerKey planner strategy (plans/TopKPerKey.scala);
+  *  - the native kernel expressions (minhash/simhash/shingles/dot) as
+  *    SQL-callable functions under their `graft_*` names — the same
+  *    names the Column wrappers use, so plans built via the DataFrame
+  *    API and via `spark.sql(...)` resolve identically.
+  *
+  * The Column-level wrappers (e.g. `functions.MinHashSig.minhash_sig`)
+  * self-register on the active session as a fallback, so the library
+  * also works WITHOUT this extension class — this is the idiomatic
+  * all-in wiring, not a requirement.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+
+    ext.injectFunction((
+      FunctionIdentifier(functions.MinHashSig.FuncName),
+      info(functions.MinHashSig.FuncName,
+        "one-pass k-minima MinHash signature of array<string> shingles"),
+      (e: Seq[Expression]) =>
+        functions.MinHashSig(e.head, e(1).eval().asInstanceOf[Int])))
+
+    ext.injectFunction((
+      FunctionIdentifier(functions.SimHashSig.FuncName),
+      info(functions.SimHashSig.FuncName,
+        "one-pass 64-bit SimHash of an array<string> token multiset"),
+      (e: Seq[Expression]) => functions.SimHashSig(e.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier(functions.ShingleSet.FuncName),
+      info(functions.ShingleSet.FuncName,
+        "distinct word n-gram shingles of an array<string>, one pass"),
+      (e: Seq[Expression]) =>
+        functions.ShingleSet(e.head, e(1).eval().asInstanceOf[Int])))
+
+    ext.injectFunction((
+      FunctionIdentifier(functions.DotLongs.FuncName),
+      info(functions.DotLongs.FuncName,
+        "dot product of two array<long> micro-unit vectors"),
+      (e: Seq[Expression]) => functions.DotLongs(e.head, e(1))))
+  }
+}
