@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape pins for the headline queries: these assert the
+  * plan we DESIGNED for (pushdown reaching the scan, dims broadcast,
+  * fact-to-fact shuffles as sort-merge, whole-stage codegen present,
+  * heap-based top-k instead of a window sort) — so a regression that
+  * silently de-optimizes a query fails CI, not just the benchmark. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q6: filter is pushed to the parquet scan and prunes columns") {
+    val p = planOf("q6_filter_agg")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual.*"), p)
+    // projection pruning: the scan must not read the full lineitem row
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_returnflag"),
+      "q6 reads a column it never uses:\n" + p)
+  }
+
+  test("q5: every dimension joins as broadcast, no SMJ for dims") {
+    val p = planOf("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("j10: fact-to-fact join is shuffle-based when neither side is broadcastable") {
+    // at sf0.001 Catalyst (correctly) broadcasts the tiny orders side;
+    // disabling the threshold simulates the 100 TB both-sides-big case
+    // and must yield a shuffle join, never a nested loop
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planOf("j10_large_smj")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the exchange") {
+    val p = planOf("q1_agg")
+    val firstAgg = p.indexOf("HashAggregate")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && firstExchange >= 0, p)
+    // formatted plans list operators leaves-first: the partial
+    // aggregate must appear below (after) the scan and the final one
+    // above; concretely there are >= 2 HashAggregates and an Exchange
+    assert(p.indexOf("HashAggregate", firstAgg + 1) >= 0, p)
+  }
+
+  test("headline queries stay inside whole-stage codegen") {
+    // AQE assigns codegen ids only in the final plan — execute first
+    for (n <- Seq("q1_agg", "q6_filter_agg", "q3_top_revenue")) {
+      val df = SparkEntry.queries(n)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.explainString(FormattedMode)
+      assert(p.contains("codegen id :"), s"$n:\n$p")
+    }
+  }
+
+  test("topk_per_key plans TopKPerKeyExec with no partition sort") {
+    val p = planOf("topk_per_key")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), "top-k fell back to a window sort:\n" + p)
+  }
+
+  test("x2_minhash_lsh signature stage has no shuffle before banding") {
+    // the signature subplan is map-only: scanning documents up to the
+    // banded explode must not contain an Exchange (the only shuffles
+    // are the candidate join + distinct)
+    val df: DataFrame = ops.Dedup.signatures(
+      Tables.documents(spark, sf), "text", "doc_id", 3, 32)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange"), "map-only signature stage shuffled:\n" + p)
+  }
+}

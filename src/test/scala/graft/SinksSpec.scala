@@ -9,6 +9,30 @@ import graft.sources.Sinks
 class SinksSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("ORC round-trip preserves schema and rows (alt columnar source)") {
+    val out = s"${TestSpark.fixtures}/orc_li_${System.nanoTime()}"
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+    li.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.schema == li.schema)
+    assert(back.count() == li.count())
+    // predicate pushdown reaches the ORC scan too
+    val p = back.filter(col("l_quantity") > 25)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan"), p)
+  }
+
+  test("text source round-trip: one line per document") {
+    val out = s"${TestSpark.fixtures}/txt_${System.nanoTime()}"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(regexp_replace(col("text"), "[\\r\\n]", " ").as("value"))
+    docs.write.mode("overwrite").text(out)
+    val back = spark.read.text(out)
+    assert(back.count() == docs.count())
+    assert(back.schema.fieldNames.toSeq == Seq("value"))
+  }
+
   test("partitionBy layout prunes: only the filtered directory is read") {
     val out = s"${TestSpark.fixtures}/part_docs_${System.nanoTime()}"
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

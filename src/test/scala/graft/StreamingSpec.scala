@@ -100,6 +100,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table(name).count() == 1)
   }
 
+  test("stream-stream interval join matches the batch join") {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = s"$fx/ssj_src"
+    Files.createDirectories(Paths.get(srcDir))
+    val tgt = Paths.get(s"$srcDir/events.parquet")
+    if (!Files.exists(tgt))
+      Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"), tgt)
+    val schema = spark.read.parquet(srcDir).schema
+    def streamSide(t: String, u: String, tsName: String) =
+      spark.readStream.schema(schema).parquet(srcDir)
+        .filter(col("event_type") === t)
+        .select(col("user_id").as(u),
+          timestamp_micros(graft.ops.Sessionize.nsToUs(col("ts"))).as(tsName))
+    val views = streamSide("view", "v_user", "view_ts")
+      .withWatermark("view_ts", "1 hour")
+    val clicks = streamSide("click", "c_user", "click_ts")
+      .withWatermark("click_ts", "1 hour")
+    // click within 30 minutes after a view by the same user
+    val joined = views.join(clicks,
+      col("v_user") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+    val name = s"ssj_${System.nanoTime()}"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def batchSide(t: String, u: String, tsName: String) =
+      spark.read.parquet(srcDir).filter(col("event_type") === t)
+        .select(col("user_id").as(u),
+          timestamp_micros(graft.ops.Sessionize.nsToUs(col("ts"))).as(tsName))
+    val batch = batchSide("view", "v_user", "view_ts").join(
+      batchSide("click", "c_user", "click_ts"),
+      col("v_user") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+    val streamed = spark.table(name)
+    assert(streamed.count() > 0)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("watermarked windowed counts match the batch tumbling aggregate") {
     import org.apache.spark.sql.streaming.Trigger
     // streaming file source wants a directory of files
