@@ -54,5 +54,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(functions.DotLongs.FuncName,
         "dot product of two array<long> micro-unit vectors"),
       (e: Seq[Expression]) => functions.DotLongs(e.head, e(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier(functions.LshBucket.FuncName),
+      info(functions.LshBucket.FuncName,
+        "random-hyperplane LSH bucket id (nBits sign bits) of a float vector"),
+      (e: Seq[Expression]) =>
+        functions.LshBucket(e.head, e(1).eval().asInstanceOf[Int])))
   }
 }

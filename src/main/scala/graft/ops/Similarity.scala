@@ -142,8 +142,15 @@ object Similarity {
       lit(Long.MaxValue.toDouble)).cast(DoubleType)
 
   /** Random-hyperplane LSH bucket id: `nBits` sign bits of dot
-    * products against deterministic pseudo-planes. Map-only. */
+    * products against deterministic pseudo-planes. Map-only; native
+    * one-loop expression (the HOF fallback below interprets
+    * nBits x dim lambda evaluations per row). */
   def lshBucket(vec: Column, dim: Int, nBits: Int = 12): Column =
+    graft.functions.LshBucket.lsh_bucket(vec, nBits)
+
+  /** Built-in-functions fallback of `lshBucket` (same buckets,
+    * bit-for-bit — pinned in OpsSpec). */
+  def lshBucketHof(vec: Column, dim: Int, nBits: Int = 12): Column =
     aggregate(
       sequence(lit(0), lit(nBits - 1)),
       lit(0L),

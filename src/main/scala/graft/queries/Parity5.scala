@@ -285,10 +285,14 @@ object Parity5 {
     "x6_median_mode" -> { (s, d) =>
       val li = lineitem(s, d)
         .select(col("l_returnflag").as("rf"), dec2(col("l_quantity")).as("q"))
+      // group sizes via a tiny aggregate + broadcast join, NOT
+      // count().over(partitionBy) — the unordered count is a second
+      // WindowExec that buffers every partition a second time
+      val counts = li.groupBy(col("rf")).agg(count(lit(1)).as("n"))
       val ranked = li
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("rf")).orderBy(col("q").asc)))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("rf"))))
+        .join(broadcast(counts), Seq("rf"))
       val med = ranked
         .filter(col("rn") === expr("(n+1) DIV 2") ||
           col("rn") === expr("(n+2) DIV 2"))

@@ -190,6 +190,16 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("native LshBucket expression == HOF fallback buckets") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val both = emb.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), 64, 12).as("native"),
+      Similarity.lshBucketHof(col("embedding"), 64, 12).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2), s"vec ${r.getLong(0)}"))
+  }
+
   test("native SimHashSig expression == aggregate fallback signatures") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val a = Dedup.simhashSignatures(docs, native = true).collect()
