@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.Parity3.queries ++
       graft.queries.Parity4.queries ++
       graft.queries.Parity5.queries ++
+      graft.queries.Parity6.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.Parity3.oracles ++
       graft.queries.Parity4.oracles ++
       graft.queries.Parity5.oracles ++
+      graft.queries.Parity6.oracles ++
       graft.queries.ExtQueries.oracles
 }
