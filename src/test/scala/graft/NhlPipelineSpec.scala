@@ -182,6 +182,34 @@ class NhlPipelineSpec extends AnyFunSuite {
     assert(rows(1).getAs[Int]("game_time_secs") == 8 * 3600 + 15 * 60)
   }
 
+  test("corrupt JSON lines: PERMISSIVE captures them, DROPMALFORMED drops them") {
+    import org.apache.spark.sql.types._
+    val d = s"$fx/corrupt_json"
+    write(s"$d/rows.json",
+      """{"id": 1, "v": "ok"}
+        |{"id": 2 "v": "missing comma"}
+        |{"id": 3, "v": "ok2"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    // Spark disallows querying ONLY the corrupt-record column straight
+    // off the file scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache is
+    // the documented workaround
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(d).cache()
+    assert(permissive.count() == 3)
+    assert(permissive.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(permissive.filter(col("_corrupt_record").isNull)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    val dropped = spark.read
+      .schema(StructType(schema.dropRight(1)))
+      .option("mode", "DROPMALFORMED").json(d)
+    assert(dropped.count() == 2)
+  }
+
   test("seasons JSON: league + seasons array promoted as `season`") {
     val d = s"$fx/seasons_json"
     write(s"$d/seasons.json",
