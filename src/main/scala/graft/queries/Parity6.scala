@@ -33,24 +33,28 @@ object Parity6 {
     },
     // Q21 (adapted; "late" = shipped > 60 days after the order date):
     // suppliers whose line was late in a multi-supplier order where NO
-    // other supplier was late. The two correlated subqueries become a
-    // left-semi and a left-anti join, each with the != inequality
-    // inside the join condition — one shuffle each on orderkey.
+    // other supplier was late. Both correlated subqueries decorrelate
+    // into per-order COUNTS (cheaper than semi/anti joins with
+    // inequality conditions, which can't hash on the != part):
+    //   EXISTS(other supplier)       ⟺ n_distinct_suppliers(order) > 1
+    //   NOT EXISTS(other late supp)  ⟺ n_late_suppliers(order) = 1
+    // — two aggregates + two equi-joins on orderkey, one shuffle chain.
     "q21_waiting" -> { (s, d) =>
       val late = lineitem(s, d)
         .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
         .select(col("l_orderkey").as("lo"), col("l_suppkey").as("lsupp"))
         .distinct()
-      val allSup = lineitem(s, d)
-        .select(col("l_orderkey").as("ao"), col("l_suppkey").as("asupp"))
-        .distinct()
-      val late2 = late.select(col("lo").as("lo2"), col("lsupp").as("lsupp2"))
+      val soleLate = late.groupBy(col("lo"))
+        .agg(count(lit(1)).as("n_late")).filter(col("n_late") === 1)
+        .select(col("lo"))
+      val multiSupp = lineitem(s, d)
+        .select(col("l_orderkey").as("ao"), col("l_suppkey")).distinct()
+        .groupBy(col("ao")).agg(count(lit(1)).as("n_supp"))
+        .filter(col("n_supp") > 1).select(col("ao"))
       late
-        .join(allSup, col("lo") === col("ao") && col("lsupp") =!= col("asupp"),
-          "left_semi")
-        .join(late2, col("lo") === col("lo2") && col("lsupp") =!= col("lsupp2"),
-          "left_anti")
+        .join(soleLate, Seq("lo"), "left_semi")
+        .join(multiSupp, col("lo") === col("ao"), "left_semi")
         .join(broadcast(supplier(s, d)), col("lsupp") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
