@@ -4,6 +4,11 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops._
 
+/** Typed row for the VecMeanAgg test (top-level so the implicit
+  * product encoder can be derived — local case classes have no
+  * TypeTag). */
+case class EmbRow(vec_id: Long, embedding: Array[Float], label: Long)
+
 /** Semantics pins: MinHash sketch union property, salted-join
   * equivalence, NOT IN null-awareness (SURVEY.md §7 hard part 2),
   * union-distinct set semantics. */
@@ -97,6 +102,30 @@ class SemanticsSpec extends AnyFunSuite {
     val (observed, get) = graft.nhl.Quality.observeNulls(df, Seq("v"))
     observed.count()
     assert(get() == Map("v" -> 1L))
+  }
+
+  test("typed VecMeanAgg == DataFrame x3_centroids, and is partition-independent") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    def typedMeans(parts: Int): Map[(Long, Int), Double] =
+      Tables.embeddings(spark, sf).repartition(parts)
+        .selectExpr("vec_id", "embedding", "CAST(label AS BIGINT) AS label")
+        .as[EmbRow]
+        .groupByKey(_.label).mapValues(_.embedding)
+        .agg(graft.functions.VecMeanAgg.toColumn.name("mean"))
+        .collect()
+        .flatMap { case (label, mean) =>
+          mean.zipWithIndex.map { case (v, i) => (label, i + 1) -> v } }
+        .toMap
+    val t3 = typedMeans(3)
+    assert(typedMeans(7) == t3, "partition-count dependent result")
+    val df = graft.queries.Parity5.queries("x3_centroids")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Number]("label").longValue(), r.getInt(1)) ->
+        r.getDouble(2)).toMap
+    assert(df.keySet == t3.keySet)
+    df.foreach { case (k, v) =>
+      assert(v == t3(k), s"mismatch at $k: df=$v typed=${t3(k)}") }
   }
 
   test("Exact.sumD/avgD are partition-count independent") {
