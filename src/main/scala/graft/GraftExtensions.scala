@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // auto-rewrite row_number-top-k windows into the heap operator
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
 
     ext.injectFunction((
       FunctionIdentifier(functions.MinHashSig.FuncName),

@@ -44,4 +44,44 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("TopKRewriteRule: row_number top-k window becomes TopKPerKey, same rows") {
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master(base.sparkContext.master)
+      .withExtensions(new GraftExtensions).getOrCreate()
+    try {
+      import org.apache.spark.sql.expressions.Window
+      def latestPerKey(s: SparkSession) = {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        Tables.orders(s, "/root/testdata/sf0.001")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2).drop("rn")
+          .select(col("o_custkey"), col("o_orderkey"))
+      }
+      val rewritten = latestPerKey(s2)
+      val optimized = rewritten.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("TopKPerKey"), optimized)
+      assert(!optimized.contains("Window"), optimized)
+      // identical rows vs the plain-session window formulation
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = latestPerKey(base).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+
+      // keeping rn in the output must PREVENT the rewrite
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val keepsRn = Tables.orders(s2, "/root/testdata/sf0.001")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("rn"))
+      assert(keepsRn.queryExecution.optimizedPlan.toString.contains("Window"))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }
