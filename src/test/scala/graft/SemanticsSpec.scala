@@ -43,6 +43,40 @@ class SemanticsSpec extends AnyFunSuite {
     grouped.foreach { case (g, sig) => assert(sig == shingleUnion(g), s"grp $g") }
   }
 
+  test("AQE splits a skewed sort-merge join at runtime") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+      .map(k => k -> conf.getOption(k)).toMap
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "8KB")
+    try {
+      // 90% of left rows share key 1 -> one shuffle partition dwarfs
+      // the median and AQE must split it (OptimizeSkewedJoin)
+      val left = spark.range(200000)
+        .select(when(col("id") % 10 < 9, 1L).otherwise(col("id")).as("k"),
+          lpad(col("id").cast("string"), 64, "x").as("payload"))
+      val right = spark.range(200000)
+        .select(col("id").as("k2"), lit("r").as("side"))
+      val joined = left.join(right, col("k") === col("k2"))
+      // execute THIS dataset's queryExecution (count() would build its
+      // own) so the adaptive final plan is inspectable
+      assert(joined.collect().length == 200000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), "AQE did not split the skewed join:\n" + p)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("saltedJoin == plain inner join on a skewed key") {
     val left = Seq.tabulate(1000)(i =>
       (if (i % 10 == 0) 1L else i.toLong, s"v$i"))
