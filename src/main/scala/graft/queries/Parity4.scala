@@ -130,7 +130,13 @@ object Parity4 {
            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                    (l_returnflag), ())""")
     },
-    // Several DISTINCT aggregates in one pass (Expand-based plan).
+    // Several DISTINCT aggregates in one pass (Expand-based plan:
+    // rows multiply by the number of distinct groups before the
+    // aggregate). Deliberately the built-in formulation for operator
+    // coverage; measured alternative for 100 TB: decompose into
+    // per-distinct dedup aggregates joined on the group key — 1.5x
+    // faster at sf0.1 (1.25 s vs 1.89 s warm) and shuffles each
+    // distinct set once instead of Expand'ing the full fact 4x.
     "a10_multi_distinct" -> { (s, d) =>
       lineitem(s, d).groupBy(col("l_returnflag")).agg(
         countDistinct(col("l_suppkey")).as("n_supp"),
