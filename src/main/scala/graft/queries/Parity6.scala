@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import graft.ops.{Dedup, Similarity, TextOps}
+import graft.ops.{Connect, Dedup, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -72,6 +72,20 @@ object Parity6 {
         .filter(col("rn") === 1)
         .select(col("fp"), col("doc_id").as("keep_id"), col("n_chars"))
     },
+    // Transitive near-dup clustering: pairwise exact-Jaccard edges →
+    // connected components (iterative min-label propagation) → every
+    // document labelled with its duplicate-cluster id. This is what
+    // one-round dedup cannot do: chains a~b~c collapse into ONE
+    // component even though a and c are not directly similar.
+    "x2_cc_dedup" -> { (s, d) =>
+      val pairs = Dedup.ngramJaccardPairs(documents(s, d), tau = 0.5,
+        blockCol = "lang")
+      val comp = Connect.connectedComponents(pairs, "id_a", "id_b")
+      documents(s, d)
+        .join(comp, col("doc_id") === col("id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp"))
+    },
     // Embedding near-dup dedup: drop every vector with a cosine >= tau
     // neighbour at a smaller id inside its label block — the
     // embedding-space compaction (exact pairs; the ANN path generates
@@ -115,6 +129,18 @@ object Parity6 {
              row_number() OVER (PARTITION BY fp
                ORDER BY n_chars DESC, doc_id ASC) AS rn FROM f)
          SELECT fp, doc_id AS keep_id, n_chars FROM r WHERE rn = 1""",
+    "x2_cc_dedup" -> s"""
+      WITH RECURSIVE pairs AS (${ExtQueries.oracles("x2_ngram_jaccard")}),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT a AS id FROM edges),
+      reach(id, lbl) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+      comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id)
+      SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""",
     "x2_embed_dedup" ->
       """WITH ex AS (SELECT vec_id, label,
              CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x,

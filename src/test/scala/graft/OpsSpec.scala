@@ -167,6 +167,17 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.count() == expected)
   }
 
+  test("connected components: chains collapse transitively, singletons stay") {
+    import spark.implicits._
+    // two components: {1,2,3,4} via a chain, {10,11}; 99 isolated
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comp = ops.Connect.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("native DotLongs expression == HOF fallback dot product") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
