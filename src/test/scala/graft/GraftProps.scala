@@ -91,4 +91,58 @@ object GraftProps extends Properties("graft") {
     def normalize(s: String): String =
       s.toLowerCase.replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim
   }
+
+  // ---- native-kernel equivalence over adversarial random inputs ----
+  // (testdata cross-checks live in OpsSpec; these hit empties, unicode,
+  // repeats, and single-token rows that real corpora rarely produce)
+
+  private val weirdToken = Gen.oneOf(
+    Gen.oneOf("", " ", "a", "0", "ü", "漢字", "\"", "a b"),
+    Gen.alphaNumStr.map(_.take(6)),
+    Gen.listOfN(2, Gen.oneOf("é", "ß", "λ", "中")).map(_.mkString))
+  private val tokenArrays = Gen.chooseNum(0, 15)
+    .flatMap(n => Gen.listOfN(n, weirdToken))
+
+  property("ShingleSet native == HOF on weird token arrays") =
+    forAllNoShrink(Gen.listOfN(6, tokenArrays)) { arrs =>
+      val df = arrs.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+        .toDF("id", "toks")
+      // shingles/shinglesHof take text; drive both through the same
+      // token column via the underlying pieces
+      val got = df.select(col("id"),
+        graft.functions.ShingleSet.shingle_set(col("toks"), 3).as("n"),
+        array_distinct(when(size(col("toks")) >= 3,
+          (0 until 3).map(k => slice(col("toks"), lit(k + 1),
+            size(col("toks")) - 2)).reduce((acc, s) =>
+            zip_with(acc, s, (x, y) => concat(x, lit(" "), y))))
+          .otherwise(array().cast("array<string>"))).as("h"))
+        .collect()
+      got.forall(r => r.getSeq[String](1) == r.getSeq[String](2))
+    }
+
+  property("SimHashSig native == aggregate fallback on weird tokens") =
+    forAllNoShrink(Gen.listOfN(5, Gen.chooseNum(1, 12)
+      .flatMap(n => Gen.listOfN(n, weirdToken)))) { arrs =>
+      // join tokens with '' so TextOps.tokens can't re-split them
+      val rows = arrs.zipWithIndex.map { case (a, i) =>
+        (i.toLong, a.map(_.replaceAll("\\s", "_")).mkString(" ")) }
+      val df = rows.toDF("doc_id", "text")
+      val a = Dedup.simhashSignatures(df, native = true).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = Dedup.simhashSignatures(df, native = false).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      a == b
+    }
+
+  property("DotLongs native == HOF on random long vectors") =
+    forAllNoShrink(Gen.listOfN(6, Gen.chooseNum(0, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1000000L, 1000000L))))) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "q")
+      val got = df.select(col("id"),
+        graft.ops.Similarity.dotScaled(col("q"), col("q")).as("n"),
+        graft.ops.Similarity.dotScaledHof(col("q"), col("q")).as("h"))
+        .collect()
+      got.forall(r => r.getLong(1) == r.getLong(2))
+    }
 }
