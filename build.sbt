@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and parses the single
+// JSON line Bench prints. Two things broke that in rounds 1-2:
+// (1) sbt's default LoggedOutput prefixes forked stdout with "[info] ",
+// (2) sbt's "[success] Total time..." trailer pushed the (long) JSON
+// line out of the driver's bounded tail capture. StdoutOutput passes
+// the child's stdout through verbatim; showSuccess drops the trailer.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
