@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.Parity4.queries ++
       graft.queries.Parity5.queries ++
       graft.queries.Parity6.queries ++
+      graft.queries.Parity7.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.Parity4.oracles ++
       graft.queries.Parity5.oracles ++
       graft.queries.Parity6.oracles ++
+      graft.queries.Parity7.oracles ++
       graft.queries.ExtQueries.oracles
 }

@@ -1,0 +1,231 @@
+package graft.queries
+
+import graft.Tables._
+import graft.ops.{Sessionize, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** Round-3 coverage batch: the last TPC-H shape (Q2's correlated
+  * min-subquery, adapted to lineitem-as-partsupp), plus four
+  * training-data-pipeline operators: corpus-wide duplicate-chunk
+  * removal, sequence packing via a distributed prefix sum, corpus
+  *-frequency document scoring, and event-transition mining.
+  *
+  * Scale rules as the earlier batches: one fact shuffle per query
+  * where possible, dims broadcast, exact decimal/integer arithmetic
+  * end-to-end (results independent of partitioning), no collect().
+  */
+object Parity7 {
+  import Exact._
+  type Q = (SparkSession, String) => DataFrame
+
+  private def eventsNs(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events(s, d)
+  }
+
+  /** Tokens per chunk for x2_chunk_dedup (cf. substring-level dedup in
+    * large-corpus pipelines: drop repeated passages, keep the first
+    * occurrence corpus-wide). */
+  private val ChunkTokens = 20
+
+  /** Token budget per packed sequence for x4_seq_pack. */
+  private val PackBudget = 512L
+
+  val queries: Map[String, Q] = Map(
+    // ---- TPC-H Q2 (adapted): cheapest European supplier per part.
+    // partsupp does not exist in the testdata; its stand-in is the
+    // observed (l_partkey, l_suppkey) -> min(l_extendedprice) relation.
+    // The correlated `cost = (SELECT min(cost) ...)` subquery becomes
+    // a per-part min aggregate joined back on (partkey, exact-decimal
+    // cost equality). One fact shuffle builds the cost relation; the
+    // supplier/nation/region enrichment and the part filter broadcast;
+    // the min side is a tiny aggregate AQE turns into a broadcast.
+    "q2_min_cost" -> { (s, d) =>
+      val eu = supplier(s, d)
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val cost = lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(dec2(col("l_extendedprice"))).as("supply_cost"))
+        .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+      val minCost = cost.groupBy(col("l_partkey").as("mk"))
+        .agg(min(col("supply_cost")).as("min_cost"))
+      cost
+        .join(minCost, col("l_partkey") === col("mk") &&
+          col("supply_cost") === col("min_cost"))
+        .join(broadcast(part(s, d).filter(col("p_size") === 15)
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_type"), col("s_suppkey"),
+          col("supply_cost").cast(DoubleType).as("supply_cost"))
+    },
+
+    // ---- corpus-wide duplicate-chunk removal -----------------------
+    // Documents are chunked into fixed 20-token passages; a passage
+    // that already occurred earlier in the corpus (smaller doc_id, or
+    // earlier in the same doc) is dropped; survivors reassemble in
+    // document order. The chunk texts are bound columns (slice over a
+    // bound token array — the nested-HOF trap does not apply because
+    // `toks` is materialized once per row), and first-occurrence is
+    // one row_number window partitioned BY CHUNK TEXT — i.e. the
+    // shuffle key is the content hash, which is uniform at any scale.
+    "x2_chunk_dedup" -> { (s, d) =>
+      val c = ChunkTokens
+      val chunks = documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("toks"))
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), expr(s"(size(toks) + ${c - 1}) DIV $c - 1")),
+            i => array_join(slice(col("toks"), i * c + 1, lit(c)), " "))))
+        .withColumnsRenamed(Map("pos" -> "chunk_id", "col" -> "chunk"))
+      chunks
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("chunk"))
+            .orderBy(col("doc_id"), col("chunk_id"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast(LongType).as("n_chunks"),
+          count(when(col("rn") === 1, 1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(when(col("rn") === 1,
+              struct(col("chunk_id"), col("chunk"))))),
+            x => x.getField("chunk")), " ").as("kept_text"))
+    },
+
+    // ---- sequence packing (context-window packing) -----------------
+    // Assign each document a (bin, offset) so concatenating documents
+    // in doc_id order fills fixed 512-token training sequences. The
+    // global running sum is computed as a DISTRIBUTED prefix sum —
+    // per-range partial sums (one tiny aggregate) broadcast back as
+    // range prefixes, then an in-range window — instead of a single
+    // global-order window, which would serialize the whole table
+    // through one partition at 100 TB.
+    "x4_seq_pack" -> { (s, d) =>
+      val n = documents(s, d)
+        .select(col("doc_id"),
+          size(TextOps.tokens(lower(col("text")))).cast(LongType).as("n_tokens"))
+        .withColumn("rng", expr("doc_id DIV 100"))
+      val rangeSums = n.groupBy(col("rng")).agg(sum(col("n_tokens")).as("rng_sum"))
+        .withColumn("rng_prefix",
+          coalesce(sum(col("rng_sum")).over(
+            Window.orderBy(col("rng"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("rng").as("rk"), col("rng_prefix"))
+      n.join(broadcast(rangeSums), col("rng") === col("rk"))
+        .withColumn("off", col("rng_prefix") +
+          coalesce(sum(col("n_tokens")).over(
+            Window.partitionBy(col("rng")).orderBy(col("doc_id"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"),
+          expr(s"off DIV $PackBudget").as("bin_id"),
+          expr(s"off % $PackBudget").as("bin_offset"))
+    },
+
+    // ---- corpus-frequency document scoring -------------------------
+    // Two-pass quality signal (the KenLM-commonness shape): pass 1
+    // aggregates corpus token frequencies; pass 2 scores each document
+    // by the mean corpus frequency of its tokens. Frequencies stay
+    // exact integers; the single final division is IEEE-exact and so
+    // engine- and partitioning-independent. The token dictionary is
+    // vocabulary-sized (≪ corpus), so it broadcasts at any scale.
+    "x4_commonness" -> { (s, d) =>
+      val tok = documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("tok"))
+      val tf = tok.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      tok.join(broadcast(tf), Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("freq")).as("sum_freq"))
+        .withColumn("commonness",
+          (col("sum_freq").cast(DoubleType) / col("n_tokens")).cast(DoubleType))
+    },
+
+    // ---- event-transition mining -----------------------------------
+    // Per-user behavioral bigrams: order each user's events by time,
+    // lag the event type, count (prev -> next) transitions, keep the
+    // top 20 under a total order. One shuffle for the lag window (by
+    // user), one for the count; the top-k is a 25-row sort.
+    "x5_transitions" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      eventsNs(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("src_type", lag(col("event_type"), 1).over(w))
+        .filter(col("src_type").isNotNull)
+        .groupBy(col("src_type"), col("event_type").as("dst_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("src_type"), col("dst_type"))
+        .limit(20)
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q2_min_cost" ->
+      """WITH cost AS (SELECT l_partkey, l_suppkey,
+             min(CAST(l_extendedprice AS DECIMAL(18,2))) AS supply_cost
+           FROM lineitem GROUP BY 1, 2),
+         eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+           FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE')
+         SELECT s_acctbal, s_name, n_name, p_partkey, p_type, s_suppkey,
+           CAST(c.supply_cost AS DOUBLE) AS supply_cost
+         FROM part, cost c, eu
+         WHERE p_partkey = c.l_partkey AND c.l_suppkey = eu.s_suppkey
+           AND p_size = 15
+           AND c.supply_cost = (SELECT min(c2.supply_cost)
+                                FROM cost c2, eu e2
+                                WHERE c2.l_partkey = p_partkey
+                                  AND c2.l_suppkey = e2.s_suppkey)""",
+    "x2_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         ch AS (SELECT doc_id, i AS chunk_id,
+             array_to_string(toks[(i*20+1):(i*20+20)], ' ') AS chunk
+           FROM t, unnest(range(0, (len(toks)+19)//20)) AS u(i)),
+         k AS (SELECT doc_id, chunk_id, chunk,
+             row_number() OVER (PARTITION BY chunk
+               ORDER BY doc_id, chunk_id) AS rn
+           FROM ch)
+         SELECT doc_id, count(*) AS n_chunks,
+           count(*) FILTER (WHERE rn = 1) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+             ORDER BY chunk_id), '') AS kept_text
+         FROM k GROUP BY doc_id""",
+    "x4_seq_pack" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+               AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM t)
+         SELECT doc_id, n_tokens, off // 512 AS bin_id,
+           off % 512 AS bin_offset
+         FROM c""",
+    "x4_commonness" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         tf AS (SELECT tok, count(*) AS freq FROM tok GROUP BY tok)
+         SELECT doc_id, count(*) AS n_tokens, sum(freq) AS sum_freq,
+           CAST(CAST(sum(freq) AS DOUBLE) / count(*) AS DOUBLE) AS commonness
+         FROM tok JOIN tf USING (tok)
+         GROUP BY doc_id""",
+    "x5_transitions" ->
+      """WITH l AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS src_type
+           FROM events)
+         SELECT src_type, event_type AS dst_type, count(*) AS cnt
+         FROM l WHERE src_type IS NOT NULL
+         GROUP BY 1, 2
+         ORDER BY cnt DESC, src_type, dst_type
+         LIMIT 20""")
+}
