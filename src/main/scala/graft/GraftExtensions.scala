@@ -63,5 +63,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "random-hyperplane LSH bucket id (nBits sign bits) of a float vector"),
       (e: Seq[Expression]) =>
         functions.LshBucket(e.head, e(1).eval().asInstanceOf[Int])))
+
+    ext.injectFunction((
+      FunctionIdentifier(functions.ZOrder2.FuncName),
+      info(functions.ZOrder2.FuncName,
+        "2-D Z-order (Morton) curve value of two non-negative long keys"),
+      (e: Seq[Expression]) => functions.ZOrder2(e.head, e(1))))
   }
 }

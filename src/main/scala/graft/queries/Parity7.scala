@@ -49,18 +49,24 @@ object Parity7 {
         .join(broadcast(region(s, d).filter(col("r_name") === "EUROPE")),
           col("n_regionkey") === col("r_regionkey"))
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
-      val cost = lineitem(s, d)
+      val p15 = part(s, d).filter(col("p_size") === 15)
+        .select(col("p_partkey"), col("p_type"))
+      // Only the selected parts' costs matter (the correlation in Q2 is
+      // per surviving part), so the part predicate pre-filters the fact
+      // scan as a broadcast semi-join BEFORE the aggregate: the shuffle
+      // carries ~1/50th of lineitem. The per-part min is an unordered
+      // window over the aggregated (part, supp) relation — one pass,
+      // instead of recomputing the fact aggregate for a join-back.
+      lineitem(s, d)
+        .join(broadcast(p15.select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min(dec2(col("l_extendedprice"))).as("supply_cost"))
         .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
-      val minCost = cost.groupBy(col("l_partkey").as("mk"))
-        .agg(min(col("supply_cost")).as("min_cost"))
-      cost
-        .join(minCost, col("l_partkey") === col("mk") &&
-          col("supply_cost") === col("min_cost"))
-        .join(broadcast(part(s, d).filter(col("p_size") === 15)
-          .select(col("p_partkey"), col("p_type"))),
-          col("l_partkey") === col("p_partkey"))
+        .withColumn("min_cost",
+          min(col("supply_cost")).over(Window.partitionBy(col("l_partkey"))))
+        .filter(col("supply_cost") === col("min_cost"))
+        .join(broadcast(p15), col("l_partkey") === col("p_partkey"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_type"), col("s_suppkey"),
           col("supply_cost").cast(DoubleType).as("supply_cost"))
@@ -144,6 +150,20 @@ object Parity7 {
           (col("sum_freq").cast(DoubleType) / col("n_tokens")).cast(DoubleType))
     },
 
+    // ---- Z-order clustering key ------------------------------------
+    // The native Morton-curve kernel on (l_partkey, l_suppkey): the
+    // clustering key `sources/Sinks.writeZOrdered` sorts by so min-max
+    // stats prune on either column. Constant-time magic-number bit
+    // spreading — the DuckDB oracle replicates the identical
+    // arithmetic in plain SQL, pinning the kernel cross-engine.
+    "x8_zorder_curve" -> { (s, d) =>
+      lineitem(s, d).filter(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          graft.functions.ZOrder2.zorder2(
+            col("l_partkey"), col("l_suppkey")).as("z"))
+    },
+
     // ---- event-transition mining -----------------------------------
     // Per-user behavioral bigrams: order each user's events by time,
     // lag the event type, count (prev -> next) transitions, keep the
@@ -218,6 +238,23 @@ object Parity7 {
            CAST(CAST(sum(freq) AS DOUBLE) / count(*) AS DOUBLE) AS commonness
          FROM tok JOIN tf USING (tok)
          GROUP BY doc_id""",
+    "x8_zorder_curve" ->
+      """WITH b0 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             l_partkey & 2147483647 AS x, l_suppkey & 2147483647 AS y
+           FROM lineitem WHERE l_orderkey <= 2000),
+         b1 AS (SELECT * REPLACE ((x | (x << 16)) & 281470681808895 AS x,
+                                  (y | (y << 16)) & 281470681808895 AS y) FROM b0),
+         b2 AS (SELECT * REPLACE ((x | (x << 8)) & 71777214294589695 AS x,
+                                  (y | (y << 8)) & 71777214294589695 AS y) FROM b1),
+         b3 AS (SELECT * REPLACE ((x | (x << 4)) & 1085102592571150095 AS x,
+                                  (y | (y << 4)) & 1085102592571150095 AS y) FROM b2),
+         b4 AS (SELECT * REPLACE ((x | (x << 2)) & 3689348814741910323 AS x,
+                                  (y | (y << 2)) & 3689348814741910323 AS y) FROM b3),
+         b5 AS (SELECT * REPLACE ((x | (x << 1)) & 6148914691236517205 AS x,
+                                  (y | (y << 1)) & 6148914691236517205 AS y) FROM b4)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           (x << 1) | y AS z
+         FROM b5""",
     "x5_transitions" ->
       """WITH l AS (SELECT user_id, event_type,
              lag(event_type) OVER (PARTITION BY user_id
