@@ -138,16 +138,23 @@ object Parity {
     // so dropDuplicates(key) == DISTINCT (ref: copy_into_*.sql md5
     // keys + P7 idempotence).
     "a3_dedup_key" -> { (s, d) =>
+      // The content key is a pure function of the projected columns,
+      // so dedup-by-key == dedup-by-columns — and deduping FIRST
+      // (map-side partial agg collapses each partition to ~|distinct|
+      // rows before the shuffle) means md5 runs once per SURVIVOR,
+      // not once per input row. Same survivors, same keys; at 100 TB
+      // the order flips only when the row is much wider than the
+      // 16-byte digest being shuffled.
       lineitem(s, d)
         .select(
           col("l_returnflag"),
           col("l_linestatus"),
           year(col("l_shipdate")).cast(IntegerType).as("ship_year"))
+        .dropDuplicates("l_returnflag", "l_linestatus", "ship_year")
         .withColumn(
           "unique_key",
           md5(concat_ws("|", col("l_returnflag"), col("l_linestatus"),
             col("ship_year"))))
-        .dropDuplicates("unique_key")
         .select("unique_key", "l_returnflag", "l_linestatus", "ship_year")
     },
 

@@ -164,6 +164,23 @@ object Parity7 {
             col("l_partkey"), col("l_suppkey")).as("z"))
     },
 
+    // ---- sketch-based heavy hitters --------------------------------
+    // Spark 4.1's ApproxTopK (DataSketches frequent-items) as a
+    // single-pass mergeable top-k: partials combine associatively
+    // across partitions/files like the HLL and MinHash sketches. With
+    // maxItemsTracked >= |distinct| the counts are EXACT, so the
+    // result is deterministic and oracle-checkable; at web scale the
+    // same call with a bounded map gives the guaranteed-error
+    // approximate answer in one pass with O(map) memory per partition.
+    "x6_approx_topk" -> { (s, d) =>
+      eventsNs(s, d)
+        .agg(expr("approx_top_k(event_type, 3, 64)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("event_type"),
+          col("e.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("event_type"))
+    },
+
     // ---- event-transition mining -----------------------------------
     // Per-user behavioral bigrams: order each user's events by time,
     // lag the event type, count (prev -> next) transitions, keep the
@@ -255,6 +272,10 @@ object Parity7 {
          SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
            (x << 1) | y AS z
          FROM b5""",
+    "x6_approx_topk" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+         GROUP BY event_type
+         ORDER BY cnt DESC, event_type LIMIT 3""",
     "x5_transitions" ->
       """WITH l AS (SELECT user_id, event_type,
              lag(event_type) OVER (PARTITION BY user_id

@@ -80,6 +80,32 @@ class Parity7Spec extends AnyFunSuite {
     }
   }
 
+  test("x2_chunk_dedup is idempotent: deduping the kept text is a no-op") {
+    val d = fixtureDir("idem")
+    def chunk(ch: String) = Seq.fill(20)(ch).mkString(" ")
+    Seq((1L, s"${chunk("a")} ${chunk("b")}"), (2L, s"${chunk("b")} ${chunk("c")}"),
+      (3L, s"${chunk("c")} ${chunk("d")} ${chunk("a")}"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val once = graft.queries.Parity7.queries("x2_chunk_dedup")(spark, d)
+    val d2 = fixtureDir("idem2")
+    once.filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("kept_text").as("text"))
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val twice = graft.queries.Parity7.queries("x2_chunk_dedup")(spark, d2)
+    // pass 2 must keep every chunk pass 1 kept (no repeats survive 1)
+    assert(twice.filter(col("n_kept") =!= col("n_chunks")).isEmpty)
+  }
+
+  test("x6_approx_topk with a roomy map equals the exact group counts") {
+    val out = graft.queries.Parity7.queries("x6_approx_topk")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exact = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }.take(3)
+    assert(out.toSeq == exact.toSeq)
+  }
+
   test("q2_min_cost returns only per-part minimum European costs") {
     val out = graft.queries.Parity7.queries("q2_min_cost")(spark, sf)
     // recompute the per-part min over European suppliers independently
