@@ -81,4 +81,37 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = df.queryExecution.explainString(FormattedMode)
     assert(!p.contains("Exchange"), "map-only signature stage shuffled:\n" + p)
   }
+
+  test("q2: lineitem is scanned once; the part filter pre-joins as semi") {
+    // the correlated-min rewrite must NOT recompute the fact aggregate
+    // (a naive min-join-back plans the lineitem subtree twice), and
+    // the p_size predicate must reach the fact side as a semi-join
+    // BEFORE the aggregate
+    val p = planOf("q2_min_cost")
+    val liScans = "lineitem".r.findAllIn(p).size
+    assert(p.contains("LeftSemi"), p)
+    val semiPos = p.indexOf("LeftSemi")
+    val aggPos = p.indexOf("HashAggregate")
+    assert(semiPos >= 0 && aggPos >= 0, p)
+    // formatted plan: the numbered tree lists the semi join as a child
+    // of the first aggregate — assert single lineitem scan instead of
+    // ordering (robust to plan-id renumbering)
+    assert(liScans <= 2, s"lineitem subtree appears replicated:\n$p")
+  }
+
+  test("x4_seq_pack: the per-document window is range-partitioned") {
+    // the only GLOBAL-order window may be the O(ranges) prefix table;
+    // the window over the full document set must be partitioned by rng
+    val p = planOf("x4_seq_pack")
+    assert(p.contains("windowspecdefinition(rng"),
+      "in-range cumsum lost its partitioning:\n" + p)
+  }
+
+  test("x2_chunk_dedup: exactly two shuffles (content window + doc agg)") {
+    // FormattedMode mentions each node twice (tree + details): count
+    // the tree form "Exchange (<id>)" only
+    val p = planOf("x2_chunk_dedup")
+    val exchanges = "Exchange \\(\\d+\\)".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected 2 Exchanges, saw $exchanges:\n$p")
+  }
 }
