@@ -164,6 +164,49 @@ object Parity7 {
             col("l_partkey"), col("l_suppkey")).as("z"))
     },
 
+    // ---- benchmark decontamination ---------------------------------
+    // The eval-set leakage check every training pipeline runs: flag
+    // corpus documents sharing any word 3-gram with a probe
+    // ("benchmark") set. Probe shingles are benchmark-sized, so they
+    // BROADCAST — the corpus side stays map-only through the overlap
+    // join; the only shuffle is the per-doc count. (At extreme probe
+    // sizes, the bloom-filter pre-prune of x6_bloom_semi composes in
+    // front of the exact join unchanged.) Shingling is the native
+    // one-pass ShingleSet kernel.
+    "x4_decontaminate" -> { (s, d) =>
+      val sh = documents(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.shingles(lower(col("text")), 3)).as("sh"))
+      val probe = sh.filter(col("doc_id") % 50 === 0)
+        .select(col("sh")).distinct()
+      sh.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(probe), Seq("sh"))
+        .groupBy(col("doc_id"))
+        // shingle sets are distinct per doc, so plain count == number
+        // of distinct leaked n-grams (no count-distinct Expand needed)
+        .agg(count(lit(1)).as("n_overlap"))
+    },
+
+    // ---- SCD2 history build (CDC compaction) -----------------------
+    // Turn a change stream into slowly-changing-dimension intervals:
+    // keep only rows whose value differs from the previous row per
+    // key, then close each interval at the next change. Two window
+    // passes over the SAME (user_id) partitioning — one shuffle, the
+    // second Window reuses the first's distribution. Event-time stays
+    // in integer microseconds end-to-end.
+    "x1_scd2_history" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      eventsNs(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          Sessionize.nsToUs(col("ts")).as("us"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_to_us", lead(col("us"), 1).over(w) - 1)
+        .select(col("user_id"), col("event_type"),
+          col("us").as("valid_from_us"), col("valid_to_us"))
+    },
+
     // ---- sketch-based heavy hitters --------------------------------
     // Spark 4.1's ApproxTopK (DataSketches frequent-items) as a
     // single-pass mergeable top-k: partials combine associatively
@@ -272,6 +315,29 @@ object Parity7 {
          SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
            (x << 1) | y AS z
          FROM b5""",
+    "x4_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+           FROM t, unnest(range(1, len(toks) - 1)) AS u(i)),
+         p AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0)
+         SELECT doc_id, count(*) AS n_overlap
+         FROM sh JOIN p USING (sh)
+         WHERE doc_id % 50 <> 0
+         GROUP BY doc_id""",
+    "x1_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS us FROM events),
+         c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS prev FROM e),
+         ch AS (SELECT user_id, event_id, event_type, us FROM c
+           WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type, us AS valid_from_us,
+           lead(us) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) - 1 AS valid_to_us
+         FROM ch""",
     "x6_approx_topk" ->
       """SELECT event_type, count(*) AS cnt FROM events
          GROUP BY event_type

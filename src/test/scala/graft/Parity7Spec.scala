@@ -106,6 +106,37 @@ class Parity7Spec extends AnyFunSuite {
     assert(out.toSeq == exact.toSeq)
   }
 
+  test("x4_decontaminate flags exactly the docs sharing a probe 3-gram") {
+    val d = fixtureDir("decon")
+    // doc 0 is the probe (0 % 50 == 0); doc 1 leaks the 3-gram
+    // "alpha beta gamma"; doc 2 shares no 3-gram (only a 2-gram).
+    Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "zz alpha beta gamma yy"),
+      (2L, "alpha beta xx yy zz qq"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = graft.queries.Parity7.queries("x4_decontaminate")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L))
+  }
+
+  test("x1_scd2_history compresses runs and closes intervals at changes") {
+    val d = fixtureDir("scd2")
+    // user 1: A@10, A@20, B@30, B@40, A@50 -> intervals
+    // [10,29] A, [30,49] B, [50,open) A   (ts in ns; us = ns/1000)
+    Seq(
+      (1L, 10000L, 1L, "A"), (2L, 20000L, 1L, "A"), (3L, 30000L, 1L, "B"),
+      (4L, 40000L, 1L, "B"), (5L, 50000L, 1L, "A"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = graft.queries.Parity7.queries("x1_scd2_history")(spark, d)
+      .orderBy("valid_from_us").collect()
+      .map(r => (r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(rows.toSeq == Seq(("A", 10L, 29L), ("B", 30L, 49L), ("A", 50L, -1L)))
+  }
+
   test("q2_min_cost returns only per-part minimum European costs") {
     val out = graft.queries.Parity7.queries("q2_min_cost")(spark, sf)
     // recompute the per-part min over European suppliers independently
