@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.nhl.{Ingest, Schemas}
-import graft.streaming.IncrementalLoad
+import graft.streaming.{IncrementalLoad, StatefulScd2}
 
 /** Structured-Streaming COPY INTO semantics: exactly-once per staged
   * file via the checkpoint (SURVEY.md §2 row S7). */
@@ -168,6 +168,34 @@ class StreamingSpec extends AnyFunSuite {
         10L * 60 * 1000000)
       .select(col("window_start"), col("event_type"), col("n_events"))
     assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("streaming SCD2 closed intervals match the batch history build") {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = s"$fx/scd2_src"
+    Files.createDirectories(Paths.get(srcDir))
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$srcDir/events.parquet"))
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = StatefulScd2.fromRaw(spark,
+      spark.readStream.schema(schema).parquet(srcDir))
+    val name = s"scd2_${System.nanoTime()}"
+    val q = StatefulScd2.scd2(spark, stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table(name)
+    // batch reference: the x1_scd2_history query's CLOSED intervals
+    // (the open interval per user stays in the state store)
+    val batch = graft.queries.Parity7
+      .queries("x1_scd2_history")(spark, "/root/testdata/sf0.001")
+      .filter(col("valid_to_us").isNotNull)
+    assert(streamed.count() > 0)
+    assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
