@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Native Catalyst expression: 2-D Z-order (Morton) curve value of two
@@ -25,8 +25,14 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * (`zorder2Fallback`) that OpsSpec pins bit-identical.
   */
 case class ZOrder2(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
+  // Declared input types make the analyzer coerce INT/SHORT arguments
+  // to LONG (and reject non-numeric ones at analysis time) for SQL
+  // callers of graft_zorder2 — without this, interpreted eval threw
+  // ClassCastException on integer columns.
+  // (return type inferred: AbstractDataType is private[sql])
+  override def inputTypes = Seq(LongType, LongType)
   override def dataType: DataType = LongType
 
   override def nullSafeEval(a: Any, b: Any): Any =

@@ -130,6 +130,9 @@ object Parity7 {
         .select(col("doc_id"), col("n_tokens"),
           expr(s"off DIV $PackBudget").as("bin_id"),
           expr(s"off % $PackBudget").as("bin_offset"))
+        // deterministic output order: the driver's correctness hash is
+        // row-order-sensitive, and doc_id is unique here
+        .orderBy(col("doc_id"))
     },
 
     // ---- corpus-frequency document scoring -------------------------
@@ -148,6 +151,8 @@ object Parity7 {
         .agg(count(lit(1)).as("n_tokens"), sum(col("freq")).as("sum_freq"))
         .withColumn("commonness",
           (col("sum_freq").cast(DoubleType) / col("n_tokens")).cast(DoubleType))
+        // deterministic output order for the driver's row-order hash
+        .orderBy(col("doc_id"))
     },
 
     // ---- Z-order clustering key ------------------------------------
@@ -156,6 +161,11 @@ object Parity7 {
     // stats prune on either column. Constant-time magic-number bit
     // spreading — the DuckDB oracle replicates the identical
     // arithmetic in plain SQL, pinning the kernel cross-engine.
+    // NOTE: this query exercises the RAW kernel, which masks each
+    // input to its low 31 bits — ids above 2^31 (TPC-H partkey near
+    // sf~1000) would alias. The production write path
+    // (writeZOrdered) grid-normalizes to 16 bits via min/max first
+    // and has no such limit; keep using it for real layouts.
     "x8_zorder_curve" -> { (s, d) =>
       lineitem(s, d).filter(col("l_orderkey") <= 2000)
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -288,7 +298,7 @@ object Parity7 {
            FROM t)
          SELECT doc_id, n_tokens, off // 512 AS bin_id,
            off % 512 AS bin_offset
-         FROM c""",
+         FROM c ORDER BY doc_id""",
     "x4_commonness" ->
       """WITH tok AS (SELECT doc_id,
              unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
@@ -297,7 +307,7 @@ object Parity7 {
          SELECT doc_id, count(*) AS n_tokens, sum(freq) AS sum_freq,
            CAST(CAST(sum(freq) AS DOUBLE) / count(*) AS DOUBLE) AS commonness
          FROM tok JOIN tf USING (tok)
-         GROUP BY doc_id""",
+         GROUP BY doc_id ORDER BY doc_id""",
     "x8_zorder_curve" ->
       """WITH b0 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
              l_partkey & 2147483647 AS x, l_suppkey & 2147483647 AS y

@@ -42,7 +42,7 @@ object Sinks {
       colB: String, nFiles: Int,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
     import org.apache.spark.sql.functions.{col, greatest, lit, max, min}
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{DoubleType, LongType}
     // Interleaving RAW values degenerates when the dims differ in
     // magnitude (a 2000-range key's high bits dominate a 100-range
     // key entirely), so normalize both onto a common 16-bit grid
@@ -53,9 +53,18 @@ object Sinks {
     val r = df.agg(
       min(col(colA).cast(LongType)), max(col(colA).cast(LongType)),
       min(col(colB).cast(LongType)), max(col(colB).cast(LongType))).head()
+    // Empty input (or all-null keys) has no min/max — nothing to
+    // cluster, write as-is.
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      df.write.mode(mode).parquet(path)
+      return
+    }
+    // Scale in DOUBLE: (v - lo) * 65535 in long arithmetic overflows
+    // once the key range exceeds ~2^47 (an ArithmeticException under
+    // ANSI mode). The double path is exact enough for a 16-bit grid.
     def grid(c: String, lo: Long, hi: Long) =
-      (col(c).cast(LongType) - lit(lo)) * lit(65535L) /
-        greatest(lit(hi - lo), lit(1L))
+      ((col(c).cast(LongType) - lit(lo)).cast(DoubleType) * lit(65535.0) /
+        greatest(lit(hi - lo), lit(1L)).cast(DoubleType)).cast(LongType)
     val z = graft.functions.ZOrder2.zorder2(
       grid(colA, r.getLong(0), r.getLong(1)),
       grid(colB, r.getLong(2), r.getLong(3)))

@@ -29,11 +29,23 @@ object StatefulScd2 {
       valid_from_us: Long, valid_to_us: Long)
 
   /** Fold a key's new events into its open interval, emitting every
-    * interval the new events close. */
+    * interval the new events close.
+    *
+    * The cross-batch ordering contract (per key, a batch's events are
+    * not older than the stored interval) is ENFORCED: a violating
+    * event throws rather than silently producing inverted/overlapping
+    * intervals, so a mis-partitioned CDC source surfaces as a stream
+    * failure instead of corrupt history. */
   def updateScd2(userId: Long, events: Iterator[Change],
       state: GroupState[Current]): Iterator[Interval] = {
     val sorted = events.toSeq.sortBy(e => (e.us, e.event_id))
     var cur = state.getOption
+    for (c <- cur; e <- sorted.headOption)
+      if (e.us < c.last_us) throw new IllegalStateException(
+        s"SCD2 ordering contract violated for key $userId: batch event at " +
+          s"us=${e.us} precedes stored state at us=${c.last_us}; feed this " +
+          "operator from a per-key-ordered CDC source or add a reordering " +
+          "buffer (watermark) in front.")
     val closed = Seq.newBuilder[Interval]
     sorted.foreach { e =>
       cur match {
