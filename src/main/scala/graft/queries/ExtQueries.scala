@@ -117,15 +117,20 @@ object ExtQueries {
         col("event_id"),
         (col("user_id") % 100 + 1).cast("long").as("custkey"),
         Sessionize.nsToUs(col("ts")).as("t_us"))
-      val dedupW = Window.partitionBy(col("custkey"), col("o_us"))
-        .orderBy(col("o_orderkey").desc)
+      // keep the max-orderkey version per (custkey, day): max_by
+      // aggregate instead of a row_number window — map-side combine
+      // shrinks the shuffle to one row per key, no sort
       val od = orders(s, d).select(
         col("o_custkey").as("custkey"),
         unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"),
         col("o_orderkey"),
         Exact.dec2(col("o_totalprice")).cast("double").as("o_price"))
-        .withColumn("_rn", row_number().over(dedupW))
-        .filter(col("_rn") === 1).drop("_rn")
+        .groupBy(col("custkey"), col("o_us"))
+        .agg(max_by(struct(col("o_orderkey"), col("o_price")),
+          col("o_orderkey")).as("_v"))
+        .select(col("custkey"), col("o_us"),
+          col("_v.o_orderkey").as("o_orderkey"),
+          col("_v.o_price").as("o_price"))
       graft.ops.AsofJoin.asofBackward(ev, od, "custkey", "t_us", "o_us",
         Seq("o_orderkey", "o_price"))
     },

@@ -285,21 +285,27 @@ object Parity5 {
     "x6_median_mode" -> { (s, d) =>
       val li = lineitem(s, d)
         .select(col("l_returnflag").as("rf"), dec2(col("l_quantity")).as("q"))
-      // group sizes via a tiny aggregate + broadcast join, NOT
-      // count().over(partitionBy) — the unordered count is a second
-      // WindowExec that buffers every partition a second time
-      val counts = li.groupBy(col("rf")).agg(count(lit(1)).as("n"))
-      val ranked = li
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("rf")).orderBy(col("q").asc)))
-        .join(broadcast(counts), Seq("rf"))
-      val med = ranked
-        .filter(col("rn") === expr("(n+1) DIV 2") ||
-          col("rn") === expr("(n+2) DIV 2"))
-        .groupBy(col("rf"))
-        .agg((sum(col("q")).cast(DoubleType) / count(lit(1))).as("median_qty"))
-      val mode = li.groupBy(col("rf"), col("q"))
-        .agg(count(lit(1)).as("cnt"))
+      // EXACT median + mode from one HISTOGRAM shuffle: quantity has
+      // bounded distinct values (1..50), so groupBy(rf, q) map-side
+      // combines the fact down to ~|rf|×|q| rows — everything after
+      // (cumulative counts, middle-rank lookup, argmax) runs on that
+      // tiny histogram. One fact shuffle total, where the previous
+      // shape sorted the full fact under a window and scanned it
+      // three times. The histogram move applies whenever value
+      // cardinality ≪ row count; for unbounded continuous values the
+      // rank-window form (see git history) is the fallback.
+      val hist = li.groupBy(col("rf"), col("q")).agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("rf")).orderBy(col("q").asc)
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("rf"))))
+      // middle ranks (n+1)/2 and (n+2)/2: the median is the mean of
+      // the smallest q values whose cumulative count reaches them
+      val med = cum.groupBy(col("rf")).agg(
+        ((min(when(col("cum") >= expr("(n+1) DIV 2"), col("q"))) +
+          min(when(col("cum") >= expr("(n+2) DIV 2"), col("q"))))
+          .cast(DoubleType) / 2).as("median_qty"))
+      val mode = hist
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("rf")).orderBy(col("cnt").desc, col("q").asc)))
         .filter(col("rn") === 1)

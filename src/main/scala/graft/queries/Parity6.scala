@@ -34,27 +34,25 @@ object Parity6 {
     // Q21 (adapted; "late" = shipped > 60 days after the order date):
     // suppliers whose line was late in a multi-supplier order where NO
     // other supplier was late. Both correlated subqueries decorrelate
-    // into per-order COUNTS (cheaper than semi/anti joins with
-    // inequality conditions, which can't hash on the != part):
-    //   EXISTS(other supplier)       ⟺ n_distinct_suppliers(order) > 1
-    //   NOT EXISTS(other late supp)  ⟺ n_late_suppliers(order) = 1
-    // — two aggregates + two equi-joins on orderkey, one shuffle chain.
+    // into ONE per-order aggregate over the joined fact:
+    //   EXISTS(other supplier)       ⟺ |distinct suppliers(order)| > 1
+    //   NOT EXISTS(other late supp)  ⟺ |distinct late supps(order)| = 1
+    // The distinct-supplier sets are collect_sets with BOUNDED state
+    // (TPC-H orders have ≤ 7 lines, and generally |supps per order| is
+    // small at any scale), so this is one fact-fact join + one
+    // aggregate that REUSES the join's orderkey partitioning — no
+    // extra shuffle — where the previous shape scanned lineitem three
+    // times through four shuffles.
     "q21_waiting" -> { (s, d) =>
-      val late = lineitem(s, d)
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+      lineitem(s, d)
         .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-        .select(col("l_orderkey").as("lo"), col("l_suppkey").as("lsupp"))
-        .distinct()
-      val soleLate = late.groupBy(col("lo"))
-        .agg(count(lit(1)).as("n_late")).filter(col("n_late") === 1)
-        .select(col("lo"))
-      val multiSupp = lineitem(s, d)
-        .select(col("l_orderkey").as("ao"), col("l_suppkey")).distinct()
-        .groupBy(col("ao")).agg(count(lit(1)).as("n_supp"))
-        .filter(col("n_supp") > 1).select(col("ao"))
-      late
-        .join(soleLate, Seq("lo"), "left_semi")
-        .join(multiSupp, col("lo") === col("ao"), "left_semi")
+        .select(col("l_orderkey"), col("l_suppkey"), late.as("is_late"))
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(when(col("is_late"), col("l_suppkey"))).as("late_s"),
+          collect_set(col("l_suppkey")).as("all_s"))
+        .filter(size(col("late_s")) === 1 && size(col("all_s")) > 1)
+        .select(element_at(col("late_s"), 1).as("lsupp"))
         .join(broadcast(supplier(s, d)), col("lsupp") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))

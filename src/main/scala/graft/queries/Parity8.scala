@@ -1,0 +1,237 @@
+package graft.queries
+
+import graft.Tables._
+import graft.ops.{Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Round-4 coverage batch: the remaining training-data-pipeline
+  * operators — per-source quota sampling, intra-document repetition
+  * scoring, corpus-wide total-order sort (the TeraSort shape), a
+  * two-stage truncated-dimension ANN (matryoshka prefix retrieve +
+  * exact rerank), batch MERGE/upsert semantics, and regex PII-style
+  * redaction.
+  *
+  * Scale rules as every earlier batch: one fact shuffle where
+  * possible, dims/probes broadcast, exact integer/decimal arithmetic
+  * so results are partitioning-independent, no collect().
+  */
+object Parity8 {
+  import Exact._
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-source document cap for x2_source_quota. */
+  private val QuotaPerSource = 10
+  /** Matryoshka prefix length / candidate pool / final k. */
+  private val MatPrefix = 8
+  private val MatPool = 40
+  private val MatK = 10
+
+  val queries: Map[String, Q] = Map(
+    // ---- per-source quota sampling ---------------------------------
+    // The domain-cap step of corpus curation: keep at most N documents
+    // per source, preferring longer ones (then lower id — a total
+    // order, so the survivor set is deterministic). One shuffle keyed
+    // by source; a hot source is bounded by the same AQE skew
+    // handling as any hash partition, and under GraftExtensions the
+    // row_number-top-k window rewrites to the bounded-heap
+    // TopKPerKey plan node — no per-source sort at all.
+    "x2_source_quota" -> { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .filter(col("rk") <= QuotaPerSource)
+        // deterministic output order for the driver's row-order hash
+        .orderBy(col("source"), col("rk"))
+    },
+
+    // ---- intra-document repetition score ---------------------------
+    // The repeated-n-gram quality signal (boilerplate / looped text
+    // detector): 1 - distinct_3grams / total_3grams. Both counts come
+    // from bound per-row kernels (token split once, native ShingleSet
+    // once) — map-only, no shuffle at all; the single double division
+    // is deterministic.
+    "x4_repetition" -> { (s, d) =>
+      val toks = TextOps.tokens(lower(col("text")))
+      documents(s, d)
+        .select(col("doc_id"),
+          greatest(size(toks) - 2, lit(0)).cast(LongType).as("n_grams"),
+          size(TextOps.shingles(lower(col("text")), 3)).cast(LongType)
+            .as("n_distinct"))
+        .withColumn("rep_ratio",
+          when(col("n_grams") === 0, lit(0.0)).otherwise(
+            (lit(1.0) - col("n_distinct").cast(DoubleType) /
+              col("n_grams")).cast(DoubleType)))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- corpus-wide total-order sort (TeraSort shape) -------------
+    // A globally sorted copy of the fact — the layout write behind
+    // range-partitioned tables. `orderBy` = sample-based range
+    // partitioning + per-partition sort: every partition holds a
+    // contiguous key range, no single-reducer bottleneck at any
+    // scale, unlike a rank window. Deterministic tiebreak makes the
+    // row order (and the driver's order-sensitive hash) exact.
+    "x8_total_sort" -> { (s, d) =>
+      lineitem(s, d)
+        .select(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+    },
+
+    // ---- matryoshka two-stage ANN ----------------------------------
+    // Truncated-dimension retrieval: rank ALL vectors by the dot
+    // product of the first 8 dimensions (cheap — 8 multiplies vs 64),
+    // keep a 4k candidate pool, then rerank the pool with the exact
+    // full-dimension cosine. Both stages are exact integer arithmetic
+    // on micro-unit longs, so the candidate set and the final top-k
+    // are deterministic and the DuckDB oracle reproduces them
+    // bit-identically. At scale the stage-1 scan is map-only against
+    // a broadcast probe; stage 2 touches only the pool.
+    "x3_matryoshka" -> { (s, d) =>
+      val probe = broadcast(
+        embeddings(s, d).filter(col("vec_id") === 0L)
+          .select(Similarity.quantize(col("embedding")).as("pq")))
+        .withColumn("pq8", slice(col("pq"), 1, MatPrefix))
+        .withColumn("probe_n2", Similarity.dotScaled(col("pq"), col("pq")))
+      embeddings(s, d).filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+        .crossJoin(probe)
+        .withColumn("pre_dot",
+          Similarity.dotScaled(slice(col("q"), 1, MatPrefix), col("pq8")))
+        // candidate pool via orderBy().limit() — TakeOrderedAndProject
+        // keeps a bounded heap per partition and merges M rows, not a
+        // global rank window (which would funnel every row through
+        // one partition)
+        .orderBy(col("pre_dot").desc, col("vec_id").asc)
+        .limit(MatPool)
+        .select(col("vec_id"),
+          Similarity.cosineFromScaled(
+            Similarity.dotScaled(col("q"), col("pq")),
+            Similarity.dotScaled(col("q"), col("q")),
+            col("probe_n2")).as("cosine_sim"))
+        .orderBy(col("cosine_sim").desc, col("vec_id").asc)
+        .limit(MatK)
+    },
+
+    // ---- MERGE / upsert (batch form of MERGE INTO) -----------------
+    // Dimension maintenance without a table format: target rows keyed
+    // by custkey, a source of per-key deltas; matched keys update the
+    // balance, source-only keys insert, target-only keys carry over.
+    // One full-outer shuffle join on the key — with Delta/Iceberg the
+    // identical semantics become file-pruned MERGE INTO (SCALE.md).
+    // The target is restricted to custkey % 3 <> 0 so all three MERGE
+    // branches are non-empty in the testdata.
+    "x1_merge_upsert" -> { (s, d) =>
+      val target = customer(s, d).filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("k"), col("c_name"),
+          dec2(col("c_acctbal")).as("bal"))
+      val source = orders(s, d).groupBy(col("o_custkey").as("k"))
+        .agg(sum(dec2(col("o_totalprice"))).as("delta"))
+      target.join(source, Seq("k"), "full_outer")
+        .select(col("k").as("custkey"),
+          coalesce(col("c_name"), lit("NEW")).as("name"),
+          (coalesce(col("bal"), lit(0).cast("decimal(18,2)")) +
+            coalesce(col("delta"), lit(0).cast("decimal(18,2)")))
+            .cast(DoubleType).as("balance"),
+          when(col("c_name").isNull, "insert")
+            .when(col("delta").isNull, "keep")
+            .otherwise("update").as("action"))
+        .orderBy(col("custkey"))
+    },
+
+    // ---- regex redaction (PII-style scrub) -------------------------
+    // Map-only regexp_replace pass masking digit runs — the shape of
+    // email/phone/SSN scrubbing in corpus cleaning. Pure codegen
+    // projection: no shuffle, pushdown-friendly, identical regex
+    // semantics on the DuckDB side ('g' flag).
+    "x4_redact" -> { (s, d) =>
+      eventsNs(s, d)
+        .select(col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "<num>").as("props_redacted"))
+        .orderBy(col("event_id"))
+    })
+
+  private def eventsNs(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events(s, d)
+  }
+
+  val oracles: Map[String, String] = Map(
+    "x2_source_quota" ->
+      """SELECT doc_id, source, n_chars, rk FROM (
+           SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id ASC) AS rk
+           FROM documents) WHERE rk <= 10 ORDER BY source, rk""",
+    "x4_repetition" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         g AS (SELECT doc_id,
+             CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_grams,
+             CAST((SELECT count(DISTINCT toks[i] || ' ' || toks[i+1] || ' ' ||
+                                        toks[i+2])
+                   FROM unnest(range(1, len(toks) - 1)) AS u(i)) AS BIGINT)
+               AS n_distinct
+           FROM t)
+         SELECT doc_id, n_grams, n_distinct,
+           CASE WHEN n_grams = 0 THEN 0.0
+                ELSE CAST(1.0 - CAST(n_distinct AS DOUBLE) / n_grams
+                          AS DOUBLE) END AS rep_ratio
+         FROM g ORDER BY doc_id""",
+    "x8_total_sort" ->
+      """SELECT l_extendedprice, l_orderkey, l_linenumber, l_quantity
+         FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC""",
+    "x3_matryoshka" ->
+      """WITH ex AS (SELECT vec_id,
+             CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x,
+             generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+         px AS (SELECT x AS p, i FROM ex WHERE vec_id = 0),
+         pre AS (SELECT e.vec_id, sum(e.x * px.p) AS pd
+           FROM ex e JOIN px ON e.i = px.i
+           WHERE e.vec_id <> 0 AND e.i <= 8 AND px.i <= 8
+           GROUP BY e.vec_id),
+         cand AS (SELECT vec_id,
+             row_number() OVER (ORDER BY pd DESC, vec_id ASC) AS rk
+           FROM pre),
+         n2 AS (SELECT vec_id, sum(x * x) AS n2 FROM ex GROUP BY vec_id),
+         dots AS (SELECT e.vec_id, sum(e.x * px.p) AS d
+           FROM ex e JOIN px ON e.i = px.i
+           WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+         SELECT dots.vec_id,
+           CAST(CAST(d AS DOUBLE) /
+                (sqrt(CAST(n2.n2 AS DOUBLE)) * sqrt(CAST(pn.n2 AS DOUBLE)))
+             AS DOUBLE) AS cosine_sim
+         FROM dots
+         JOIN cand ON dots.vec_id = cand.vec_id AND cand.rk <= 40
+         JOIN n2 ON dots.vec_id = n2.vec_id
+         JOIN n2 pn ON pn.vec_id = 0
+         ORDER BY cosine_sim DESC, dots.vec_id ASC
+         LIMIT 10""",
+    "x1_merge_upsert" ->
+      """WITH t AS (SELECT c_custkey AS k, c_name,
+             CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+           FROM customer WHERE c_custkey % 3 <> 0),
+         s AS (SELECT o_custkey AS k,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS delta
+           FROM orders GROUP BY o_custkey)
+         SELECT coalesce(t.k, s.k) AS custkey,
+           coalesce(c_name, 'NEW') AS name,
+           CAST(coalesce(bal, 0) + coalesce(delta, 0) AS DOUBLE) AS balance,
+           CASE WHEN c_name IS NULL THEN 'insert'
+                WHEN delta IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+         FROM t FULL OUTER JOIN s ON t.k = s.k ORDER BY custkey""",
+    "x4_redact" ->
+      """SELECT event_id,
+           regexp_replace(props, '[0-9]+', '<num>', 'g') AS props_redacted
+         FROM events ORDER BY event_id""")
+}

@@ -100,6 +100,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table(name).count() == 1)
   }
 
+  test("transformWithState dedup == batch min-id dedup (first batch wins)") {
+    import graft.streaming.StatefulDedup
+    import spark.implicits._
+    // 3 distinct keys, planted duplicates within and across files
+    val src = s"$fx/tws_src"; val ckp = s"$fx/tws_ckp"
+    write(s"$src/a.jsonl",
+      """{"key":"k1","doc_id":5,"text":"x"}
+        |{"key":"k1","doc_id":2,"text":"x"}
+        |{"key":"k2","doc_id":7,"text":"y"}
+        |""".stripMargin)
+    write(s"$src/b.jsonl",
+      """{"key":"k2","doc_id":1,"text":"y"}
+        |{"key":"k3","doc_id":9,"text":"z"}
+        |""".stripMargin)
+    // transformWithState requires the RocksDB state store provider
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = s"$fx/tws_out"
+      // parquet sink (memory sink cannot recover from a checkpoint);
+      // ZERO ttl -> TimeMode.None: a bounded replay drains under
+      // AvailableNow (a TTL'd ProcessingTime query would keep
+      // scheduling micro-batches forever — see StatefulDedup doc)
+      def run(): Unit = {
+        val stream = spark.readStream
+          .schema("key STRING, doc_id LONG, text STRING")
+          .json(src).as[StatefulDedup.Doc]
+        val q = StatefulDedup.dedup(stream, java.time.Duration.ZERO)
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", ckp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      run()
+      def survivors() = spark.read.parquet(out).as[StatefulDedup.Doc]
+        .collect().map(dd => dd.key -> dd.doc_id).toMap
+      // one survivor per key, the min doc_id of the (single) batch
+      assert(survivors() == Map("k1" -> 2L, "k2" -> 1L, "k3" -> 9L))
+
+      // replay with the same checkpoint: only the new file is read,
+      // k1's duplicate is dropped by the RocksDB-stored state, and
+      // only the new key k4 is admitted
+      write(s"$src/c.jsonl",
+        """{"key":"k1","doc_id":100,"text":"x"}
+          |{"key":"k4","doc_id":3,"text":"w"}
+          |""".stripMargin)
+      run()
+      assert(survivors() ==
+        Map("k1" -> 2L, "k2" -> 1L, "k3" -> 9L, "k4" -> 3L))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join matches the batch join") {
     import org.apache.spark.sql.streaming.Trigger
     val srcDir = s"$fx/ssj_src"
