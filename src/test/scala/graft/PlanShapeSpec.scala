@@ -114,4 +114,40 @@ class PlanShapeSpec extends AnyFunSuite {
     val exchanges = "Exchange \\(\\d+\\)".r.findAllIn(p).size
     assert(exchanges == 2, s"expected 2 Exchanges, saw $exchanges:\n$p")
   }
+
+  test("q21: lineitem is scanned once (decorrelation via one aggregate)") {
+    val p = planOf("q21_waiting")
+    val liScans = "lineitem".r.findAllIn(p).size
+    // one scan node, mentioned in tree + details
+    assert(liScans <= 2, s"q21 re-grew multiple lineitem scans:\n$p")
+    assert(p.contains("collect_set"), p)
+  }
+
+  test("x6_median_mode: one fact shuffle (histogram), no fact-wide sort") {
+    val p = planOf("x6_median_mode")
+    // the only Sorts allowed are over the tiny (rf, q) histogram —
+    // SortExec over lineitem would show a sort BEFORE the first
+    // aggregate; assert the first Exchange is below a partial agg
+    assert(p.contains("partial_count"), p)
+    // bounded shuffle budget: 2 per histogram branch (partial/final
+    // agg + rf window re-key); AQE reuses the identical histogram
+    // exchange at runtime ("- Exchange (" excludes BroadcastExchange)
+    assert("- Exchange \\(".r.findAllIn(p).size <= 4,
+      "median/mode shuffle budget exceeded:\n" + p)
+  }
+
+  test("x3_matryoshka: candidate pool is a bounded heap, not a window") {
+    val p = planOf("x3_matryoshka")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"),
+      "matryoshka pool regressed to a global window:\n" + p)
+  }
+
+  test("x8_total_sort: range-partitioned exchange feeds the sort") {
+    val p = planOf("x8_total_sort")
+    assert(p.contains("rangepartitioning"),
+      "total sort lost its range partitioning:\n" + p)
+    assert(!p.contains("SinglePartition"),
+      "total sort funnels through one partition:\n" + p)
+  }
 }
