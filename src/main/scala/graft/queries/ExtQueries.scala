@@ -78,6 +78,16 @@ object ExtQueries {
     "x2_ngram_jaccard" -> { (s, d) =>
       Dedup.ngramJaccardPairs(documents(s, d), tau = 0.5, blockCol = "lang")
     },
+    // PPJoin prefix-filtered exact Jaccard pairs at the true
+    // near-dup threshold (tau=0.8, where the rarest-first prefix is
+    // ~20% of each set and the candidate space collapses — see
+    // ops/Dedup scaladoc). Survivors verify with one exact array
+    // intersection, so the result is oracle-exact.
+    "x2_ppjoin" -> { (s, d) =>
+      Dedup.ngramJaccardPairsPrefix(documents(s, d), tau = 0.8,
+        blockCol = "lang")
+        .orderBy(col("blk"), col("id_a"), col("id_b"))
+    },
     // xxhash64-based — no SQL oracle; rows-only + ScalaTest.
     "x2_minhash_lsh" -> { (s, d) =>
       Dedup.minhashNearDupPairs(documents(s, d), tau = 0.5)
@@ -258,6 +268,21 @@ object ExtQueries {
       WHERE length(a.s) > 0 AND length(b.s) > 0
         AND CAST(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
              (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))) AS DOUBLE) >= 0.5""",
+    "x2_ppjoin" -> s"""$toksCte
+      , sh AS (SELECT doc_id, lang,
+          list_distinct(CASE WHEN length(t) >= 3
+            THEN list_transform(generate_series(1, length(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+            ELSE CAST([] AS VARCHAR[]) END) AS s
+        FROM tk)
+      SELECT a.lang AS blk, a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
+             (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))) AS DOUBLE) AS jaccard
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE length(a.s) > 0 AND length(b.s) > 0
+        AND CAST(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
+             (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))) AS DOUBLE) >= 0.8
+      ORDER BY blk, id_a, id_b""",
     "x3_knn_bruteforce" -> """
       WITH ex AS (SELECT vec_id, CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x,
                          generate_subscripts(embedding, 1) AS i

@@ -138,11 +138,28 @@ object Parity4 {
     // faster at sf0.1 (1.25 s vs 1.89 s warm) and shuffles each
     // distinct set once instead of Expand'ing the full fact 4x.
     "a10_multi_distinct" -> { (s, d) =>
-      lineitem(s, d).groupBy(col("l_returnflag")).agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(col("l_partkey")).as("n_part"),
-        countDistinct(col("l_suppkey"), col("l_partkey")).as("n_supp_part"),
-        count(lit(1)).as("n_rows"))
+      // Three distinct-aggregates in one groupBy plan as a single
+      // 3x Expand of the fact; here the distinct pair domains are
+      // orders of magnitude smaller than the fact ((rf,supp) ~ 3k,
+      // (rf,part) ~ 60k at sf0.1), so three separate partial-combined
+      // distinct aggregates move ~domain-sized shuffles instead and
+      // re-join on the 3-row group key. Each scan reads only its two
+      // columns. (With domain ~ fact the Expand form wins — keep both
+      // shapes in mind; this is the bounded-domain case.)
+      def distinctCount(c: String, as: String) =
+        lineitem(s, d).select(col("l_returnflag"), col(c)).distinct()
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
+      val pairs = lineitem(s, d)
+        .select(col("l_returnflag"), col("l_suppkey"), col("l_partkey"))
+        .groupBy(col("l_returnflag"), col("l_suppkey"), col("l_partkey"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_supp_part"), sum(col("c")).as("n_rows"))
+      distinctCount("l_suppkey", "n_supp")
+        .join(distinctCount("l_partkey", "n_part"), Seq("l_returnflag"))
+        .join(pairs, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_supp"), col("n_part"),
+          col("n_supp_part"), col("n_rows"))
     },
     // Exact Pearson correlation recomposed from decimal power sums —
     // order-independent (unlike streaming corr), so results are stable
