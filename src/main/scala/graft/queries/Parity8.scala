@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import graft.ops.{Similarity, TextOps}
+import graft.ops.{Sessionize, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -145,6 +145,61 @@ object Parity8 {
         .orderBy(col("custkey"))
     },
 
+    // ---- time-series resample + forward fill -----------------------
+    // Regularize an irregular event stream onto an hourly grid per
+    // user: per-bucket last observation (max_by — deterministic
+    // because (user, us) is unique in the event stream), a
+    // sequence()-exploded dense grid between each user's first and
+    // last bucket, and a last(ignoreNulls) running window to carry
+    // values across gaps. Grid size is bounded per user (span/step),
+    // the explode is map-side, and the whole chain keys on user_id —
+    // one shuffle family. The training-data shape: feature snapshots
+    // at fixed cadence from async logs.
+    "x5_resample" -> { (s, d) =>
+      val step = 3600L * 1000000L // 1 hour in microseconds
+      val ev = eventsNs(s, d).select(col("user_id"),
+        Sessionize.nsToUs(col("ts")).as("us"), col("value"))
+        .withColumn("bucket_us", expr(s"us DIV $step") * step)
+      val obs = ev.groupBy(col("user_id"), col("bucket_us"))
+        .agg(max_by(col("value"), col("us")).as("v"),
+          count(lit(1)).as("n"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(min(col("bucket_us")).as("lo"), max(col("bucket_us")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), lit(step))).as("bucket_us"))
+      grid.join(obs, Seq("user_id", "bucket_us"), "left")
+        .withColumn("value_ff", last(col("v"), ignoreNulls = true).over(
+          Window.partitionBy(col("user_id")).orderBy(col("bucket_us"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("bucket_us"), col("value_ff"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+        .orderBy(col("user_id"), col("bucket_us"))
+    },
+
+    // ---- incremental aggregate maintenance -------------------------
+    // Materialized-view delta merge: a per-customer aggregate
+    // maintained from an OLD snapshot plus a NEW batch must equal the
+    // full recompute — because the states (count, exact decimal sum)
+    // are mergeable partial aggregates, the same property the
+    // sketches (HLL/MinHash) and every map-side combine rely on. The
+    // merge is union + re-aggregate: no fact re-scan of the old data
+    // at refresh time, only its (key, state) table. The cut is the
+    // median order date so both sides are non-trivial.
+    "x1_incr_agg" -> { (s, d) =>
+      def partial(df: DataFrame) = df
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).as("s"))
+      val o = orders(s, d)
+      val cut = "1996-01-01"
+      partial(o.filter(col("o_orderdate") < cut))
+        .unionByName(partial(o.filter(col("o_orderdate") >= cut)))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("s")).cast(DoubleType).as("total_spend"))
+        .orderBy(col("o_custkey"))
+    },
+
     // ---- regex redaction (PII-style scrub) -------------------------
     // Map-only regexp_replace pass masking digit runs — the shape of
     // email/phone/SSN scrubbing in corpus cleaning. Pure codegen
@@ -230,6 +285,29 @@ object Parity8 {
                 WHEN delta IS NULL THEN 'keep'
                 ELSE 'update' END AS action
          FROM t FULL OUTER JOIN s ON t.k = s.k ORDER BY custkey""",
+    "x5_resample" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+         m AS (SELECT user_id, (us // 3600000000) * 3600000000 AS bucket_us,
+             us, value FROM e),
+         obs AS (SELECT user_id, bucket_us, arg_max(value, us) AS v,
+             count(*) AS n FROM m GROUP BY user_id, bucket_us),
+         b AS (SELECT user_id, min(bucket_us) AS lo, max(bucket_us) AS hi
+           FROM m GROUP BY user_id),
+         grid AS (SELECT user_id,
+             unnest(range(lo, hi + 1, 3600000000)) AS bucket_us FROM b)
+         SELECT g.user_id AS user_id, g.bucket_us AS bucket_us,
+           last_value(o.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+             ORDER BY g.bucket_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff,
+           coalesce(o.n, 0) AS n_events
+         FROM grid g LEFT JOIN obs o
+           ON g.user_id = o.user_id AND g.bucket_us = o.bucket_us
+         ORDER BY user_id, bucket_us""",
+    "x1_incr_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_spend
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
     "x4_redact" ->
       """SELECT event_id,
            regexp_replace(props, '[0-9]+', '<num>', 'g') AS props_redacted

@@ -108,6 +108,26 @@ class Parity8Spec extends AnyFunSuite {
     assert(out(4L) == (("c4", 7.75, "keep")))
   }
 
+  test("x5_resample fills gaps with the last observation, counts per bucket") {
+    val d = fixtureDir("resample")
+    val h = 3600L * 1000000000L // 1 hour in ns (fixture ts is ns-long)
+    // user 1: events in hours 0 and 3 (value 2.0 then 9.0); the two
+    // events in hour 0 must resolve to the later one (value 2.0)
+    Seq(
+      (1L, 10L * 1000, 1L, 1.0), (2L, 20L * 1000, 1L, 2.0),
+      (3L, 3 * h + 5000L, 1L, 9.0))
+      .toDF("event_id", "ts", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = graft.queries.Parity8.queries("x5_resample")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val stepUs = 3600L * 1000000L
+    assert(out.toSeq == Seq(
+      (1L, 0L, 2.0, 2L),          // hour 0: two events, later wins
+      (1L, stepUs, 2.0, 0L),      // gap: carried forward
+      (1L, 2 * stepUs, 2.0, 0L),  // gap: carried forward
+      (1L, 3 * stepUs, 9.0, 1L))) // new observation
+  }
+
   test("x4_redact masks every digit run and nothing else") {
     val d = fixtureDir("redact")
     Seq((1L, 0L, """{"k": 69, "v": "a1b22"}"""), (2L, 0L, """{"k": null}"""))
