@@ -200,6 +200,25 @@ object Parity8 {
         .orderBy(col("o_custkey"))
     },
 
+    // ---- salted join under a planted hot key -----------------------
+    // The explicit-salting skew tool in the correctness gate: the
+    // orders side is skewed onto one synthetic hot key (nation of
+    // customer 1 stands in — every row keyed constant modulo a small
+    // dim), joined to the nation dim through ops/Skew.saltedJoin. The
+    // salt spreads the hot key over 8 tasks; semantics must equal the
+    // plain inner join, which is exactly what the oracle computes.
+    "j11_salted_join" -> { (s, d) =>
+      val hot = orders(s, d).select(col("o_orderkey"),
+        (col("o_custkey") % 3).cast("int").as("n_nationkey"))
+      val dim = nation(s, d).filter(col("n_nationkey") < 3)
+        .select(col("n_nationkey").cast("int").as("n_nationkey"),
+          col("n_name"))
+      graft.ops.Skew.saltedJoin(hot, dim, "n_nationkey", salt = 8)
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), min(col("o_orderkey")).as("min_ok"))
+        .orderBy(col("n_name"))
+    },
+
     // ---- regex redaction (PII-style scrub) -------------------------
     // Map-only regexp_replace pass masking digit runs — the shape of
     // email/phone/SSN scrubbing in corpus cleaning. Pure codegen
@@ -308,6 +327,12 @@ object Parity8 {
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              AS total_spend
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "j11_salted_join" ->
+      """SELECT n_name, count(*) AS n_orders, min(o_orderkey) AS min_ok
+         FROM orders JOIN nation
+           ON CAST(o_custkey % 3 AS INTEGER) = n_nationkey
+         WHERE n_nationkey < 3
+         GROUP BY n_name ORDER BY n_name""",
     "x4_redact" ->
       """SELECT event_id,
            regexp_replace(props, '[0-9]+', '<num>', 'g') AS props_redacted
