@@ -183,6 +183,16 @@ object ExtQueries {
         Seq(col("media_id"), col("modality"), col("n_bytes")) ++
           (0 until 8).map(i => col("feature").getItem(i).as(s"f$i")): _*)
     },
+    // exact binary-payload dedup: the md5 content key over the OPAQUE
+    // payload bytes (images dedup by content hash long before any
+    // decode) — one hash-partitioned aggregate, keep lowest id.
+    "mm_dedup" -> { (s, d) =>
+      graft.ops.Multimodal.fromText(documents(s, d))
+        .groupBy(md5(col("payload")).as("content_key"))
+        .agg(min(col("media_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy(col("content_key"))
+    },
     "x6_quantiles" -> { (s, d) =>
       eventsNs(s, d)
         .groupBy(col("event_type"))
@@ -363,6 +373,10 @@ object ExtQueries {
              CAST(CASE WHEN (fi + 1) * 64 <= len THEN 64
                        ELSE len - fi * 64 END AS INTEGER) AS frame_bytes
       FROM f""",
+    "mm_dedup" -> """
+      SELECT md5(text) AS content_key, min(doc_id) AS keep_id,
+             count(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY content_key""",
     "x6_quantiles" -> """
       SELECT event_type,
              round(quantile_cont(value, 0.5), 4) AS p50,
