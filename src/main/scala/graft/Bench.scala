@@ -66,25 +66,30 @@ object Bench {
       val w = new java.io.PrintWriter("/root/repo/BENCH_DETAIL.json")
       try w.println(s"""{"total":${fmt(total)},"queries":${toJson(results)},"sf":"$sfDir"}""")
       finally w.close()
-    } catch { case _: Throwable => () }
-    val headline = results.filter { case (k, _) => k.matches("q\\d+_.*") }
-    def family(k: String): String = k match {
-      case _ if k.matches("q\\d+_.*") => "tpch"
-      case _ => k.takeWhile(_ != '_') match {
-        case p @ ("x1" | "x2" | "x3" | "x4" | "x5" | "x6" | "x7" | "x8") => p
-        case p if p.startsWith("a") => "agg"
-        case p if p.startsWith("w") => "window"
-        case p if p.startsWith("j") => "join"
-        case p if p.startsWith("f") => "func"
-        case p if p.startsWith("p") => "project"
-        case _ => "other"
-      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_DETAIL.json not written: $e")
     }
-    val famTotals = results.filter(_._2 >= 0).groupBy { case (k, _) => "fam_" + family(k) }
+    val headline = results.filter { case (k, _) => k.matches("q\\d+_.*") }
+    def family(k: String): String = k.takeWhile(_ != '_') match {
+      case p @ ("x1" | "x2" | "x3" | "x4" | "x5" | "x6" | "x7" | "x8") => p
+      case p if p.startsWith("a") => "agg"
+      case p if p.startsWith("w") => "window"
+      case p if p.startsWith("j") => "join"
+      case p if p.startsWith("f") => "func"
+      case p if p.startsWith("p") => "project"
+      case _ => "other"
+    }
+    // family totals for the non-TPC-H queries only (the TPC-H ones are
+    // already in the line individually); failed queries (-1) are
+    // excluded from totals but surfaced via n_failed
+    val famTotals = results
+      .filter { case (k, v) => v >= 0 && !k.matches("q\\d+_.*") }
+      .groupBy { case (k, _) => "fam_" + family(k) }
       .map { case (f, rs) => f -> rs.map(_._2).sum }.toSeq.sortBy(_._1)
+    val nFailed = results.count(_._2 < 0)
     val qs = toJson(headline ++ famTotals)
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

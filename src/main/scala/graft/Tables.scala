@@ -42,4 +42,13 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame     = t(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** events with the INT64-nanosecond `ts` readable as long: the
+    * testdata stores ns timestamps Spark 4 otherwise refuses; the
+    * legacy conf participates in schema inference, so it must be set
+    * BEFORE the read (previously copy-pasted into each query file). */
+  def eventsNs(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events(s, d)
+  }
 }

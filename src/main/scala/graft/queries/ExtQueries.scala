@@ -21,10 +21,6 @@ object ExtQueries {
 
   /** events.ts is INT64 epoch-nanos; make sure any session reads it
     * as long even if the driver built the session without the flag. */
-  private def eventsNs(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events(s, d)
-  }
 
   val queries: Map[String, Q] = Map(
     // ---- X4 text analysis --------------------------------------

@@ -23,10 +23,6 @@ object Parity4 {
 
   /** events.ts is INT64 epoch-nanos parquet; Spark 4 needs the legacy
     * flag to read it as long (see ExtQueries.eventsNs). */
-  private def eventsNs(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events(s, d)
-  }
 
   private val d0 = lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2))
 
@@ -160,6 +156,9 @@ object Parity4 {
         .join(pairs, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("n_supp"), col("n_part"),
           col("n_supp_part"), col("n_rows"))
+        // deterministic output order for the driver's row-order hash
+        // (the join rewrite dropped the aggregate's stable order)
+        .orderBy(col("l_returnflag"))
     },
     // Exact Pearson correlation recomposed from decimal power sums —
     // order-independent (unlike streaming corr), so results are stable
@@ -408,7 +407,7 @@ object Parity4 {
          count(DISTINCT l_partkey) AS n_part,
          count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part,
          count(*) AS n_rows
-         FROM lineitem GROUP BY l_returnflag""",
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "x6_corr_exact" ->
       """WITH s AS (SELECT l_returnflag,
            CAST(count(*) AS DOUBLE) AS n,

@@ -22,10 +22,6 @@ object Parity5 {
   import Exact._
   type Q = (SparkSession, String) => DataFrame
 
-  private def eventsNs(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events(s, d)
-  }
 
   private val d0 = lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2))
 

@@ -21,10 +21,6 @@ object Parity7 {
   import Exact._
   type Q = (SparkSession, String) => DataFrame
 
-  private def eventsNs(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events(s, d)
-  }
 
   /** Tokens per chunk for x2_chunk_dedup (cf. substring-level dedup in
     * large-corpus pipelines: drop repeated passages, keep the first

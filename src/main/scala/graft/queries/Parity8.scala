@@ -231,10 +231,6 @@ object Parity8 {
         .orderBy(col("event_id"))
     })
 
-  private def eventsNs(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events(s, d)
-  }
 
   val oracles: Map[String, String] = Map(
     "x2_source_quota" ->

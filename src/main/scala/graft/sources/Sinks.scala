@@ -53,10 +53,19 @@ object Sinks {
     val r = df.agg(
       min(col(colA).cast(LongType)), max(col(colA).cast(LongType)),
       min(col(colB).cast(LongType)), max(col(colB).cast(LongType))).head()
-    // Empty input (or all-null keys) has no min/max — nothing to
-    // cluster, write as-is.
+    // Degenerate key stats: honor the nFiles layout contract even
+    // when Z-ordering is impossible — empty/all-null-both-keys input
+    // writes nFiles plain files; one all-null key falls back to 1-D
+    // range clustering on the other (still prunes on that column).
+    if (r.isNullAt(0) && r.isNullAt(2)) {
+      df.repartition(nFiles).write.mode(mode).parquet(path)
+      return
+    }
     if (r.isNullAt(0) || r.isNullAt(2)) {
-      df.write.mode(mode).parquet(path)
+      val c = if (r.isNullAt(0)) colB else colA
+      df.repartitionByRange(nFiles, col(c))
+        .sortWithinPartitions(col(c))
+        .write.mode(mode).parquet(path)
       return
     }
     // Scale in DOUBLE: (v - lo) * 65535 in long arithmetic overflows

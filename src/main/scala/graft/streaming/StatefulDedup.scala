@@ -65,7 +65,8 @@ object StatefulDedup {
     * keeping state only for `ttl` (processing time; ZERO = forever). */
   def dedup(docs: Dataset[Doc], ttl: Duration): Dataset[Doc] = {
     import docs.sparkSession.implicits._
-    val mode = if (ttl.isZero) TimeMode.None() else TimeMode.ProcessingTime()
+    val mode = if (ttl.isZero || ttl.isNegative) TimeMode.None()
+      else TimeMode.ProcessingTime()
     docs.groupByKey(_.key)
       .transformWithState(new DedupProcessor(ttl.toMillis),
         mode, OutputMode.Append())
