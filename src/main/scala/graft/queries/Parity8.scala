@@ -163,7 +163,10 @@ object Parity8 {
       val obs = ev.groupBy(col("user_id"), col("bucket_us"))
         .agg(max_by(col("value"), col("us")).as("v"),
           count(lit(1)).as("n"))
-      val grid = ev.groupBy(col("user_id"))
+      // bounds from obs, not from raw events: the identical obs
+      // subtree lets AQE reuse the bucket aggregate's exchange, so
+      // the event scan + first aggregate run once
+      val grid = obs.groupBy(col("user_id"))
         .agg(min(col("bucket_us")).as("lo"), max(col("bucket_us")).as("hi"))
         .select(col("user_id"),
           explode(sequence(col("lo"), col("hi"), lit(step))).as("bucket_us"))
