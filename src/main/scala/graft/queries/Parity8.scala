@@ -163,19 +163,26 @@ object Parity8 {
       val obs = ev.groupBy(col("user_id"), col("bucket_us"))
         .agg(max_by(col("value"), col("us")).as("v"),
           count(lit(1)).as("n"))
-      // bounds from obs, not from raw events: the identical obs
-      // subtree lets AQE reuse the bucket aggregate's exchange, so
-      // the event scan + first aggregate run once
-      val grid = obs.groupBy(col("user_id"))
-        .agg(min(col("bucket_us")).as("lo"), max(col("bucket_us")).as("hi"))
-        .select(col("user_id"),
-          explode(sequence(col("lo"), col("hi"), lit(step))).as("bucket_us"))
-      grid.join(obs, Seq("user_id", "bucket_us"), "left")
-        .withColumn("value_ff", last(col("v"), ignoreNulls = true).over(
-          Window.partitionBy(col("user_id")).orderBy(col("bucket_us"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select(col("user_id"), col("bucket_us"), col("value_ff"),
-          coalesce(col("n"), lit(0L)).as("n_events"))
+      // Single pass over obs: each observation structurally OWNS the
+      // grid buckets up to (exclusive) the next observation — lead()
+      // gives that bound, sequence() emits the owned buckets with the
+      // value carried, so there is no dense-grid relation, no grid ⋈
+      // obs join, and no last(ignoreNulls) running window. (The
+      // grid-join formulation re-scanned events for the bounds:
+      // column pruning specializes each consumer's aggregate, the
+      // subtrees stop being byte-identical, and exchange reuse never
+      // fires — DataFrames are not CTEs.) Per-row explode width is
+      // bounded by the user's longest observation gap.
+      obs
+        .withColumn("nxt", lead(col("bucket_us"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("bucket_us"))))
+        .select(col("user_id"), col("v"), col("n"), col("bucket_us").as("ob"),
+          explode(sequence(col("bucket_us"),
+            coalesce(col("nxt") - step, col("bucket_us")), lit(step)))
+            .as("bucket_us"))
+        .select(col("user_id"), col("bucket_us"), col("v").as("value_ff"),
+          when(col("bucket_us") === col("ob"), col("n")).otherwise(lit(0L))
+            .as("n_events"))
         .orderBy(col("user_id"), col("bucket_us"))
     },
 
