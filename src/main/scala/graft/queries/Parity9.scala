@@ -136,6 +136,30 @@ object Parity9 {
         .limit(LmTopK)
     },
 
+    // ---- dbt-generic-test data-quality suite -----------------------
+    // The reference's declared-but-empty dbt test surface
+    // (unique / not_null / relationships / accepted_values) as one
+    // report: each check is a single aggregate or anti-join, the
+    // suite is a union of one-row frames — a single job, no actions
+    // inside. The strict order-status check fires (the testdata has
+    // status 'P'), so the report shape covers violations, not only
+    // zeros.
+    "dq_suite" -> { (s, d) =>
+      graft.ops.DqChecks.suite(Seq(
+        graft.ops.DqChecks.uniqueKey("unique_orders_pk",
+          orders(s, d), Seq("o_orderkey")),
+        graft.ops.DqChecks.uniqueKey("unique_lineitem_pk",
+          lineitem(s, d), Seq("l_orderkey", "l_linenumber")),
+        graft.ops.DqChecks.notNull("not_null_customer_name",
+          customer(s, d), "c_name"),
+        graft.ops.DqChecks.referentialIntegrity("ri_lineitem_orders",
+          lineitem(s, d), "l_orderkey", orders(s, d), "o_orderkey"),
+        graft.ops.DqChecks.acceptedValues("accepted_returnflag",
+          lineitem(s, d), "l_returnflag", Seq("A", "N", "R")),
+        graft.ops.DqChecks.acceptedValues("accepted_orderstatus_strict",
+          orders(s, d), "o_orderstatus", Seq("F", "O"))))
+    },
+
     // ---- deterministic train/val/test split ------------------------
     // Hash-based split assignment — the reproducibility contract of a
     // training pipeline: membership depends only on content (first
@@ -204,6 +228,38 @@ object Parity9 {
          SELECT w1, w2, c,
            CAST(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE) AS DOUBLE) AS p
          FROM w ORDER BY c DESC, w1, w2 LIMIT 30""",
+    "dq_suite" ->
+      """SELECT * FROM (
+           SELECT 'unique_orders_pk' AS check_name,
+             CAST((SELECT count(*) FROM (SELECT o_orderkey FROM orders
+               GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT)
+               AS n_violations
+           UNION ALL
+           SELECT 'unique_lineitem_pk',
+             CAST((SELECT count(*) FROM (SELECT l_orderkey, l_linenumber
+               FROM lineitem GROUP BY l_orderkey, l_linenumber
+               HAVING count(*) > 1)) AS BIGINT)
+           UNION ALL
+           SELECT 'not_null_customer_name',
+             CAST((SELECT count(*) FROM customer WHERE c_name IS NULL)
+               AS BIGINT)
+           UNION ALL
+           SELECT 'ri_lineitem_orders',
+             CAST((SELECT count(*) FROM lineitem l
+               LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+               WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)
+               AS BIGINT)
+           UNION ALL
+           SELECT 'accepted_returnflag',
+             CAST((SELECT count(*) FROM lineitem
+               WHERE l_returnflag NOT IN ('A','N','R')
+                  OR l_returnflag IS NULL) AS BIGINT)
+           UNION ALL
+           SELECT 'accepted_orderstatus_strict',
+             CAST((SELECT count(*) FROM orders
+               WHERE o_orderstatus NOT IN ('F','O')
+                  OR o_orderstatus IS NULL) AS BIGINT))
+         ORDER BY check_name""",
     "x7_split_assign" ->
       """WITH a AS (SELECT doc_id, n_chars,
              CASE WHEN substring(md5(text), 1, 2) < 'cd' THEN 'train'

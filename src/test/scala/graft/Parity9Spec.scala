@@ -73,6 +73,22 @@ class Parity9Spec extends AnyFunSuite {
     assert(top.length == 30 && top.map(_.getLong(2)).sum <= nBigrams)
   }
 
+  test("DqChecks counts planted violations per dbt-test semantics") {
+    import graft.ops.DqChecks
+    val child = Seq((1L, "a"), (1L, "b"), (2L, "c"), (9L, "d"))
+      .toDF("k", "v")                                  // k=9 is an orphan
+      .withColumn("v", when(col("v") === "d", lit(null)).otherwise(col("v")))
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = DqChecks.suite(Seq(
+      DqChecks.uniqueKey("u", child, Seq("k")),        // one duplicated KEY
+      DqChecks.notNull("n", child, "v"),               // one null
+      DqChecks.referentialIntegrity("r", child, "k", parent, "pk"),
+      DqChecks.acceptedValues("a", child, "v", Seq("a", "b", "c"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // unique counts duplicated keys (dbt), not duplicated rows
+    assert(out == Map("u" -> 1L, "n" -> 1L, "r" -> 1L, "a" -> 1L))
+  }
+
   test("x7_split_assign is disjoint, exhaustive, and deterministic") {
     val q = graft.queries.Parity9.queries("x7_split_assign")
     val a = q(spark, sf).collect()
