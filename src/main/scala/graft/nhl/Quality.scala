@@ -31,6 +31,21 @@ object Quality {
     (observed, get)
   }
 
+  /** Streaming variant of the gate: attach a NAMED observe (the
+    * `Observation` helper is batch-only — its get() would block
+    * forever on a stream); per-micro-batch values arrive in
+    * `StreamingQueryProgress.observedMetrics(name)` as a Row of
+    * `nulls_<col>` longs. Same zero-extra-scan property as the batch
+    * gate — the metric rides the micro-batch that materializes
+    * anyway. */
+  def observeNullsStream(df: DataFrame, columns: Seq[String],
+      name: String = "dq"): DataFrame = {
+    val metrics = columns.map(c =>
+      count(when(col(c).isNull, 1)).as(s"nulls_$c")) :+
+      count(lit(1)).as("rows")
+    df.observe(name, metrics.head, metrics.tail: _*)
+  }
+
   /** Run the gate eagerly (one count action) and throw on failure —
     * the batch equivalent of the reference's failing Airflow task. */
   def requireNoNulls(df: DataFrame, columns: Seq[String]): DataFrame = {

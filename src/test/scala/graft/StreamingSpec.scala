@@ -160,6 +160,27 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming observe reports the A1 null gate per micro-batch") {
+    val srcDir = s"$fx/events_obs_src"
+    Files.createDirectories(Paths.get(srcDir))
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$srcDir/events.parquet"))
+    val schema = spark.read.parquet(srcDir).schema
+    val observed = graft.nhl.Quality.observeNullsStream(
+      spark.readStream.schema(schema).parquet(srcDir),
+      Seq("props", "event_type"))
+    val q = observed.writeStream.format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dq = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("dq")))
+    assert(dq.nonEmpty)                        // metric rode the batch
+    assert(dq.map(_.getAs[Long]("rows")).sum == 1000L)
+    assert(dq.map(_.getAs[Long]("nulls_props")).sum == 0L)
+    assert(dq.map(_.getAs[Long]("nulls_event_type")).sum == 0L)
+  }
+
   test("stream-stream interval join matches the batch join") {
     import org.apache.spark.sql.streaming.Trigger
     val srcDir = s"$fx/ssj_src"
