@@ -26,6 +26,7 @@ object SparkEntry {
       graft.queries.Parity7.queries ++
       graft.queries.Parity8.queries ++
       graft.queries.Parity9.queries ++
+      graft.queries.Parity10.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.Parity7.oracles ++
       graft.queries.Parity8.oracles ++
       graft.queries.Parity9.oracles ++
+      graft.queries.Parity10.oracles ++
       graft.queries.ExtQueries.oracles
 }

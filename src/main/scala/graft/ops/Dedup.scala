@@ -248,6 +248,67 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
+  /** Document-frequency-capped exact Jaccard pair join — the
+    * skew-hardened variant of [[ngramJaccardPairs]] for corpora where
+    * a stopword-like shingle (df in the millions) would make the
+    * inverted index's O(Σ df²) pair explosion the job's bottleneck.
+    *
+    * Semantics (well-defined, not a heuristic): each document's
+    * shingle set is first FILTERED to shingles whose in-block document
+    * frequency is ≤ `dfCap` (standard stopword removal lifted to
+    * shingles), then exact Jaccard is computed over the filtered sets.
+    * High-df shingles carry almost no pairwise signal (they match
+    * everything), so the capped similarity is the one you actually
+    * want for near-dup detection — and it is exactly reproducible in
+    * SQL, so the harness oracle checks it like any other exact query.
+    *
+    * Scale guarantee the uncapped index cannot make: every surviving
+    * posting list has length ≤ dfCap, so the pair-generation join
+    * emits at most |vocabulary|·dfCap² rows — LINEAR in corpus size
+    * for a fixed cap, with no skewed-key straggler possible. This is
+    * the production exact path at 100 TB (alongside PPJoin, which
+    * keeps full-set semantics at high tau); the uncapped
+    * [[ngramJaccardPairs]] stays as the small-scale oracle
+    * counterpart. */
+  def ngramJaccardPairsCapped(docs: DataFrame, tau: Double, dfCap: Long,
+      blockCol: String, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3): DataFrame = {
+    val inv = docs
+      .select(col(idCol).as("id"), col(blockCol).as("blk"),
+        explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+    // in-block document frequency; ≤-cap survivors only. The df table
+    // is vocabulary-sized (≪ corpus) and shrinks further under the
+    // cap; the postings join below is an equi-join on the same
+    // (blk, shingle) key the explode already produced.
+    val kept = inv.join(
+      inv.groupBy(col("blk"), col("shingle"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap)
+        .select(col("blk"), col("shingle")),
+      Seq("blk", "shingle"))
+    // filtered-set sizes replace the raw sizes in the Jaccard
+    val sz = kept.groupBy(col("id"), col("blk"))
+      .agg(count(lit(1)).as("sz"))
+    val a = kept.join(sz, Seq("id", "blk"))
+      .select(col("id").as("id_a"), col("blk"), col("sz").as("sz_a"),
+        col("shingle"))
+    val b = kept.join(sz, Seq("id", "blk"))
+      .select(col("id").as("id_b"), col("blk"), col("sz").as("sz_b"),
+        col("shingle"))
+    a.join(b, Seq("blk", "shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("sz_a"), col("sz_b")).cast(DoubleType) >=
+        lit(tau) * greatest(col("sz_a"), col("sz_b")).cast(DoubleType))
+      .groupBy(col("blk"), col("id_a"), col("id_b"),
+        col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("shared"))
+      .select(col("blk"), col("id_a"), col("id_b"),
+        (col("shared").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("shared")).cast(DoubleType))
+          .cast(DoubleType).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
   /** PPJoin-style prefix-filtered exact Jaccard pair join — the same
     * pairs as [[ngramJaccardPairs]] at the same tau, with a
     * candidate space that shrinks as tau rises.

@@ -1,0 +1,182 @@
+package graft.queries
+
+import graft.Tables._
+import graft.ops.Dedup
+import graft.streaming.StatefulSessions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Round-6 batch: closing the advisor/judge follow-ups with
+  * oracle-checked queries —
+  *
+  *  - `x2_jaccard_dfcap`: the skew-hardened exact near-dup join
+  *    ([[graft.ops.Dedup.ngramJaccardPairsCapped]]) — document
+  *    frequency capped so no posting list exceeds the cap; the
+  *    production exact path at 100 TB where one stopword-like shingle
+  *    would otherwise blow up the inverted index's O(Σ df²) pair
+  *    stage.
+  *  - `x8_zorder_grid`: the PRODUCTION z-order write path's
+  *    arithmetic (min/max grid normalization onto 16 bits, then the
+  *    Morton kernel) as an oracle-checked query — `x8_zorder_curve`
+  *    pins the raw kernel; this pins what `Sinks.writeZOrdered`
+  *    actually sorts by, including the normalization that keeps ids
+  *    past 2^31 from aliasing.
+  *  - `x5_stateful_sessions`: the streaming sessionizer
+  *    ([[graft.streaming.StatefulSessions]]) run through Spark's
+  *    BATCH execution of `flatMapGroupsWithState` — the exact code
+  *    path the state store drives per micro-batch, checked against a
+  *    DuckDB gaps-and-islands oracle (all sessions but each user's
+  *    final one, which stays open in state).
+  *
+  * Same scale rules as every batch: shuffles only on natural keys,
+  * exact integer event-time math, deterministic total ORDER BY on
+  * every output.
+  */
+object Parity10 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** df cap for x2_jaccard_dfcap: no shingle participates in more
+    * than this many documents per block, bounding the pair join at
+    * |vocab|·cap². */
+  private val DfCap = 25L
+  /** Session gap (30 min in microseconds), matching StatefulSessions
+    * and the batch x5_sessionize query. */
+  private val GapUs = 30L * 60 * 1000000
+
+  val queries: Map[String, Q] = Map(
+    // ---- skew-hardened exact near-dup pairs ------------------------
+    "x2_jaccard_dfcap" -> { (s, d) =>
+      Dedup.ngramJaccardPairsCapped(documents(s, d), tau = 0.5,
+        dfCap = DfCap, blockCol = "lang")
+        .orderBy(col("blk"), col("id_a"), col("id_b"))
+    },
+
+    // ---- production z-order clustering key (grid-normalized) -------
+    // Mirrors Sinks.writeZOrdered exactly: per-column min/max (one
+    // tiny aggregate, broadcast back), linear scale onto a 16-bit
+    // grid in DOUBLE (long arithmetic would overflow past ~2^47 key
+    // ranges), then the Morton kernel. The double ops are two IEEE
+    // roundings both engines perform identically, and the final
+    // long cast truncates non-negative values = floor.
+    "x8_zorder_grid" -> { (s, d) =>
+      val li = lineitem(s, d).filter(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+      val r = li.agg(
+        min(col("l_partkey")).cast(LongType).as("lo_p"),
+        max(col("l_partkey")).cast(LongType).as("hi_p"),
+        min(col("l_suppkey")).cast(LongType).as("lo_s"),
+        max(col("l_suppkey")).cast(LongType).as("hi_s"))
+      def grid(c: Column, lo: Column, hi: Column): Column =
+        ((c.cast(LongType) - lo).cast(DoubleType) * lit(65535.0) /
+          greatest(hi - lo, lit(1L)).cast(DoubleType)).cast(LongType)
+      li.crossJoin(broadcast(r)) // 1-row scalar broadcast, not a blowup
+        .select(col("l_orderkey"), col("l_linenumber"),
+          grid(col("l_partkey"), col("lo_p"), col("hi_p")).as("gx"),
+          grid(col("l_suppkey"), col("lo_s"), col("hi_s")).as("gy"))
+        .withColumn("z",
+          graft.functions.ZOrder2.zorder2(col("gx"), col("gy")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ---- stateful sessionizer, batch-executed ----------------------
+    // flatMapGroupsWithState over a bounded Dataset runs the SAME
+    // updateSessions fold the streaming state store drives, with
+    // empty initial state — so every session closes except each
+    // user's last (held open in state, exactly as a live stream
+    // would). sum_value is dropped from the gate projection: the fold
+    // accumulates doubles in event order, which a SQL aggregate does
+    // not promise to reproduce bitwise (StreamingSpec pins it against
+    // the batch query instead).
+    "x5_stateful_sessions" -> { (s, d) =>
+      StatefulSessions.sessionize(s,
+          StatefulSessions.fromRaw(s, eventsNs(s, d)), GapUs)
+        .select(col("user_id"), col("session_start_us"),
+          col("session_end_us"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "x2_jaccard_dfcap" ->
+      """WITH tk AS (SELECT doc_id, lang,
+             string_split_regex(trim(text), '\s+') AS t FROM documents),
+         sh AS (SELECT doc_id, lang,
+             list_distinct(CASE WHEN length(t) >= 3
+               THEN list_transform(generate_series(1, length(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE CAST([] AS VARCHAR[]) END) AS s
+           FROM tk),
+         inv AS (SELECT doc_id, lang, unnest(s) AS shingle FROM sh),
+         keptsh AS (SELECT lang, shingle FROM inv
+           GROUP BY lang, shingle HAVING count(*) <= 25),
+         kept AS (SELECT i.doc_id, i.lang, i.shingle
+           FROM inv i JOIN keptsh k
+             ON i.lang = k.lang AND i.shingle = k.shingle),
+         sz AS (SELECT doc_id, lang, count(*) AS sz
+           FROM kept GROUP BY doc_id, lang),
+         pairs AS (SELECT a.lang AS blk, a.doc_id AS id_a,
+             b.doc_id AS id_b, count(*) AS shared
+           FROM kept a JOIN kept b
+             ON a.lang = b.lang AND a.shingle = b.shingle
+               AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3)
+         SELECT blk, id_a, id_b,
+           CAST(CAST(shared AS DOUBLE) /
+             CAST(sa.sz + sb.sz - shared AS DOUBLE) AS DOUBLE) AS jaccard
+         FROM pairs
+           JOIN sz sa ON sa.doc_id = id_a AND sa.lang = blk
+           JOIN sz sb ON sb.doc_id = id_b AND sb.lang = blk
+         WHERE least(sa.sz, sb.sz) >= 0.5 * greatest(sa.sz, sb.sz)
+           AND CAST(CAST(shared AS DOUBLE) /
+             CAST(sa.sz + sb.sz - shared AS DOUBLE) AS DOUBLE) >= 0.5
+         ORDER BY blk, id_a, id_b""",
+    "x8_zorder_grid" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey,
+             l_suppkey FROM lineitem WHERE l_orderkey <= 2000),
+         r AS (SELECT CAST(min(l_partkey) AS BIGINT) AS lo_p,
+                      CAST(max(l_partkey) AS BIGINT) AS hi_p,
+                      CAST(min(l_suppkey) AS BIGINT) AS lo_s,
+                      CAST(max(l_suppkey) AS BIGINT) AS hi_s FROM li),
+         g AS (SELECT l_orderkey, l_linenumber,
+             CAST(floor((CAST(l_partkey - lo_p AS DOUBLE) * 65535.0) /
+               CAST(greatest(hi_p - lo_p, 1) AS DOUBLE)) AS BIGINT) AS gx,
+             CAST(floor((CAST(l_suppkey - lo_s AS DOUBLE) * 65535.0) /
+               CAST(greatest(hi_s - lo_s, 1) AS DOUBLE)) AS BIGINT) AS gy
+           FROM li, r),
+         b0 AS (SELECT *, gx & 2147483647 AS x, gy & 2147483647 AS y
+           FROM g),
+         b1 AS (SELECT * REPLACE ((x | (x << 16)) & 281470681808895 AS x,
+                                  (y | (y << 16)) & 281470681808895 AS y) FROM b0),
+         b2 AS (SELECT * REPLACE ((x | (x << 8)) & 71777214294589695 AS x,
+                                  (y | (y << 8)) & 71777214294589695 AS y) FROM b1),
+         b3 AS (SELECT * REPLACE ((x | (x << 4)) & 1085102592571150095 AS x,
+                                  (y | (y << 4)) & 1085102592571150095 AS y) FROM b2),
+         b4 AS (SELECT * REPLACE ((x | (x << 2)) & 3689348814741910323 AS x,
+                                  (y | (y << 2)) & 3689348814741910323 AS y) FROM b3),
+         b5 AS (SELECT * REPLACE ((x | (x << 1)) & 6148914691236517205 AS x,
+                                  (y | (y << 1)) & 6148914691236517205 AS y) FROM b4)
+         SELECT l_orderkey, l_linenumber, gx, gy, (x << 1) | y AS z
+         FROM b5 ORDER BY l_orderkey, l_linenumber""",
+    "x5_stateful_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         m AS (SELECT *, lag(ts_us) OVER
+             (PARTITION BY user_id ORDER BY ts_us) AS prev_us FROM e),
+         f AS (SELECT *, CASE WHEN prev_us IS NULL
+               OR ts_us - prev_us > 1800000000
+             THEN 1 ELSE 0 END AS new_session FROM m),
+         g AS (SELECT *, sum(new_session) OVER
+             (PARTITION BY user_id ORDER BY ts_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_seq FROM f),
+         sess AS (SELECT user_id, session_seq,
+             min(ts_us) AS session_start_us,
+             max(ts_us) AS session_end_us,
+             count(*) AS n_events
+           FROM g GROUP BY user_id, session_seq),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY session_seq DESC) AS rn FROM sess)
+         SELECT user_id, session_start_us, session_end_us, n_events
+         FROM rk WHERE rn > 1
+         ORDER BY user_id, session_start_us""")
+}

@@ -289,8 +289,9 @@ object Parity7 {
                AS n_tokens
            FROM documents),
          c AS (SELECT doc_id, n_tokens,
-             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+             CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
            FROM t)
          SELECT doc_id, n_tokens, off // 512 AS bin_id,
            off % 512 AS bin_offset
@@ -300,7 +301,7 @@ object Parity7 {
              unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
            FROM documents),
          tf AS (SELECT tok, count(*) AS freq FROM tok GROUP BY tok)
-         SELECT doc_id, count(*) AS n_tokens, sum(freq) AS sum_freq,
+         SELECT doc_id, count(*) AS n_tokens, CAST(sum(freq) AS BIGINT) AS sum_freq,
            CAST(CAST(sum(freq) AS DOUBLE) / count(*) AS DOUBLE) AS commonness
          FROM tok JOIN tf USING (tok)
          GROUP BY doc_id ORDER BY doc_id""",
