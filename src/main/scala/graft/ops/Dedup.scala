@@ -205,6 +205,14 @@ object Dedup {
   /** Exact pairwise n-gram Jaccard within a blocking key (e.g. lang):
     * the oracle-checkable exact counterpart of the LSH path.
     *
+    * 100 TB NOTE: this full inverted index is O(Σ df(shingle)²) — a
+    * single stopword-like shingle makes one reducer quadratic. It is
+    * deliberately kept as the small-scale exact oracle; the
+    * PRODUCTION exact paths are [[ngramJaccardPairsCapped]] (postings
+    * bounded at dfCap → linear, skew-proof) and
+    * [[ngramJaccardPairsPrefix]] (PPJoin, full-set semantics at high
+    * tau).
+    *
     * Inverted-index shape, not a cross join: explode shingles, join
     * docs on (block, shingle), count shared shingles per pair, then
     * jaccard = shared / (|A| + |B| - shared) from integer counts —

@@ -100,11 +100,14 @@ object ExtQueries {
       Similarity.cosinePairsBlocked(embeddings(s, d), tau = 0.3,
         blockCol = "label")
     },
-    // LSH-bucketed ANN — no SQL oracle; rows-only + ScalaTest.
+    // LSH-bucketed ANN — no SQL oracle; rows-only here, measured
+    // recall@5 vs brute force pinned in RecallSpec. 8 tables of 6
+    // bits: single-table recall collapses on moderate-similarity
+    // neighbors (p^6), multi-table is the standard production shape.
     "x3_ann_lsh" -> { (s, d) =>
       val emb = embeddings(s, d)
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 3), dim = 64,
-        k = 5, nBits = 6)
+        k = 5, nBits = 6, nTables = 8, multiprobe = true)
     },
     // IVF-list ANN — no SQL oracle; rows-only + ScalaTest.
     "x3_ann_ivf" -> { (s, d) =>

@@ -150,4 +150,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"),
       "total sort funnels through one partition:\n" + p)
   }
+
+  test("mart: scan + 2 broadcast joins + exactly one shuffle (the distinct)") {
+    // the claim in nhl/Mart.scala: team_statistics is a per-season
+    // 32-row dim, so at 100 TB of games the mart is scan + 2 BHJ +
+    // one exchange for the union-distinct — pin it like q2/seq_pack
+    val p = planOf("mart_join_union")
+    // count tree lines only ("- X (n)"); the formatted detail section
+    // repeats every node name once more
+    assert("- BroadcastHashJoin ".r.findAllIn(p).size == 2,
+      "mart must join its dim twice as broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "a mart dim join regressed to SMJ:\n" + p)
+    // "- Exchange (" matches only shuffle exchanges in formatted
+    // plans (BroadcastExchange prints as "- BroadcastExchange (")
+    assert("- Exchange \\(".r.findAllIn(p).size == 1,
+      "mart must shuffle exactly once (union-distinct):\n" + p)
+  }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Measured-recall gates for the approximate operators whose harness
+  * queries are rows-only (no SQL oracle can express an approximate
+  * result): instead of rows>0, pin recall against the EXACT
+  * counterpart on the sf0.01 gate data with the exact harness
+  * parameters. A regression in banding, bucketing, or list probing
+  * now fails CI with a number, not a shrug.
+  */
+class RecallSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.01"
+
+  test("x2_minhash_lsh: pair recall vs exact jaccard >= 0.9 at sf0.01") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.ngramJaccardPairs(docs, tau = 0.5, blockCol = "lang")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDupPairs(docs, tau = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "gate data must contain exact near-dup pairs")
+    val recall = (lsh & exact).size.toDouble / exact.size
+    info(f"minhash LSH pair recall = $recall%.3f (${(lsh & exact).size}/${exact.size})")
+    assert(recall >= 0.9, f"recall $recall%.3f < 0.9")
+  }
+
+  /** Exact top-k ids per probe from the brute-force scan. */
+  private def bruteTopK(probes: Seq[Long], k: Int): Map[Long, Set[Long]] = {
+    val emb = Tables.embeddings(spark, sf)
+    probes.map { p =>
+      p -> Similarity.knnBruteForce(emb, p, k)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }.toMap
+  }
+
+  private def recallAtK(got: Map[Long, Set[Long]],
+      truth: Map[Long, Set[Long]], k: Int): Double =
+    truth.keys.toSeq.map { p =>
+      (got.getOrElse(p, Set.empty) & truth(p)).size.toDouble / k
+    }.sum / truth.size
+
+  test("x3_ann_lsh: recall@5 vs brute force >= 0.8 at sf0.01 (harness params)") {
+    val emb = Tables.embeddings(spark, sf)
+    val probes = Seq(0L, 1L, 2L)
+    val truth = bruteTopK(probes, 5)
+    val ann = Similarity.annTopK(emb, emb.filter(col("vec_id") < 3),
+        dim = 64, k = 5, nBits = 6, nTables = 8, multiprobe = true)
+      .select("probe_id", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val r = recallAtK(ann, truth, 5)
+    info(f"LSH ANN recall@5 = $r%.3f")
+    assert(r >= 0.8, f"recall@5 $r%.3f < 0.8")
+  }
+
+  test("x3_ann_ivf: recall@5 vs brute force >= 0.8 at sf0.01 (harness params)") {
+    val emb = Tables.embeddings(spark, sf)
+    val probes = Seq(0L, 1L, 2L)
+    val truth = bruteTopK(probes, 5)
+    val ivf = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3),
+        k = 5, nLists = 16, nProbe = 4)
+      .select("probe_id", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val r = recallAtK(ivf, truth, 5)
+    info(f"IVF ANN recall@5 = $r%.3f")
+    assert(r >= 0.8, f"recall@5 $r%.3f < 0.8")
+  }
+}

@@ -280,4 +280,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
+
+  test("SCD2 ordering contract: an out-of-order batch throws, in-order folds") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import StatefulScd2.{Change, Current, Interval}
+    def state(cur: Option[Current]): TestGroupState[Current] =
+      TestGroupState.create[Current](
+        cur.map(Optional.of[Current]).getOrElse(Optional.empty[Current]()),
+        GroupStateTimeout.NoTimeout(), 0L, Optional.empty(), false)
+    // a batch event OLDER than the stored open interval must fail
+    // loudly (mis-partitioned CDC source), not corrupt history
+    val stale = state(Some(Current("login", 100L, 200L, 1L)))
+    val ex = intercept[IllegalStateException] {
+      StatefulScd2.updateScd2(7L,
+        Iterator(Change(7L, 150L, 2L, "logout")), stale).toList
+    }
+    assert(ex.getMessage.contains("ordering contract"))
+    // the in-order continuation closes the open interval exactly
+    val ok = state(Some(Current("login", 100L, 200L, 1L)))
+    val closed = StatefulScd2.updateScd2(7L,
+      Iterator(Change(7L, 300L, 2L, "logout")), ok).toList
+    assert(closed == List(Interval(7L, "login", 100L, 299L)))
+    assert(ok.get == Current("logout", 300L, 300L, 2L))
+  }
 }

@@ -81,4 +81,42 @@ class ZOrderSpec extends AnyFunSuite {
     assert(spans.getDouble(1) < globalS * 0.6,
       s"suppkey span ${spans.getDouble(1)} vs global $globalS")
   }
+
+  test("writeZOrdered survives empty, all-null, and one-null-key input") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zdeg").toFile
+    dir.deleteOnExit()
+    // empty input: layout contract honored, no head() NPE
+    sources.Sinks.writeZOrdered(
+      Seq.empty[(Long, Long)].toDF("a", "b"), s"$dir/empty", "a", "b", 4)
+    assert(spark.read.parquet(s"$dir/empty").count() == 0)
+    // both keys all-null: plain nFiles layout, rows preserved
+    val nulls = Seq[(java.lang.Long, java.lang.Long)](
+      (null, null), (null, null), (null, null))
+      .toDF("a", "b")
+    sources.Sinks.writeZOrdered(nulls, s"$dir/nulls", "a", "b", 2)
+    assert(spark.read.parquet(s"$dir/nulls").count() == 3)
+    // one all-null key: falls back to 1-D range clustering on the other
+    val oneNull = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, null), (5L, null), (9L, null), (2L, null))
+      .toDF("a", "b")
+    sources.Sinks.writeZOrdered(oneNull, s"$dir/onenull", "a", "b", 2)
+    val back = spark.read.parquet(s"$dir/onenull")
+    assert(back.count() == 4)
+    assert(back.agg(sum("a")).head().getLong(0) == 17L)
+  }
+
+  test("graft_zorder2 SQL path coerces ints, rejects non-numeric args") {
+    functions.ZOrder2.register(spark)
+    // declared inputTypes make the analyzer widen INT -> LONG
+    val z = spark.sql(
+      "SELECT graft_zorder2(CAST(3 AS INT), CAST(5 AS INT)) AS z")
+      .head().getLong(0)
+    assert(z == functions.ZOrder2.compute(3L, 5L))
+    // a non-coercible argument is an ANALYSIS error, not a runtime
+    // ClassCastException deep in codegen
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_zorder2(array(1L), 2L)").collect()
+    }
+  }
 }
