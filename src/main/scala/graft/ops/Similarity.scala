@@ -165,23 +165,85 @@ object Similarity {
             .otherwise(lit(0L)))
       })
 
+  /** Spherical k-means (Lloyd's) centroid builder for the IVF index:
+    * deterministic seeding (the k lowest-id vectors), cosine
+    * assignment, per-dimension mean recentering, `iters` rounds.
+    *
+    * Scale: each round is one broadcast-argmax assignment (map-only;
+    * the per-id rank window shuffles on id, same family as the IVF
+    * assignment itself) plus a (k·dim)-sized mean aggregate — the
+    * centroid table is broadcast state by definition, exactly the
+    * k-means shape every ANN build pipeline (FAISS-style IVF
+    * training) runs at scale. Lineage is truncated per round so the
+    * iterated plan does not grow. An emptied cluster keeps its
+    * previous centroid (k never silently shrinks). */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var cents: DataFrame = emb.orderBy(col(idCol).asc).limit(k)
+      .select(col(idCol).as("seed_id"), col(vecCol).as("centroid"))
+      .withColumn("cent_id",
+        row_number().over(Window.orderBy(col("seed_id"))) - 1)
+      .select(col("cent_id"), col("centroid"))
+      .localCheckpoint()
+    val base = emb.select(col(idCol).as("id"),
+        quantize(col(vecCol)).as("q"), col(vecCol).as("v"))
+      .withColumn("n2", dotScaled(col("q"), col("q")))
+    val assignW = Window.partitionBy(col("id"))
+      .orderBy(col("cent_sim").desc, col("cent_id").asc)
+    for (_ <- 1 to iters) {
+      val cq = broadcast(cents
+        .select(col("cent_id"), quantize(col("centroid")).as("cq"))
+        .withColumn("cn2", dotScaled(col("cq"), col("cq"))))
+      val assigned = base.crossJoin(cq)
+        .withColumn("cent_sim",
+          cosineFromScaled(dotScaled(col("q"), col("cq")),
+            col("n2"), col("cn2")))
+        .withColumn("rk", row_number().over(assignW))
+        .filter(col("rk") === 1)
+        .select(col("cent_id"), col("v"))
+      val recentered = assigned
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(avg(col("x").cast(DoubleType)).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("cent_id"),
+          transform(col("pm"), p => p.getField("m")).as("centroid"))
+      cents = cents.alias("o")
+        .join(recentered.alias("n"), Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("n.centroid"), col("o.centroid")).as("centroid"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   /** IVF-style ANN: partition vectors into `nLists` inverted lists by
-    * nearest centroid (centroids = a deterministic sample — the
-    * lowest-id vectors, broadcast); probes search only their
-    * `nProbe` nearest lists, candidates ranked by exact cosine.
+    * nearest centroid; probes search only their `nProbe` nearest
+    * lists, candidates ranked by exact cosine.
+    *
+    * Centroids come from `centroids` (schema: cent_id, centroid —
+    * typically [[kmeansCentroids]]); when absent, a deterministic
+    * sample (the lowest-id vectors) seeds the lists, which is only
+    * adequate for ad-hoc probes — trained centroids balance list
+    * sizes and recall (RecallSpec measures both).
     *
     * Scale: assignment is a map-only broadcast argmax; the search is
     * an equi-join on list id — cost O(n/nLists · nProbe) per probe
-    * instead of O(n). A production build would plug k-means centroids
-    * into the same plan; the join shape is identical. */
+    * instead of O(n). */
   def ivfTopK(emb: DataFrame, probes: DataFrame, k: Int = 10,
-      nLists: Int = 16, nProbe: Int = 4, idCol: String = "vec_id",
+      nLists: Int = 16, nProbe: Int = 4,
+      centroids: Option[DataFrame] = None, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = broadcast(
+    val centSrc = centroids.getOrElse(
       emb.orderBy(col(idCol).asc).limit(nLists)
-        .select(col(idCol).as("cent_id"), quantize(col(vecCol)).as("cq"))
-        .withColumn("cn2", dotScaled(col("cq"), col("cq"))))
+        .select(col(idCol).as("cent_id"), col(vecCol).as("centroid")))
+    val cents = broadcast(centSrc
+      .select(col("cent_id"), quantize(col("centroid")).as("cq"))
+      .withColumn("cn2", dotScaled(col("cq"), col("cq"))))
     val base = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
       .withColumn("n2", dotScaled(col("q"), col("q")))
     // assign every vector to its best centroid (rank-1 over the

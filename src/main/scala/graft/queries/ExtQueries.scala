@@ -109,11 +109,13 @@ object ExtQueries {
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 3), dim = 64,
         k = 5, nBits = 6, nTables = 8, multiprobe = true)
     },
-    // IVF-list ANN — no SQL oracle; rows-only + ScalaTest.
+    // IVF-list ANN over k-means-trained lists — no SQL oracle;
+    // rows-only here, recall pinned in RecallSpec.
     "x3_ann_ivf" -> { (s, d) =>
       val emb = embeddings(s, d)
+      val cents = Similarity.kmeansCentroids(emb, k = 16, iters = 3)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3), k = 5,
-        nLists = 16, nProbe = 4)
+        nLists = 16, nProbe = 4, centroids = Some(cents))
     },
 
     // As-of (backward) join: enrich each event with the customer's

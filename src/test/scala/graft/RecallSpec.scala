@@ -61,12 +61,17 @@ class RecallSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, sf)
     val probes = Seq(0L, 1L, 2L)
     val truth = bruteTopK(probes, 5)
-    val ivf = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3),
-        k = 5, nLists = 16, nProbe = 4)
-      .select("probe_id", "id").collect()
-      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val r = recallAtK(ivf, truth, 5)
-    info(f"IVF ANN recall@5 = $r%.3f")
-    assert(r >= 0.8, f"recall@5 $r%.3f < 0.8")
+    def run(cents: Option[org.apache.spark.sql.DataFrame]) =
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3),
+          k = 5, nLists = 16, nProbe = 4, centroids = cents)
+        .select("probe_id", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val seeded = recallAtK(run(None), truth, 5)
+    val trained = recallAtK(run(Some(
+      Similarity.kmeansCentroids(emb, k = 16, iters = 3))), truth, 5)
+    info(f"IVF ANN recall@5: lowest-id seeds = $seeded%.3f, k-means = $trained%.3f")
+    assert(trained >= 0.8, f"trained recall@5 $trained%.3f < 0.8")
+    assert(trained >= seeded - 1e-9,
+      "k-means training must not lose recall vs naive seeding")
   }
 }
