@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables._
 import graft.ops.Dedup
+import graft.sources.HtmlTable
 import graft.streaming.StatefulSessions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -95,6 +96,73 @@ object Parity10 {
         .select(col("user_id"), col("session_start_us"),
           col("session_end_us"), col("n_events"))
         .orderBy(col("user_id"), col("session_start_us"))
+    },
+
+    // ---- S1: in-engine HTML table extraction -----------------------
+    // Round-trip identity: render `nation` as an HTML page (header
+    // row, entity-bearing cells, a SECOND table that must be
+    // ignored), then recover the relation with the map-only
+    // HtmlTable parser. The oracle is a plain SELECT — equality
+    // proves first-table selection, tag stripping, entity decode,
+    // whitespace trim, and header-row drop all behave like the
+    // reference's read_html step. Parsing is per-document Catalyst
+    // regex (no UDF, no driver): landed pages scale with the scan.
+    "s1_html_table" -> { (s, d) =>
+      val page = nation(s, d).agg(
+        concat(
+          lit("<html><body><h1>Standings &amp; stats</h1>" +
+            "<table class=\"stats\"><tr><th>key</th><th>name</th>" +
+            "<th>region</th></tr>"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("n_nationkey"),
+              format_string(
+                "<tr><td> %d </td><td><b>%s</b> &amp; co</td><td>%d</td></tr>",
+                col("n_nationkey"), col("n_name"), col("n_regionkey"))
+                .as("rh")))),
+            r => r.getField("rh")), ""),
+          lit("</table><table><tr><td>decoy second table</td></tr>" +
+            "</table></body></html>")).as("html"))
+      page.select(explode(HtmlTable.tableRows(col("html"))).as("cells"))
+        .filter(col("cells").getItem(0).rlike("^[0-9]+$")) // drop header
+        .select(
+          col("cells").getItem(0).cast(LongType).as("n_nationkey"),
+          col("cells").getItem(1).as("cell_name"),
+          col("cells").getItem(2).cast(LongType).as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    },
+
+    // ---- S2: in-engine REST JSON extraction ------------------------
+    // The parse half of the reference's SportRadar pull
+    // (dags/nhl_api_dag.py:76-106): landed response documents ->
+    // guard on payload presence ('games' key, ref :97) -> flatten
+    // records. Responses are rendered in-query (one document per
+    // order priority + one games-less error document that the guard
+    // must skip); the oracle is a plain SELECT over the same rows.
+    // The extraction path — presence guard + from_json + inline — is
+    // map-only over documents, so a lake of landed responses parses
+    // at scan parallelism.
+    "s2_rest_json" -> { (s, d) =>
+      val docs = orders(s, d).filter(col("o_orderkey") <= 2000)
+        .groupBy(col("o_orderpriority"))
+        .agg(to_json(struct(
+          lit("sched").as("feed"),
+          transform(
+            array_sort(collect_list(struct(
+              col("o_orderkey").as("id"),
+              col("o_custkey").as("cust"),
+              col("o_orderstatus").as("status")))),
+            g => g).as("games"))).as("doc"))
+        .select(col("doc"))
+        .union(s.sql(
+          """SELECT '{"feed":"sched","error":"no data"}' AS doc"""))
+      docs
+        .filter(get_json_object(col("doc"), "$.games").isNotNull)
+        .select(inline(from_json(
+          get_json_object(col("doc"), "$.games"),
+          org.apache.spark.sql.types.DataTypes.createArrayType(
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "id BIGINT, cust BIGINT, status STRING")))))
+        .orderBy(col("id"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -158,6 +226,14 @@ object Parity10 {
                                   (y | (y << 1)) & 6148914691236517205 AS y) FROM b4)
          SELECT l_orderkey, l_linenumber, gx, gy, (x << 1) | y AS z
          FROM b5 ORDER BY l_orderkey, l_linenumber""",
+    "s1_html_table" ->
+      """SELECT n_nationkey, n_name || ' & co' AS cell_name,
+           n_regionkey
+         FROM nation ORDER BY n_nationkey""",
+    "s2_rest_json" ->
+      """SELECT o_orderkey AS id, o_custkey AS cust,
+           o_orderstatus AS status
+         FROM orders WHERE o_orderkey <= 2000 ORDER BY id""",
     "x5_stateful_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
          m AS (SELECT *, lag(ts_us) OVER

@@ -9,6 +9,30 @@ import graft.sources.Sinks
 class SinksSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("HtmlTable: first table only, tags stripped, entities decoded") {
+    import graft.sources.HtmlTable
+    import spark.implicits._
+    val page =
+      """<html><body><p>intro</p>
+        |<table id="t1"><tr><th>K</th><th>V</th></tr>
+        |<tr><td> 1 </td><td><a href="/x">A &amp; B</a></td></tr>
+        |<tr><td>2</td><td>&lt;tag&gt; &nbsp;ok&#39;s</td></tr></table>
+        |<table id="t2"><tr><td>ignored</td></tr></table>
+        |</body></html>""".stripMargin
+    val rows = Seq(page).toDF("html")
+      .select(HtmlTable.tableRows(col("html")).as("rows"))
+      .head().getSeq[scala.collection.Seq[String]](0).map(_.toList)
+    assert(rows == Seq(
+      List("K", "V"),
+      List("1", "A & B"),
+      List("2", "<tag>  ok's")))
+    // no table -> no rows, not an error
+    val none = Seq("<html><body>nothing here</body></html>").toDF("html")
+      .select(HtmlTable.tableRows(col("html")).as("r"))
+      .head().getSeq[Any](0)
+    assert(none.isEmpty)
+  }
+
   test("ORC round-trip preserves schema and rows (alt columnar source)") {
     val out = s"${TestSpark.fixtures}/orc_li_${System.nanoTime()}"
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
