@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale-up experiment: replicate sf0.1 into an sf1-equivalent
+  * (consistent key offsets so every join key keeps referential
+  * integrity; dimension tables nation/region stay single — exactly
+  * how real warehouses scale), then run a headline-query subset at
+  * BOTH scales in one JVM and report the per-query scale factor.
+  *
+  * What this demonstrates that sf0.1 alone cannot: whether each
+  * plan's cost is linear in the fact size (scan-bound aggregates,
+  * broadcast-dim joins, map-only text kernels ≈ 10×), or carries a
+  * super-linear term that a 1000× cluster would hit (pair
+  * explosions, global sorts are n·log n, candidate joins grow with
+  * duplicate density). Measured numbers live in SCALE.md.
+  *
+  * Run: sbt "runMain graft.ScaleBench"   (regenerates target/sf1 if absent)
+  */
+object ScaleBench {
+
+  /** columns offset per replica so keys stay unique AND consistent
+    * across tables (same offset rule for both sides of every FK). */
+  private val KeyOffsets: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "customer" -> Seq("c_custkey"),
+    "part" -> Seq("p_partkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "events" -> Seq("event_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+  private val Offset = 100000000L // > any sf0.1 key; replicas stay disjoint
+
+  /** Write `copies` key-shifted unions of every fact with an
+    * IDENTICAL 32-file layout per scale. Layout parity matters more
+    * than it looks: the driver's sf0.1 files are single-row-group
+    * parquet, and one row group = ONE scan task no matter the core
+    * count — comparing against them would measure file layout, not
+    * data volume. (That finding is itself in SCALE.md: row-group
+    * sizing is the scan-parallelism knob at 100 TB.) */
+  def replicate(spark: SparkSession, srcDir: String, outDir: String,
+      copies: Int): Unit = {
+    KeyOffsets.foreach { case (table, keys) =>
+      val src = Tables.t(spark, srcDir, table)
+      val shifted = (0 until copies).map { i =>
+        keys.foldLeft(src) { (df, k) =>
+          df.withColumn(k, col(k) + lit(i * Offset))
+        }
+      }
+      shifted.reduce(_ union _).repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    }
+    // dims stay single-copy: FKs (c_nationkey, s_nationkey) still land
+    Seq("nation", "region").foreach { table =>
+      Tables.t(spark, srcDir, table)
+        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    }
+  }
+
+  /** headline subset: one per plan family, none with sf-pinned
+    * literal key filters (those measure the filter, not the scale).
+    * x2_minhash_lsh runs only up to 10 copies: replication gives
+    * every document 10/100 exact clones, and candidate PAIRS grow
+    * quadratically in clone multiplicity — a replication artifact
+    * (real corpora don't clone every doc 100×), but itself a useful
+    * measured fact about pair-join operators (see SCALE.md). */
+  private val Subset = Seq(
+    "q1_agg", "q3_top_revenue", "q6_filter_agg", "q9_profit",
+    "q18_having", "j10_large_smj", "q21_waiting",
+    "x1_dedup_exact", "x2_minhash_lsh", "x4_quality_score",
+    "x5_sessionize", "x8_total_sort")
+  private val SkipAt100 = Set("x2_minhash_lsh")
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // three tiers, identical 32-file layout: 1x, 10x, 100x sf0.1
+    val tiers = Seq(1 -> "target/sf01rw", 10 -> "target/sf1",
+      100 -> "target/sf10")
+    tiers.foreach { case (c, dir) =>
+      if (!Files.exists(Paths.get(s"$dir/lineitem.parquet")))
+        replicate(spark, src, dir, copies = c)
+    }
+
+    def time(name: String, d: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, d)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warmup (codegen/JIT) untimed at the small scale
+    time("q1_agg", src)
+
+    // min of 2 runs per point damps JIT/GC noise
+    def best(name: String, d: String): Double =
+      math.min(time(name, d), time(name, d))
+    val rows = Subset.map { name =>
+      val t1 = best(name, tiers(0)._2)
+      val t10 = best(name, tiers(1)._2)
+      val t100 = if (SkipAt100(name)) -1.0 else best(name, tiers(2)._2)
+      (name, t1, t10, t100)
+    }
+    val json = rows.map { case (n, t1, t10, t100) =>
+      val r = if (t100 > 0) f"${t100 / t10}%.2f" else "null"
+      f""""$n":{"x1_sec":$t1%.3f,"x10_sec":$t10%.3f,""" +
+        f""""x100_sec":$t100%.3f,"r10":${t10 / t1}%.2f,"r100":$r}"""
+    }.mkString("{", ",", "}")
+    System.err.println(s"[scalebench] $json")
+    val c100 = rows.filter(_._4 > 0)
+    println(f"""{"metric":"scaleup","x1_total":${rows.map(_._2).sum}%.2f,""" +
+      f""""x10_total":${rows.map(_._3).sum}%.2f,""" +
+      f""""x100_total":${c100.map(_._4).sum}%.2f,""" +
+      f""""r100_over_r10":${c100.map(_._4).sum / c100.map(_._3).sum}%.2f,""" +
+      s""""n_queries":${rows.size}}""")
+    spark.stop()
+  }
+}
