@@ -189,19 +189,21 @@ object Similarity {
     val base = emb.select(col(idCol).as("id"),
         quantize(col(vecCol)).as("q"), col(vecCol).as("v"))
       .withColumn("n2", dotScaled(col("q"), col("q")))
-    val assignW = Window.partitionBy(col("id"))
-      .orderBy(col("cent_sim").desc, col("cent_id").asc)
     for (_ <- 1 to iters) {
       val cq = broadcast(cents
         .select(col("cent_id"), quantize(col("centroid")).as("cq"))
         .withColumn("cn2", dotScaled(col("cq"), col("cq"))))
+      // argmax as a hash aggregate (map-side combine, no per-id sort):
+      // max of (sim, -cent_id, payload) structs — the unique -cent_id
+      // makes the tie-break deterministic before any array compare
       val assigned = base.crossJoin(cq)
         .withColumn("cent_sim",
           cosineFromScaled(dotScaled(col("q"), col("cq")),
             col("n2"), col("cn2")))
-        .withColumn("rk", row_number().over(assignW))
-        .filter(col("rk") === 1)
-        .select(col("cent_id"), col("v"))
+        .groupBy(col("id"))
+        .agg(max(struct(col("cent_sim"), (-col("cent_id")).as("nci"),
+          col("v"))).as("m"))
+        .select((-col("m.nci")).as("cent_id"), col("m.v").as("v"))
       val recentered = assigned
         .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cent_id"), col("pos"))
@@ -246,16 +248,18 @@ object Similarity {
       .withColumn("cn2", dotScaled(col("cq"), col("cq"))))
     val base = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
       .withColumn("n2", dotScaled(col("q"), col("q")))
-    // assign every vector to its best centroid (rank-1 over the
-    // broadcast cross of nLists candidates)
-    val assignW = Window.partitionBy(col("id"))
-      .orderBy(col("cent_sim").desc, col("cent_id").asc)
+    // assign every vector to its best centroid: argmax as a hash
+    // aggregate over the broadcast cross of nLists candidates —
+    // map-side combine, no per-id sort (deterministic tie-break via
+    // the unique -cent_id struct field)
     val assigned = base.crossJoin(cents)
       .withColumn("cent_sim",
         cosineFromScaled(dotScaled(col("q"), col("cq")), col("n2"), col("cn2")))
-      .withColumn("rk", row_number().over(assignW))
-      .filter(col("rk") === 1)
-      .select(col("id"), col("q"), col("n2"), col("cent_id"))
+      .groupBy(col("id"))
+      .agg(max(struct(col("cent_sim"), (-col("cent_id")).as("nci"),
+        col("q"), col("n2"))).as("m"))
+      .select(col("id"), col("m.q").as("q"), col("m.n2").as("n2"),
+        (-col("m.nci")).as("cent_id"))
     // probes pick their nProbe nearest lists
     val probeW = Window.partitionBy(col("probe_id"))
       .orderBy(col("cent_sim").desc, col("cent_id").asc)
