@@ -51,6 +51,40 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("df-capped jaccard == full inverted index at an infinite cap") {
+    // with no shingle dropped, the capped operator must be the
+    // identical exact join (sets, sizes, and jaccard values)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val full = canon(Dedup.ngramJaccardPairs(docs, tau = 0.5, blockCol = "lang"))
+    val capped = canon(Dedup.ngramJaccardPairsCapped(docs, tau = 0.5,
+      dfCap = Long.MaxValue, blockCol = "lang"))
+    assert(capped == full)
+    assert(full.nonEmpty)
+  }
+
+  test("df cap drops stopword-shingle pairs, keeps rare-shingle pairs") {
+    // 30 docs share ONE ubiquitous shingle ("alpha beta gamma") plus
+    // unique filler; docs 101/102 additionally share rare content.
+    // At dfCap=10 the ubiquitous shingle (df=32 > 10) is dropped from
+    // every set, so only the rare-content pair survives.
+    val stop = "alpha beta gamma"
+    val crowd = (1L to 30L).map(i =>
+      (i, s"$stop filler$i word$i token$i extra$i", "en"))
+    val nd = Seq(
+      (101L, s"$stop rare shared content lives here exactly", "en"),
+      (102L, s"$stop rare shared content lives here tonight", "en"))
+    val docs = docsDf(crowd ++ nd)
+    val pairs = Dedup.ngramJaccardPairsCapped(docs, tau = 0.3,
+        dfCap = 10L, blockCol = "lang")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((101L, 102L)),
+      s"expected only the rare-content pair, got $pairs")
+  }
+
   test("PPJoin prefix filter finds exactly the inverted-index pairs") {
     // the prefix filter is a pure candidate-space reduction: on real
     // sf0.001 documents the verified pairs (ids AND jaccard values)
