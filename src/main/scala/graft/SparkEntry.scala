@@ -27,6 +27,7 @@ object SparkEntry {
       graft.queries.Parity8.queries ++
       graft.queries.Parity9.queries ++
       graft.queries.Parity10.queries ++
+      graft.queries.Parity11.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.queries.Parity8.oracles ++
       graft.queries.Parity9.oracles ++
       graft.queries.Parity10.oracles ++
+      graft.queries.Parity11.oracles ++
       graft.queries.ExtQueries.oracles
 }

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Binned point-in-interval range join (SURVEY.md §2.8 X5 family —
+  * the interval analog of the as-of join).
+  *
+  * A naive `points JOIN intervals ON lo <= p AND p <= hi` has no
+  * equi-key, so Spark plans BroadcastNestedLoopJoin — O(|points| ×
+  * |intervals|) comparisons and a broadcast of a whole side; at
+  * 100 TB it is the canonical scale-killer. The standard fix (as in
+  * production range-join optimizers) is binning: pick a bin width W,
+  * explode each interval onto the bins it covers
+  * (`sequence(lo div W, hi div W)` — one output row per covered bin),
+  * map each point to its single bin, and equi-join on the bin before
+  * re-checking the exact predicate.
+  *
+  * A point lies in exactly one bin, so every qualifying
+  * (point, interval) pair meets in exactly one bin — no post-join
+  * dedup. Cost: shuffle of |points| + Σ(span/W) interval rows, then
+  * hash/sort-merge join — fully partitioned by bin, no broadcast of
+  * a big side, no nested loop. Choose W near the median interval
+  * span: smaller W → more interval replication; larger W → more
+  * false candidates filtered by the residual predicate.
+  */
+object RangeJoin {
+
+  /** Join `points` to the `intervals` whose [lo, hi] (inclusive)
+    * contains the point. All three key columns must be integral
+    * (epoch-days, epoch-micros, ids…); `binWidth` is in the same
+    * unit. Non-key columns of both inputs are carried through.
+    */
+  def pointInInterval(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // Floor division also for negative keys (epoch-days pre-1970):
+    // Spark's `div` truncates toward zero, so build floor from it.
+    def binOf(c: Column): Column = {
+      val q = call_function("div", c.cast(LongType), lit(binWidth))
+      when(c.cast(LongType) < 0 && pmod(c.cast(LongType), lit(binWidth)) =!= 0,
+        q - 1).otherwise(q)
+    }
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(binOf(col(loCol)), binOf(col(hiCol)))))
+    val pt = points.withColumn("__bin", binOf(col(pointCol)))
+    pt.join(iv, Seq("__bin"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bin")
+  }
+}

@@ -112,6 +112,30 @@ object TextOps {
   def shingleHashes(text: Column, n: Int = 3): Column =
     transform(shingles(text, n), s => xxhash64(s))
 
+  /** POSITIONAL n-gram shingle sequence — NOT deduplicated, one entry
+    * per token position, in document order. This is the sequence
+    * faithful winnowing slides over (repeated shingles keep their
+    * positions); `shingles` is the distinct SET the set-similarity
+    * ops (Jaccard / MinHash) consume. Same zipped-slice build as
+    * `shinglesHof`, minus the distinct. */
+  def shingleSeq(toks: Column, n: Int = 3): Column = {
+    val cnt = size(toks) - (n - 1)
+    val slices = (0 until n).map(k => slice(toks, lit(k + 1), cnt))
+    val zipped = slices.reduce((acc, s) =>
+      zip_with(acc, s, (a, b) => concat(a, lit(" "), b)))
+    when(size(toks) >= n, zipped).otherwise(array().cast("array<string>"))
+  }
+
+  /** Oracle-expressible 60-bit content hash: the first 15 hex digits
+    * of md5, read as an integer. Unlike xxhash64 (Spark-private
+    * seed/variant), any engine with md5 reproduces it bit-for-bit —
+    * so fingerprint pipelines built on it are cross-checkable against
+    * a SQL oracle. 2^60 space keeps birthday collisions negligible at
+    * corpus scale (~10^9 shingles → ~3e-4 collision odds per pair
+    * set); codegen'd md5 + conv, no UDF. */
+  def polyHash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast(LongType)
+
   /** Winnow from a BOUND hash-array column. Callers on big data must
     * bind `shingleHashes` to a named column first — passing the hash
     * expression directly re-evaluates it per window (the nested-HOF
