@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     // auto-rewrite row_number-top-k windows into the heap operator
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
+    // auto-rewrite pure BETWEEN joins into the binned equi-join
+    // (opt-in via spark.graft.rangeJoin.binWidth)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewriteRule)
 
     ext.injectFunction((
       FunctionIdentifier(functions.MinHashSig.FuncName),

@@ -1,0 +1,151 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Optimizer rule (opt-in): rewrites a pure point-in-interval
+  * non-equi inner join
+  *
+  *   points JOIN intervals ON p >= lo AND p <= hi      -- no equi key
+  *
+  * into the binned equi-join [[graft.ops.RangeJoin]] implements at the
+  * DataFrame level — so SQL users and ad-hoc BETWEEN joins get the
+  * scale-safe plan automatically. Without the rewrite Spark has no
+  * equi key to hash on and plans BroadcastNestedLoopJoin: O(|points| ×
+  * |intervals|) comparisons and a full broadcast of one side — the
+  * canonical 100 TB scale-killer.
+  *
+  * Rewrite (bin width W from `spark.graft.rangeJoin.binWidth`):
+  *   - interval side gains `explode(sequence(floor(lo/W), floor(hi/W)))`
+  *     (a Generate node — one row per covered bin);
+  *   - point side gains `floor(p/W)` (a Project);
+  *   - the join becomes `ptBin = ivBin AND <original condition>` — an
+  *     equi-join Spark plans as shuffle hash / sort-merge, with the
+  *     original range predicate kept as the exact residual filter.
+  *
+  * A point lies in exactly one bin, so each qualifying pair meets in
+  * exactly one bin — no duplicates, no post-join dedup. Null keys:
+  * `sequence(null, …)` explodes to zero rows and a null point bin
+  * never equi-matches, exactly like the original condition evaluating
+  * to NULL.
+  *
+  * Fires only when airtight:
+  *   - inner join whose condition's conjuncts contain a lower and an
+  *     upper bound on the SAME point expression from one side against
+  *     expressions from the other side (>=/> and <=/< in either
+  *     written order), all deterministic, all integral (int/long);
+  *   - NO equi conjunct between the sides exists (if one does, Spark
+  *     already has a hash key and binning would only add work);
+  *   - the rule is enabled: binWidth > 0. Off by default — bin width
+  *     is a data-dependent tuning choice (near the median interval
+  *     span), not something the engine should guess.
+  *
+  * Strict bounds are accepted: the bin range of [lo, hi] is a superset
+  * of (lo, hi)'s, and the residual predicate re-applies exactness.
+  */
+object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  val WidthConf = "spark.graft.rangeJoin.binWidth"
+
+  private def width: Long =
+    try conf.getConfString(WidthConf, "0").toLong catch {
+      case _: NumberFormatException => 0L
+    }
+
+  private def integral(e: Expression): Boolean = e.dataType match {
+    case LongType | IntegerType => true
+    case _ => false
+  }
+
+  private def asLong(e: Expression): Expression =
+    if (e.dataType == LongType) e else Cast(e, LongType)
+
+  /** floor(e / w) on longs: integral divide truncates toward zero, so
+    * shift negative non-exact quotients down one. */
+  private def binOf(e: Expression, w: Long): Expression = {
+    val el = asLong(e)
+    val wl = Literal(w, LongType)
+    val q = IntegralDivide(el, wl)
+    If(And(LessThan(el, Literal(0L)), Not(EqualTo(Pmod(el, wl), Literal(0L)))),
+      Subtract(q, Literal(1L)), q)
+  }
+
+  /** The (point, lo, hi, pointOnLeft) decomposition, if the condition
+    * is a rewritable pure range join. */
+  private def rangeKeys(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[(Expression, Expression, Expression, Boolean)] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    def fromLeft(e: Expression) = e.references.subsetOf(left.outputSet)
+    def fromRight(e: Expression) = e.references.subsetOf(right.outputSet)
+    def crossPair(a: Expression, b: Expression): Boolean =
+      (fromLeft(a) && fromRight(b)) || (fromRight(a) && fromLeft(b))
+    // an existing cross-side equi conjunct means Spark already has a
+    // hash key; binning would be pure overhead
+    val hasEqui = conjuncts.exists {
+      case EqualTo(a, b) => crossPair(a, b)
+      case EqualNullSafe(a, b) => crossPair(a, b)
+      case _ => false
+    }
+    if (hasEqui) return None
+    // normalize each conjunct to (point, bound, isLower) candidates
+    // keyed by which side the point expression comes from
+    sealed case class B(p: Expression, bound: Expression, lower: Boolean,
+      pLeft: Boolean)
+    def norm(c: Expression): Seq[B] = {
+      def mk(p: Expression, bnd: Expression, lower: Boolean): Seq[B] =
+        if (fromLeft(p) && fromRight(bnd)) Seq(B(p, bnd, lower, pLeft = true))
+        else if (fromRight(p) && fromLeft(bnd)) Seq(B(p, bnd, lower, pLeft = false))
+        else Nil
+      c match {
+        case GreaterThanOrEqual(a, b) => mk(a, b, lower = true) ++ mk(b, a, lower = false)
+        case GreaterThan(a, b)        => mk(a, b, lower = true) ++ mk(b, a, lower = false)
+        case LessThanOrEqual(a, b)    => mk(a, b, lower = false) ++ mk(b, a, lower = true)
+        case LessThan(a, b)           => mk(a, b, lower = false) ++ mk(b, a, lower = true)
+        case _ => Nil
+      }
+    }
+    val bounds = conjuncts.flatMap(norm)
+      .filter(b => b.p.deterministic && b.bound.deterministic &&
+        integral(b.p) && integral(b.bound))
+    // pair a lower and an upper bound on the same point expression
+    val pair = for {
+      loB <- bounds if loB.lower
+      hiB <- bounds if !hiB.lower && hiB.pLeft == loB.pLeft &&
+        hiB.p.semanticEquals(loB.p)
+    } yield (loB.p, loB.bound, hiB.bound, loB.pLeft)
+    pair.headOption
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val w = width
+    if (w <= 0) return plan
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint) =>
+        rangeKeys(cond, left, right) match {
+          case Some((p, lo, hi, pLeft)) =>
+            val ptChild = if (pLeft) left else right
+            val ivChild = if (pLeft) right else left
+            val ptAlias = Alias(binOf(p, w), "__pt_bin")()
+            val ptProj = Project(ptChild.output :+ ptAlias, ptChild)
+            val ivBin = AttributeReference("__iv_bin", LongType,
+              nullable = false)()
+            // Sequence is TimeZoneAwareExpression: it only resolves
+            // with a timezone bound, and ResolveTimeZone ran before us
+            val ivGen = Generate(
+              Explode(Sequence(binOf(lo, w), binOf(hi, w), None,
+                Some(conf.sessionLocalTimeZone))),
+              unrequiredChildIndex = Nil, outer = false, qualifier = None,
+              generatorOutput = Seq(ivBin), child = ivChild)
+            val equi = EqualTo(ptAlias.toAttribute, ivBin)
+            val newJoin =
+              if (pLeft) Join(ptProj, ivGen, Inner, Some(And(equi, cond)), hint)
+              else Join(ivGen, ptProj, Inner, Some(And(equi, cond)), hint)
+            Project(j.output, newJoin)
+          case None => j
+        }
+    }
+  }
+}
