@@ -286,6 +286,146 @@ object Similarity {
         col("rk").cast(IntegerType).as("rk"))
   }
 
+  /** Explode a (quantized or raw) vector column into `m` contiguous
+    * subvector rows: struct(sub, subv). Static unroll — the slice
+    * positions are literals, so the explode is codegen'd. */
+  private def subSlices(vec: Column, dim: Int, m: Int): Column = {
+    val d = dim / m
+    explode(array((0 until m).map(sub =>
+      struct(lit(sub).as("sub"),
+        slice(vec, sub * d + 1, d).as("subv"))): _*))
+  }
+
+  /** Product-quantization codebooks: an independent k-means per
+    * subspace, all `m` trained in ONE iterated pipeline (the subspace
+    * id is just one more grouping key — no per-subspace job).
+    * Assignment minimizes exact L2 via the integer form
+    * `argmin(||c||^2 - 2 x·c)` on micro-unit longs; recentering is a
+    * per-(sub, cent, dim) mean. Deterministic seeding: subvectors of
+    * the `ksub` lowest-id vectors. Empty cells keep their previous
+    * centroid. Returns (sub, cent_id, centroid: array<double>).
+    *
+    * Scale: each round is one broadcast join (codebook is m·ksub
+    * rows) + two hash aggregates over n·m slim rows; lineage is
+    * truncated per round. This is the FAISS-style PQ training shape —
+    * the codebook is broadcast state by construction. */
+  def pqCodebooks(emb: DataFrame, dim: Int, m: Int = 4, ksub: Int = 16,
+      iters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subs = emb
+      .select(col(idCol).as("id"), subSlices(col(vecCol), dim, m).as("s"))
+      .select(col("id"), col("s.sub").as("sub"), col("s.subv").as("v"))
+      .withColumn("q", quantize(col("v")))
+    var books: DataFrame = emb.orderBy(col(idCol).asc).limit(ksub)
+      .select(col(idCol).as("seed_id"), subSlices(col(vecCol), dim, m).as("s"))
+      .select(col("seed_id"), col("s.sub").as("sub"),
+        col("s.subv").as("centroid"))
+      .withColumn("cent_id", row_number().over(
+        Window.partitionBy(col("sub")).orderBy(col("seed_id"))) - 1)
+      .select(col("sub"), col("cent_id"), col("centroid"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val cb = broadcast(books
+        .select(col("sub"), col("cent_id"), quantize(col("centroid")).as("cq"))
+        .withColumn("cn2", dotScaled(col("cq"), col("cq"))))
+      // argmin L2 == argmax -(cn2 - 2 dot); ties -> lowest cent_id
+      val assigned = subs.join(cb, Seq("sub"))
+        .withColumn("negd",
+          lit(2L) * dotScaled(col("q"), col("cq")) - col("cn2"))
+        .groupBy(col("id"), col("sub"))
+        .agg(max(struct(col("negd"), (-col("cent_id")).as("nci"),
+          col("v"))).as("m"))
+        .select(col("sub"), (-col("m.nci")).as("cent_id"), col("m.v").as("v"))
+      val recentered = assigned
+        .select(col("sub"), col("cent_id"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cent_id"), col("pos"))
+        .agg(avg(col("x").cast(DoubleType)).as("mn"))
+        .groupBy(col("sub"), col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mn"))))
+          .as("pm"))
+        .select(col("sub"), col("cent_id"),
+          transform(col("pm"), p => p.getField("mn")).as("centroid"))
+      books = books.alias("o")
+        .join(recentered.alias("n"), Seq("sub", "cent_id"), "left")
+        .select(col("sub"), col("cent_id"),
+          coalesce(col("n.centroid"), col("o.centroid")).as("centroid"))
+        .localCheckpoint()
+    }
+    books
+  }
+
+  /** IVF-PQ-style ANN (asymmetric distance computation + exact
+    * rerank): vectors are PQ-encoded once into `m` small codes; each
+    * probe builds an m·ksub lookup table of exact partial dot
+    * products; the approximate inner product of probe and vector is
+    * the sum of m LUT hits — computed by a slim equi-join on
+    * (sub, code) and a hash aggregate, never touching the full
+    * vectors. The top `shortlist` per probe then rerank by EXACT
+    * cosine (broadcast of the shortlist ids back onto the vectors).
+    *
+    * Scale: the encoded index is n·m rows of three ints — the classic
+    * PQ memory win (full vectors are read only for the shortlist);
+    * assignment/LUT joins broadcast only codebook/probe-sized tables;
+    * every aggregate is map-side combinable. All arithmetic is exact
+    * integer (micro-unit longs), so shortlists and ranks are
+    * partition-order independent. */
+  def pqTopK(emb: DataFrame, probes: DataFrame, dim: Int,
+      codebooks: DataFrame, m: Int = 4, k: Int = 10, shortlist: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = broadcast(codebooks
+      .select(col("sub"), col("cent_id"), quantize(col("centroid")).as("cq"))
+      .withColumn("cn2", dotScaled(col("cq"), col("cq"))))
+    // encode: nearest centroid per (vector, subspace) -> m codes
+    val enc = emb
+      .select(col(idCol).as("id"), subSlices(col(vecCol), dim, m).as("s"))
+      .select(col("id"), col("s.sub").as("sub"),
+        quantize(col("s.subv")).as("q"))
+      .join(cb, Seq("sub"))
+      .withColumn("negd",
+        lit(2L) * dotScaled(col("q"), col("cq")) - col("cn2"))
+      .groupBy(col("id"), col("sub"))
+      .agg(max(struct(col("negd"), (-col("cent_id")).as("nci"))).as("m"))
+      .select(col("id"), col("sub"), (-col("m.nci")).as("code"))
+    // per-probe LUT: exact partial dots against every codebook entry
+    val lut = broadcast(probes
+      .select(col(idCol).as("probe_id"), subSlices(col(vecCol), dim, m).as("s"))
+      .select(col("probe_id"), col("s.sub").as("sub"),
+        quantize(col("s.subv")).as("pq"))
+      .join(cb, Seq("sub"))
+      .select(col("probe_id"), col("sub"), col("cent_id").as("code"),
+        dotScaled(col("pq"), col("cq")).as("contrib")))
+    val approx = enc.join(lut, Seq("sub", "code"))
+      .groupBy(col("probe_id"), col("id"))
+      .agg(sum(col("contrib")).as("adc"))
+      .filter(col("id") =!= col("probe_id"))
+    val shortW = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").desc, col("id").asc)
+    val cand = approx.withColumn("srk", row_number().over(shortW))
+      .filter(col("srk") <= shortlist)
+      .select(col("probe_id"), col("id"))
+    // exact rerank of the shortlist only
+    val vecs = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
+      .withColumn("n2", dotScaled(col("q"), col("q")))
+    val pvecs = broadcast(
+      probes.select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
+        .withColumn("pn2", dotScaled(col("pq"), col("pq"))))
+    val rankW = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine_sim").desc, col("id").asc)
+    broadcast(cand).join(vecs, Seq("id"))
+      .join(pvecs, Seq("probe_id"))
+      .select(col("probe_id"), col("id"),
+        cosineFromScaled(dotScaled(col("q"), col("pq")),
+          col("n2"), col("pn2")).as("cosine_sim"))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("id"), col("cosine_sim"),
+        col("rk").cast(IntegerType).as("rk"))
+  }
+
   /** ANN top-k for a probe set: multi-table random-hyperplane LSH —
     * both sides hash once into `nTables · nBits` sign bits (ONE native
     * kernel call), the signature is sliced into `nTables` independent

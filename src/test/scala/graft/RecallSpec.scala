@@ -57,6 +57,21 @@ class RecallSpec extends AnyFunSuite {
     assert(r >= 0.8, f"recall@5 $r%.3f < 0.8")
   }
 
+  test("x3_ann_pq: recall@5 vs brute force >= 0.8 at sf0.01 (harness params)") {
+    val emb = Tables.embeddings(spark, sf)
+    val probes = Seq(0L, 1L, 2L)
+    val truth = bruteTopK(probes, 5)
+    val books = Similarity.pqCodebooks(emb, dim = 64, m = 8,
+      ksub = 16, iters = 2)
+    val pq = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3),
+        dim = 64, codebooks = books, m = 8, k = 5, shortlist = 100)
+      .select("probe_id", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val r = recallAtK(pq, truth, 5)
+    info(f"IVF-PQ ANN recall@5 = $r%.3f")
+    assert(r >= 0.8, f"recall@5 $r%.3f < 0.8")
+  }
+
   test("x3_ann_ivf: recall@5 vs brute force >= 0.8 at sf0.01 (harness params)") {
     val emb = Tables.embeddings(spark, sf)
     val probes = Seq(0L, 1L, 2L)
