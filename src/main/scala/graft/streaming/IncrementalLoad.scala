@@ -67,4 +67,24 @@ object IncrementalLoad {
       .withWatermark("ts_ts", "5 minutes")
       .groupBy(window(col("ts_ts"), "10 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  /** Native `session_window` sessionization of the ns-long event
+    * stream — the built-in state-store path (merging session state,
+    * watermark-gated append emission), same gap semantics as the
+    * batch `x5_session_window` query and the flatMapGroupsWithState
+    * sessionizer. In append mode a session emits once the watermark
+    * passes its end; state is evicted with it, so per-key state is
+    * bounded by the watermark delay, not the stream length. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      delay: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("ts_ts", timestamp_micros(
+        call_function("div", col("ts"), lit(1000L))))
+      .withWatermark("ts_ts", delay)
+      .groupBy(session_window(col("ts_ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"))
 }

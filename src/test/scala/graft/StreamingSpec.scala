@@ -253,6 +253,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming session_window == batch session_window (sentinel closes all)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = s"$fx/events_sw_src"
+    Files.createDirectories(Paths.get(srcDir))
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$srcDir/a_events.parquet"))
+    // one far-future sentinel event per user: pushes the watermark past
+    // every real session so append mode emits them all; the sentinel
+    // sessions themselves stay open (nothing follows) and never emit
+    val base = Tables.eventsNs(spark, "/root/testdata/sf0.001")
+    val sentinelTs = base.agg(max(col("ts"))).head().getLong(0) +
+      10L * 24 * 3600 * 1000000000L
+    base.groupBy("user_id")
+      .agg(max(col("event_id")).as("event_id"))
+      .select(col("event_id") + 1000000L, lit(sentinelTs).as("ts"),
+        col("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val name = s"sw_${System.nanoTime()}"
+    val q = IncrementalLoad.sessionWindows(stream)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table(name)
+      .filter(col("session_start_us") < sentinelTs / 1000)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+    val batch = SparkEntry.queries("x5_session_window")(
+        spark, "/root/testdata/sf0.001")
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming SCD2 closed intervals match the batch history build") {
     import org.apache.spark.sql.streaming.Trigger
     val srcDir = s"$fx/scd2_src"
