@@ -72,5 +72,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(functions.ZOrder2.FuncName,
         "2-D Z-order (Morton) curve value of two non-negative long keys"),
       (e: Seq[Expression]) => functions.ZOrder2(e.head, e(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier(functions.TextNorm.NfcName),
+      info(functions.TextNorm.NfcName,
+        "Unicode NFC canonicalization (UAX #15)"),
+      (e: Seq[Expression]) => functions.UnicodeNfc(e.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier(functions.TextNorm.StripName),
+      info(functions.TextNorm.StripName,
+        "diacritic removal: NFD then strip combining marks"),
+      (e: Seq[Expression]) => functions.StripAccents(e.head)))
   }
 }

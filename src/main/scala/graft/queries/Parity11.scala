@@ -41,8 +41,6 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
 object Parity11 {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Session gap: 30 minutes in microseconds. */
-  private val GapUs = 30L * 60 * 1000000
   /** Range-join bin width in days — near the median interval span
     * (per-order ship windows run ~30-130 days). */
   private val BinDays = 32L

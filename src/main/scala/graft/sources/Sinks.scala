@@ -83,4 +83,31 @@ object Sinks {
       .drop("__z")
       .write.mode(mode).parquet(path)
   }
+
+  /** Small-file compaction (the OPTIMIZE/rewrite half of a table
+    * maintenance job): rewrite a fragmented parquet directory into
+    * files sized near `targetBytes`. Streaming sinks, incremental
+    * loads, and fine-grained partitioned writes all accumulate small
+    * files; at 100 TB each scan task then pays open/footer overhead
+    * per tiny file and the driver pays listing — the classic lakehouse
+    * tax. File count = ceil(on-disk bytes / targetBytes), measured
+    * from the source listing (not row estimates), so the rewrite is
+    * one job whose output partitioning IS the desired layout.
+    *
+    * Writes to `destPath` — pair with an atomic directory swap in the
+    * table format / metastore (a plain FS rename is not transactional,
+    * so the swap is deliberately left to the catalog layer). */
+  def compact(spark: SparkSession, srcPath: String, destPath: String,
+      targetBytes: Long = 128L << 20): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val fs = new org.apache.hadoop.fs.Path(srcPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(srcPath)).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(srcPath)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(destPath)
+    nFiles.toLong
+  }
 }

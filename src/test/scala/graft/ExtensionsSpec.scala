@@ -27,7 +27,9 @@ class ExtensionsSpec extends AnyFunSuite {
         """SELECT graft_simhash_sig(array('a','b','a')) AS sig,
                   graft_shingle_set(array('a','b','c','b','c','d'), 3) AS sh,
                   graft_dot_longs(array(1L,2L,3L), array(4L,5L,6L)) AS dot,
-                  graft_minhash_sig(array('x y z'), 4) AS mh""").head()
+                  graft_minhash_sig(array('x y z'), 4) AS mh,
+                  graft_strip_accents(graft_nfc('señor')) AS folded""").head()
+      assert(row.getString(4) == "senor")
       assert(row.getLong(2) == 4 + 10 + 18)
       assert(row.getSeq[String](1) == Seq("a b c", "b c b", "c b c", "b c d"))
       assert(row.getSeq[Long](3).length == 4)

@@ -47,6 +47,25 @@ class SinksSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters") && p.contains("GreaterThan"), p)
   }
 
+  test("compact: fragmented directory rewrites to size-targeted files") {
+    val frag = s"${TestSpark.fixtures}/compact_src_${System.nanoTime()}"
+    val dest = s"${TestSpark.fixtures}/compact_dst_${System.nanoTime()}"
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    li.repartition(50).write.mode("overwrite").parquet(frag) // 50 tiny files
+    def dataFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles(frag).length == 50)
+    val srcBytes = dataFiles(frag).map(_.length()).sum
+    // target ~1/3 of the fragmented size -> expect ceil(bytes/target)
+    val target = srcBytes / 3
+    val planned = Sinks.compact(spark, frag, dest, target)
+    assert(planned == (srcBytes + target - 1) / target)
+    assert(dataFiles(dest).length == planned)
+    val back = spark.read.parquet(dest)
+    assert(back.count() == li.count())
+    assert(back.schema == spark.read.parquet(frag).schema)
+  }
+
   test("text source round-trip: one line per document") {
     val out = s"${TestSpark.fixtures}/txt_${System.nanoTime()}"
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
