@@ -145,4 +145,31 @@ object GraftProps extends Properties("graft") {
         .collect()
       got.forall(r => r.getLong(1) == r.getLong(2))
     }
+
+  // random points/intervals (negative keys, empty overlaps, inverted
+  // intervals excluded by construction lo <= hi) over random widths
+  private val rjCase = for {
+    pts <- Gen.listOfN(12, Gen.chooseNum(-200L, 200L))
+    ivs <- Gen.listOfN(8, for {
+      lo <- Gen.chooseNum(-200L, 180L)
+      span <- Gen.chooseNum(0L, 60L)
+    } yield (lo, lo + span))
+    w <- Gen.oneOf(1L, 7L, 32L, 1000L)
+  } yield (pts, ivs, w)
+
+  property("binned range join == naive non-equi join for any bin width") =
+    forAllNoShrink(rjCase) { case (pts, ivs, w) =>
+      val p = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("pid", "p")
+      val iv = ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("iid", "lo", "hi")
+      val got = graft.ops.RangeJoin.pointInInterval(p, "p", iv, "lo", "hi", w)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (pv, pi) <- pts.zipWithIndex
+        ((lo, hi), ii) <- ivs.zipWithIndex
+        if pv >= lo && pv <= hi
+      } yield (pi.toLong, ii.toLong)).toSet
+      got == want
+    }
 }
