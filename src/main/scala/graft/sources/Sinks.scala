@@ -104,6 +104,11 @@ object Sinks {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(
       new org.apache.hadoop.fs.Path(srcPath)).getLength
+    // an empty/markers-only directory has nothing to rewrite (and
+    // spark.read.parquet on it cannot infer a schema) — report 0
+    // planned files and leave dest untouched instead of throwing
+    // mid-maintenance-job
+    if (bytes == 0) return 0L
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(srcPath)
       .repartition(nFiles)

@@ -66,6 +66,17 @@ class SinksSpec extends AnyFunSuite {
     assert(back.schema == spark.read.parquet(frag).schema)
   }
 
+  test("compact: empty source dir is a 0-file no-op; bad target rejects") {
+    val empty = s"${TestSpark.fixtures}/compact_empty_${System.nanoTime()}"
+    val dest = s"${TestSpark.fixtures}/compact_empty_dst_${System.nanoTime()}"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(empty))
+    assert(Sinks.compact(spark, empty, dest) == 0L)
+    assert(!new java.io.File(dest).exists())
+    intercept[IllegalArgumentException] {
+      Sinks.compact(spark, empty, dest, targetBytes = 0L)
+    }
+  }
+
   test("text source round-trip: one line per document") {
     val out = s"${TestSpark.fixtures}/txt_${System.nanoTime()}"
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

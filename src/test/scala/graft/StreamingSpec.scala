@@ -290,6 +290,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-static binned range join matches the batch join") {
+    import org.apache.spark.sql.streaming.Trigger
+    // streaming points (event times) against a STATIC interval table —
+    // the binned equi-join works unchanged on a stream because both
+    // added columns (bin project, bin explode) are stateless
+    val srcDir = s"$fx/events_rj_src"
+    Files.createDirectories(Paths.get(srcDir))
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$srcDir/events.parquet"))
+    val base = Tables.eventsNs(spark, "/root/testdata/sf0.001")
+    val loHi = base.agg(min(col("ts")), max(col("ts"))).head()
+    val (lo, hi) = (loHi.getLong(0), loHi.getLong(1))
+    val hourNs = 3600L * 1000000000L
+    // 6 disjoint 1-hour maintenance windows spread over the range
+    val ivs = spark.range(6).select(
+      col("id").as("win_id"),
+      (lit(lo) + col("id") * ((hi - lo) / 6)).as("w_lo"))
+      .withColumn("w_hi", col("w_lo") + hourNs)
+    def joined(points: org.apache.spark.sql.DataFrame) =
+      graft.ops.RangeJoin.pointInInterval(
+          points.select(col("event_id"), col("ts")), "ts",
+          ivs, "w_lo", "w_hi", hourNs)
+        .select("event_id", "win_id")
+    val schema = spark.read.parquet(srcDir).schema
+    val name = s"rj_${System.nanoTime()}"
+    val q = joined(spark.readStream.schema(schema).parquet(srcDir))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table(name)
+    val batch = joined(base)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming SCD2 closed intervals match the batch history build") {
     import org.apache.spark.sql.streaming.Trigger
     val srcDir = s"$fx/scd2_src"
