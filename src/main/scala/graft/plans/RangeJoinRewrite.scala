@@ -50,10 +50,22 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val WidthConf = "spark.graft.rangeJoin.binWidth"
 
-  private def width: Long =
-    try conf.getConfString(WidthConf, "0").toLong catch {
-      case _: NumberFormatException => 0L
+  /** Interval sides at or below this estimated size keep Spark's
+    * broadcast nested loop: against a literal band table (j9's 3-row
+    * quantity bands) the nested loop is one map-only pass and binning
+    * would only add an explode + shuffle. This is a COMPUTE bound,
+    * not a broadcastability bound — a merely broadcast-ABLE (≤10MB,
+    * ~100k-row) interval side still costs |points|·|intervals|
+    * compares under BNLJ, so the default stays small. */
+  val SmallSideConf = "spark.graft.rangeJoin.smallSideBytes"
+
+  private def longConf(key: String, dflt: Long): Long =
+    try conf.getConfString(key, dflt.toString).toLong catch {
+      case _: NumberFormatException => dflt
     }
+
+  private def width: Long = longConf(WidthConf, 0L)
+  private def smallSideBytes: Long = longConf(SmallSideConf, 8192L)
 
   private def integral(e: Expression): Boolean = e.dataType match {
     case LongType | IntegerType => true
@@ -125,7 +137,9 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) =>
         rangeKeys(cond, left, right) match {
-          case Some((p, lo, hi, pLeft)) =>
+          case Some((p, lo, hi, pLeft))
+              if (if (pLeft) right else left).stats.sizeInBytes >
+                smallSideBytes =>
             val ptChild = if (pLeft) left else right
             val ivChild = if (pLeft) right else left
             val ptAlias = Alias(binOf(p, w), "__pt_bin")()
@@ -144,7 +158,7 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
               if (pLeft) Join(ptProj, ivGen, Inner, Some(And(equi, cond)), hint)
               else Join(ivGen, ptProj, Inner, Some(And(equi, cond)), hint)
             Project(j.output, newJoin)
-          case None => j
+          case _ => j // not a pure range join, or tiny interval side
         }
     }
   }

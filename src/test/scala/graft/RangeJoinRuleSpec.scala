@@ -15,9 +15,13 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     SparkSession.clearDefaultSession()
     val s2 = SparkSession.builder().master(base.sparkContext.master)
       .withExtensions(new GraftExtensions).getOrCreate()
+    // test frames are tiny, so disable the small-side guard here; its
+    // default behavior has its own test below
+    s2.conf.set(plans.RangeJoinRewriteRule.SmallSideConf, "0")
     try f(s2)
     finally {
       s2.conf.unset(plans.RangeJoinRewriteRule.WidthConf)
+      s2.conf.unset(plans.RangeJoinRewriteRule.SmallSideConf)
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
     }
@@ -90,6 +94,20 @@ class RangeJoinRuleSpec extends AnyFunSuite {
           col("p") >= col("lo") && col("p") <= col("hi"))
       val p = planOf(q)
       assert(!p.contains("Generate"), p)
+    }
+  }
+
+  test("tiny interval side keeps the broadcast nested loop (j9 shape)") {
+    withExtSession { s =>
+      s.conf.set(plans.RangeJoinRewriteRule.WidthConf, "32")
+      s.conf.set(plans.RangeJoinRewriteRule.SmallSideConf, "8192")
+      // a literal band table is a one-pass broadcast loop; binning
+      // would only add an explode + shuffle
+      val q = pts(s).join(ivs(s),
+        col("p") >= col("lo") && col("p") <= col("hi"))
+      val p = planOf(q)
+      assert(!p.contains("Generate"), p)
+      assert(p.contains("BroadcastNestedLoopJoin"), p)
     }
   }
 
