@@ -141,6 +141,24 @@ object Parity11 {
         .orderBy(col("probe_id"), col("rk"))
     },
 
+    // ---- schema-evolution union (ELT ingest across file versions) --
+    // The unionByName(allowMissingColumns) half of schema evolution:
+    // v1 batches lack a column later versions carry; the union fills
+    // nulls by NAME, not position — the engine-side behavior behind
+    // COPY INTO over evolving landed files (the read half, parquet
+    // mergeSchema, is pinned in SinksSpec). Map-only: two pruned
+    // scans and a union, no shuffle before the output sort.
+    "p9_evolve_union" -> { (s, d) =>
+      val v1 = orders(s, d).filter(col("o_orderkey") <= 4000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val v2 = orders(s, d)
+        .filter(col("o_orderkey") > 4000 && col("o_orderkey") <= 8000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .orderBy(col("o_orderkey"))
+    },
+
     // ---- oracle-checked winnowing fingerprints ---------------------
     // Positional shingle sequence -> md5-derived 60-bit hash per
     // shingle -> window-of-4 minima -> distinct fingerprint set,
@@ -212,6 +230,14 @@ object Parity11 {
            nfc_normalize(raw) AS nfc,
            strip_accents(raw) AS folded
          FROM s ORDER BY doc_id""",
+    "p9_evolve_union" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority
+         FROM orders WHERE o_orderkey <= 4000
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+         FROM orders WHERE o_orderkey > 4000 AND o_orderkey <= 8000
+         ORDER BY o_orderkey""",
     "x4_winnow_poly" ->
       """WITH tk AS (SELECT doc_id,
              string_split_regex(trim(text), '\s+') AS t FROM documents),

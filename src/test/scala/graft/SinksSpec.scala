@@ -77,6 +77,27 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeSchema reads evolving parquet batches as one relation") {
+    val dir = s"${TestSpark.fixtures}/evolve_${System.nanoTime()}"
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+    val v1 = o.filter(col("o_orderkey") <= 4000)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val v2 = o.filter(col("o_orderkey") > 4000)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    v1.write.mode("append").parquet(dir)
+    v2.write.mode("append").parquet(dir) // later batch carries a new col
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("o_orderkey", "o_custkey",
+      "o_totalprice", "o_orderpriority"))
+    assert(merged.count() == v1.count() + v2.count())
+    // v1 rows surface the evolved column as null
+    assert(merged.filter(col("o_orderpriority").isNull).count() == v1.count())
+    // default read (no mergeSchema) picks ONE footer's schema — the
+    // documented reason ingest paths must opt in
+    val plain = spark.read.parquet(dir)
+    assert(plain.columns.length <= merged.columns.length)
+  }
+
   test("text source round-trip: one line per document") {
     val out = s"${TestSpark.fixtures}/txt_${System.nanoTime()}"
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
