@@ -80,6 +80,42 @@ object Parity11 {
         .orderBy(col("i_orderkey"))
     },
 
+    // ---- the same join written NAIVELY, fixed by the optimizer -----
+    // Identical workload to j5_range_join but expressed as the plain
+    // BETWEEN join a SQL user would write; the opt-in
+    // RangeJoinRewriteRule (injected via GraftExtensions in the
+    // Verify/Bench sessions) turns it into the binned plan. The
+    // oracle compare therefore gate-checks the REWRITE end-to-end on
+    // real data, not just the spec's toy frames. The conf stays set
+    // for the rest of the suite: the only other pure range join
+    // (j9's 3-row band dim) is kept on its broadcast loop by the
+    // small-side guard.
+    "j5_rule_rewrite" -> { (s, d) =>
+      s.conf.set(graft.plans.RangeJoinRewriteRule.WidthConf, "32")
+      val iv = lineitem(s, d)
+        .filter(col("l_orderkey") <= 2000)
+        .groupBy(col("l_orderkey").as("i_orderkey"))
+        .agg(
+          min(unix_date(col("l_shipdate").cast(DateType)))
+            .cast(LongType).as("lo_d"),
+          (max(unix_date(col("l_shipdate").cast(DateType)))
+            .cast(LongType) + 14).as("hi_d"))
+      val pt = orders(s, d)
+        .filter(col("o_orderkey") <= 30000)
+        .select(
+          col("o_orderkey"),
+          unix_date(col("o_orderdate").cast(DateType))
+            .cast(LongType).as("p_d"))
+      pt.join(iv,
+          col("p_d") >= col("lo_d") && col("p_d") <= col("hi_d"))
+        .groupBy(col("i_orderkey"))
+        .agg(
+          count(lit(1)).as("n_points"),
+          min(col("p_d")).as("min_pd"),
+          max(col("p_d")).as("max_pd"))
+        .orderBy(col("i_orderkey"))
+    },
+
     // ---- native session_window sessionization ----------------------
     "x5_session_window" -> { (s, d) =>
       val ev = eventsNs(s, d).select(
@@ -183,6 +219,21 @@ object Parity11 {
 
   val oracles: Map[String, String] = Map(
     "j5_range_join" ->
+      """WITH iv AS (SELECT l_orderkey AS i_orderkey,
+             CAST(min(CAST(l_shipdate AS DATE)) - DATE '1970-01-01'
+               AS BIGINT) AS lo_d,
+             CAST(max(CAST(l_shipdate AS DATE)) - DATE '1970-01-01'
+               AS BIGINT) + 14 AS hi_d
+           FROM lineitem WHERE l_orderkey <= 2000 GROUP BY 1),
+         pt AS (SELECT o_orderkey,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+               AS BIGINT) AS p_d
+           FROM orders WHERE o_orderkey <= 30000)
+         SELECT i_orderkey, count(*) AS n_points,
+           min(p_d) AS min_pd, max(p_d) AS max_pd
+         FROM pt JOIN iv ON p_d BETWEEN lo_d AND hi_d
+         GROUP BY i_orderkey ORDER BY i_orderkey""",
+    "j5_rule_rewrite" ->
       """WITH iv AS (SELECT l_orderkey AS i_orderkey,
              CAST(min(CAST(l_shipdate AS DATE)) - DATE '1970-01-01'
                AS BIGINT) AS lo_d,

@@ -111,6 +111,19 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("j5_rule_rewrite harness query rewrites under the default guard") {
+    withExtSession { s =>
+      // driver conditions: default small-side guard, conf set by the
+      // query itself; the interval aggregate's estimated size must
+      // clear the guard or the gate would silently test BNLJ instead
+      s.conf.set(plans.RangeJoinRewriteRule.SmallSideConf, "8192")
+      val p = planOf(SparkEntry.queries("j5_rule_rewrite")(
+        s, "/root/testdata/sf0.001"))
+      assert(p.contains("Generate"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
   test("rule is off by default (no conf, no rewrite)") {
     withExtSession { s =>
       val q = pts(s).join(ivs(s),
