@@ -72,7 +72,12 @@ object ScaleBench {
     "q1_agg", "q3_top_revenue", "q6_filter_agg", "q9_profit",
     "q18_having", "j10_large_smj", "q21_waiting",
     "x1_dedup_exact", "x2_minhash_lsh", "x4_quality_score",
-    "x5_sessionize", "x8_total_sort")
+    "x5_sessionize", "x8_total_sort",
+    // round-6 batch 2: fixed 3-probe ANN over a growing PQ index
+    // (encode is the linear stage; search cost is shortlist-bounded),
+    // and the native session_window sessionizer (event replication
+    // multiplies events-per-session, not session count)
+    "x3_ann_pq", "x5_session_window")
   private val SkipAt100 = Set("x2_minhash_lsh")
 
   def main(args: Array[String]): Unit = {
