@@ -67,6 +67,41 @@ object Ingest {
         timeCanon(cleanField(col("_c8"))).as("length_of_game"),
         timeToSecs(cleanField(col("_c8"))).as("length_of_game_secs"))
 
+  /** CSV load with malformed-row quarantine — the engine-side
+    * equivalent of `COPY INTO … ON_ERROR = CONTINUE` with a
+    * rejected-records table (the reference's loads take Snowflake's
+    * abort-on-error default; at 100 TB one bad row must not kill the
+    * load, and silently dropping it loses audit). PERMISSIVE parsing
+    * surfaces each unparseable row's RAW LINE in `_corrupt_record`;
+    * the return pair is (typed good rows, quarantined raw lines +
+    * source file). The split runs from one cached parse — Spark
+    * forbids referencing only the corrupt column on the streaming
+    * re-parse path, and caching also guarantees both halves see the
+    * same parse. */
+  def readCsvQuarantine(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, DataFrame) = {
+    val Corrupt = "_corrupt_record"
+    // _metadata must become a REAL column before the cache: the hidden
+    // file-source column never enters InMemoryRelation, so a later
+    // reference would bypass the cache back to a file scan whose only
+    // required data column is the corrupt one — the exact shape Spark
+    // disallows (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val parsed = spark.read
+      .schema(schema.add(Corrupt, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", Corrupt)
+      .csv(path)
+      .select(col("*"), sourceFile.as("__source_file"))
+      .cache()
+    val good = parsed.filter(col(Corrupt).isNull)
+      .drop(Corrupt, "__source_file")
+    val bad = parsed.filter(col(Corrupt).isNotNull)
+      .select(col("__source_file").as("source_file"),
+        col(Corrupt).as("raw_line"))
+    (good, bad)
+  }
+
   /** Hockey-reference team-stats CSV -> RAW.TEAM_STATS
     * (ref: copy_into_nhl_stats_teams.sql:3-20: 14 positional string
     * columns, md5 over filename + all fields). */

@@ -133,6 +133,23 @@ class NhlPipelineSpec extends AnyFunSuite {
     assert(mart.union(mart).distinct().count() == 5)
   }
 
+  test("CSV quarantine: bad rows land raw in the reject frame (ON_ERROR=CONTINUE)") {
+    val d = s"$fx/quarantine_${System.nanoTime()}"
+    write(s"$d/batch.csv",
+      "1,alpha,10\n2,beta,20\nnotanumber,gamma,30\n3,delta,oops\n")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id LONG, name STRING, qty LONG")
+    val (good, bad) = Ingest.readCsvQuarantine(spark, d, schema)
+    assert(good.count() == 2)
+    assert(good.columns.toSeq == Seq("id", "name", "qty"))
+    val rejected = bad.collect()
+    assert(rejected.length == 2)
+    // the raw line is preserved verbatim for audit/replay
+    assert(rejected.map(_.getString(1)).toSet ==
+      Set("notanumber,gamma,30", "3,delta,oops"))
+    assert(rejected.forall(_.getString(0).endsWith("batch.csv")))
+  }
+
   test("ledger COPY INTO: replayed files are no-ops (S7 idempotence)") {
     val target = s"$fx/target_games_${System.nanoTime()}"
     val batch = Ingest.readGamesCsv(spark, gamesDir)
