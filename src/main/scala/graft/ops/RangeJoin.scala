@@ -40,6 +40,13 @@ object RangeJoin {
       hiCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"points and intervals share columns $overlap — both sides are " +
+        "carried through, so alias one side first")
+    require(!points.columns.contains("__bin") &&
+      !intervals.columns.contains("__bin"),
+      "__bin is reserved by the binned join")
     // Floor division also for negative keys (epoch-days pre-1970):
     // Spark's `div` truncates toward zero, so build floor from it.
     def binOf(c: Column): Column = {

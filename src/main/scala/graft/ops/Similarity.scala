@@ -376,6 +376,12 @@ object Similarity {
       codebooks: DataFrame, m: Int = 4, k: Int = 10, shortlist: Int = 50,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    // a codebook trained with a different m would silently slice the
+    // vectors wrong — the subspace ids are the cheap cross-check
+    val cbSubs = codebooks.select(max(col("sub"))).head().getInt(0) + 1
+    require(cbSubs == m,
+      s"codebooks carry $cbSubs subspaces but m = $m")
     val cb = broadcast(codebooks
       .select(col("sub"), col("cent_id"), quantize(col("centroid")).as("cq"))
       .withColumn("cn2", dotScaled(col("cq"), col("cq"))))

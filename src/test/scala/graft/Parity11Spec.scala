@@ -40,6 +40,29 @@ class Parity11Spec extends AnyFunSuite {
     assert(got == 1L)
   }
 
+  test("range join rejects shared/reserved column names up front") {
+    val pts = Seq((1L, 10L)).toDF("pid", "p")
+    intercept[IllegalArgumentException] {
+      graft.ops.RangeJoin.pointInInterval(pts, "p",
+        Seq((1L, 0L, 5L)).toDF("pid", "lo", "hi"), "lo", "hi", 8L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.RangeJoin.pointInInterval(
+        pts.withColumn("__bin", col("p")), "p",
+        Seq((1L, 0L, 5L)).toDF("iid", "lo", "hi"), "lo", "hi", 8L)
+    }
+  }
+
+  test("pqTopK rejects a codebook trained with a different m") {
+    val emb = Tables.embeddings(spark, sf)
+    val books = graft.ops.Similarity.pqCodebooks(emb, dim = 64, m = 4,
+      ksub = 4, iters = 1)
+    intercept[IllegalArgumentException] {
+      graft.ops.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 1),
+        dim = 64, codebooks = books, m = 8, k = 3)
+    }
+  }
+
   test("j5_range_join plans a shuffle equi-join, never a nested loop") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
