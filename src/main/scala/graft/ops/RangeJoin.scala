@@ -27,6 +27,14 @@ import org.apache.spark.sql.types.LongType
   */
 object RangeJoin {
 
+  /** floor(c / w) on longs — Spark's `div` truncates toward zero, so
+    * shift negative non-exact quotients down one. */
+  private def binOf(c: Column, w: Long): Column = {
+    val q = call_function("div", c.cast(LongType), lit(w))
+    when(c.cast(LongType) < 0 && pmod(c.cast(LongType), lit(w)) =!= 0,
+      q - 1).otherwise(q)
+  }
+
   /** Join `points` to the `intervals` whose [lo, hi] (inclusive)
     * contains the point. All three key columns must be integral
     * (epoch-days, epoch-micros, ids…); `binWidth` is in the same
@@ -47,18 +55,41 @@ object RangeJoin {
     require(!points.columns.contains("__bin") &&
       !intervals.columns.contains("__bin"),
       "__bin is reserved by the binned join")
-    // Floor division also for negative keys (epoch-days pre-1970):
-    // Spark's `div` truncates toward zero, so build floor from it.
-    def binOf(c: Column): Column = {
-      val q = call_function("div", c.cast(LongType), lit(binWidth))
-      when(c.cast(LongType) < 0 && pmod(c.cast(LongType), lit(binWidth)) =!= 0,
-        q - 1).otherwise(q)
-    }
     val iv = intervals.withColumn("__bin",
-      explode(sequence(binOf(col(loCol)), binOf(col(hiCol)))))
-    val pt = points.withColumn("__bin", binOf(col(pointCol)))
+      explode(sequence(binOf(col(loCol), binWidth), binOf(col(hiCol), binWidth))))
+    val pt = points.withColumn("__bin", binOf(col(pointCol), binWidth))
     pt.join(iv, Seq("__bin"))
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bin")
+  }
+
+  /** Interval-overlap join: pairs from `a` × `b` whose inclusive
+    * [lo, hi] ranges intersect. Same binning as the point form, but
+    * BOTH sides explode onto their covered bins — and since two
+    * overlapping intervals can now share several bins, each pair is
+    * emitted only in the FIRST bin they share, which is always the
+    * bin of `greatest(lo_a, lo_b)` (the later start falls inside the
+    * overlap, so both sides cover its bin). One equi-join, no
+    * post-join dedup, shuffles sized by Σ(span/W) — the standard
+    * distributed interval-join rewrite.
+    */
+  def intervalOverlapJoin(
+      a: DataFrame, loA: String, hiA: String,
+      b: DataFrame, loB: String, hiB: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val overlap = a.columns.toSet.intersect(b.columns.toSet)
+    require(overlap.isEmpty,
+      s"interval sides share columns $overlap — alias one side first")
+    require(!a.columns.contains("__bin") && !b.columns.contains("__bin"),
+      "__bin is reserved by the binned join")
+    val ea = a.withColumn("__bin",
+      explode(sequence(binOf(col(loA), binWidth), binOf(col(hiA), binWidth))))
+    val eb = b.withColumn("__bin",
+      explode(sequence(binOf(col(loB), binWidth), binOf(col(hiB), binWidth))))
+    ea.join(eb, Seq("__bin"))
+      .where(col(loA) <= col(hiB) && col(loB) <= col(hiA) &&
+        col("__bin") === binOf(greatest(col(loA), col(loB)), binWidth))
       .drop("__bin")
   }
 }

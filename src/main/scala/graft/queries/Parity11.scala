@@ -80,6 +80,33 @@ object Parity11 {
         .orderBy(col("i_orderkey"))
     },
 
+    // ---- interval-overlap join (interval × interval) ---------------
+    // Even- vs odd-orderkey ship windows: which pairs of order
+    // activity windows overlap, and by how many days. Both sides
+    // explode onto covered bins; each pair meets exactly once (the
+    // first-shared-bin filter), so there is no dedup pass. The exact
+    // overlap arithmetic is integer day math.
+    "j12_interval_join" -> { (s, d) =>
+      // NARROW 4-day windows at first ship: wide per-order spans over
+      // a dense keyspace would overlap almost everywhere (a 3.4M-pair
+      // result measured nothing but pair materialization)
+      def side(parity: Int, pfx: String) = lineitem(s, d)
+        .filter(col("l_orderkey") <= 2000 &&
+          pmod(col("l_orderkey"), lit(2)) === parity)
+        .groupBy(col("l_orderkey").as(s"${pfx}_key"))
+        .agg(
+          min(unix_date(col("l_shipdate").cast(DateType)))
+            .cast(LongType).as(s"${pfx}_lo"),
+          (min(unix_date(col("l_shipdate").cast(DateType)))
+            .cast(LongType) + 3).as(s"${pfx}_hi"))
+      RangeJoin.intervalOverlapJoin(
+          side(0, "a"), "a_lo", "a_hi", side(1, "b"), "b_lo", "b_hi", BinDays)
+        .select(col("a_key"), col("b_key"),
+          (least(col("a_hi"), col("b_hi")) -
+            greatest(col("a_lo"), col("b_lo")) + 1).as("overlap_days"))
+        .orderBy(col("a_key"), col("b_key"))
+    },
+
     // ---- the same join written NAIVELY, fixed by the optimizer -----
     // Identical workload to j5_range_join but expressed as the plain
     // BETWEEN join a SQL user would write; the opt-in
@@ -233,6 +260,25 @@ object Parity11 {
            min(p_d) AS min_pd, max(p_d) AS max_pd
          FROM pt JOIN iv ON p_d BETWEEN lo_d AND hi_d
          GROUP BY i_orderkey ORDER BY i_orderkey""",
+    "j12_interval_join" ->
+      """WITH sideA AS (SELECT l_orderkey AS a_key,
+             CAST(min(CAST(l_shipdate AS DATE)) - DATE '1970-01-01'
+               AS BIGINT) AS a_lo,
+             CAST(min(CAST(l_shipdate AS DATE)) - DATE '1970-01-01'
+               AS BIGINT) + 3 AS a_hi
+           FROM lineitem WHERE l_orderkey <= 2000 AND l_orderkey % 2 = 0
+           GROUP BY 1),
+         sideB AS (SELECT l_orderkey AS b_key,
+             CAST(min(CAST(l_shipdate AS DATE)) - DATE '1970-01-01'
+               AS BIGINT) AS b_lo,
+             CAST(min(CAST(l_shipdate AS DATE)) - DATE '1970-01-01'
+               AS BIGINT) + 3 AS b_hi
+           FROM lineitem WHERE l_orderkey <= 2000 AND l_orderkey % 2 = 1
+           GROUP BY 1)
+         SELECT a_key, b_key,
+           least(a_hi, b_hi) - greatest(a_lo, b_lo) + 1 AS overlap_days
+         FROM sideA JOIN sideB ON a_lo <= b_hi AND b_lo <= a_hi
+         ORDER BY a_key, b_key""",
     "j5_rule_rewrite" ->
       """WITH iv AS (SELECT l_orderkey AS i_orderkey,
              CAST(min(CAST(l_shipdate AS DATE)) - DATE '1970-01-01'

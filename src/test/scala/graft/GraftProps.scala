@@ -157,6 +157,24 @@ object GraftProps extends Properties("graft") {
     w <- Gen.oneOf(1L, 7L, 32L, 1000L)
   } yield (pts, ivs, w)
 
+  property("interval-overlap join == naive overlap join, no duplicate pairs") =
+    forAllNoShrink(rjCase) { case (pts, ivs, w) =>
+      // reuse the generator: points become degenerate [p, p+span]
+      val a = pts.zipWithIndex.map { case (v, i) => (i.toLong, v, v + 25L) }
+        .toDF("a_key", "a_lo", "a_hi")
+      val b = ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("b_key", "b_lo", "b_hi")
+      val got = graft.ops.RangeJoin
+        .intervalOverlapJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi", w)
+        .select("a_key", "b_key").as[(Long, Long)].collect().toSeq
+      val want = (for {
+        (pv, pi) <- pts.zipWithIndex
+        ((lo, hi), ii) <- ivs.zipWithIndex
+        if pv <= hi && lo <= pv + 25L
+      } yield (pi.toLong, ii.toLong))
+      got.sorted == want.sorted // Seq compare: duplicates would fail
+    }
+
   property("binned range join == naive non-equi join for any bin width") =
     forAllNoShrink(rjCase) { case (pts, ivs, w) =>
       val p = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }
