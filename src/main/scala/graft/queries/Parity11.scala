@@ -37,6 +37,16 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
   *    the m-code index, exact-cosine rerank. Rows-only (approximate
   *    by construction); RecallSpec pins measured recall@5 = 0.87 vs
   *    brute force at the harness parameters.
+  *  - `j12_interval_join`: interval-overlap join
+  *    ([[graft.ops.RangeJoin.intervalOverlapJoin]]) — dedup-free via
+  *    the first-shared-bin filter.
+  *  - `j5_rule_rewrite`: the j5 workload written as a naive BETWEEN
+  *    join and fixed by the injected
+  *    [[graft.plans.RangeJoinRewriteRule]] — the oracle gate-checks
+  *    the optimizer rewrite end-to-end.
+  *  - `p9_evolve_union`: schema-evolution union
+  *    (`unionByName(allowMissingColumns)`) — null-fill by NAME, the
+  *    engine-side half of ingesting evolving landed files.
   */
 object Parity11 {
   type Q = (SparkSession, String) => DataFrame
