@@ -96,7 +96,10 @@ object Sinks {
     *
     * Writes to `destPath` — pair with an atomic directory swap in the
     * table format / metastore (a plain FS rename is not transactional,
-    * so the swap is deliberately left to the catalog layer). */
+    * so the swap is deliberately left to the catalog layer). On a
+    * Hive-partitioned source the partition columns are read back as
+    * data columns and the dest is written FLAT — compact each
+    * partition directory separately to preserve the layout. */
   def compact(spark: SparkSession, srcPath: String, destPath: String,
       targetBytes: Long = 128L << 20): Long = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")

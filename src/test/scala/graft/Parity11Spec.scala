@@ -75,6 +75,18 @@ class Parity11Spec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("j12_interval_join plans a shuffle equi-join, never a nested loop") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = SparkEntry.queries("j12_interval_join")(spark, sf)
+        .queryExecution.explainString(FormattedMode)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   // ---- session_window vs hand-rolled sessionizer ---------------------
 
   test("native session_window matches the gaps-and-islands sessionizer") {
@@ -136,6 +148,20 @@ class Parity11Spec extends AnyFunSuite {
       .select(md5(graft.functions.TextNorm.unicode_nfc(col("text")))
         .as("fp"))
     assert(df.distinct().count() == 1)
+  }
+
+  test("text norm leaves non-Latin and supplementary-plane text intact") {
+    // emoji (surrogate pairs), CJK, and ZWJ sequences carry no
+    // combining marks — normalization must pass them through
+    val inputs = Seq("café 😀🏽", "你好世界",
+      "a‍ b")
+    val out = inputs.toDF("s").select(
+      graft.functions.TextNorm.unicode_nfc(col("s")).as("n"),
+      graft.functions.TextNorm.strip_accents(col("s")).as("f"))
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == inputs)
+    assert(out(0).getString(1) == "cafe 😀🏽")
+    assert(out(1).getString(1) == "你好世界")
   }
 
   // ---- poly-hash winnowing -------------------------------------------
