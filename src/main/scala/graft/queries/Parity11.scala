@@ -232,6 +232,30 @@ object Parity11 {
         .orderBy(col("o_orderkey"))
     },
 
+    // ---- URL parsing (domain filtering for web corpora) ------------
+    // Every web-scale corpus pipeline filters/buckets by registrable
+    // domain and strips tracking queries; this exercises Spark's
+    // parse_url (HOST/PATH/QUERY extraction, codegen'd) on URLs
+    // synthesized from document fields. The oracle RECONSTRUCTS the
+    // expected parts from the same fields — so the check proves
+    // parse_url's extraction semantics rather than mirroring a regex
+    // on both sides. Map-only at any scale.
+    "x4_url_parse" -> { (s, d) =>
+      documents(s, d)
+        .withColumn("url", concat(
+          lit("https://"), col("source"), lit(".example.com/doc/"),
+          col("doc_id"), lit("?lang="), col("lang")))
+        .select(
+          col("doc_id"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("query"),
+          // registrable-domain bucket key: strip the subdomain
+          expr("substring_index(parse_url(url, 'HOST'), '.', -2)")
+            .as("domain"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- oracle-checked winnowing fingerprints ---------------------
     // Positional shingle sequence -> md5-derived 60-bit hash per
     // shingle -> window-of-4 minima -> distinct fingerprint set,
@@ -345,6 +369,13 @@ object Parity11 {
          SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
          FROM orders WHERE o_orderkey > 4000 AND o_orderkey <= 8000
          ORDER BY o_orderkey""",
+    "x4_url_parse" ->
+      """SELECT doc_id,
+           source || '.example.com' AS host,
+           '/doc/' || doc_id AS path,
+           'lang=' || lang AS query,
+           'example.com' AS domain
+         FROM documents ORDER BY doc_id""",
     "x4_winnow_poly" ->
       """WITH tk AS (SELECT doc_id,
              string_split_regex(trim(text), '\s+') AS t FROM documents),
