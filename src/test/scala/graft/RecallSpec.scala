@@ -72,6 +72,33 @@ class RecallSpec extends AnyFunSuite {
     assert(r >= 0.8, f"recall@5 $r%.3f < 0.8")
   }
 
+  test("pq: both sampling-seeded and k-means codebooks clear the recall floor") {
+    // Measured: seeded 1.000, trained 0.867 on this data. Unlike IVF
+    // (where training balances list sizes and LIFTED recall 0.867 ->
+    // 0.933), PQ codebooks on ISOTROPIC synthetic vectors are already
+    // near-optimal when sampled — k-means compacts codewords toward
+    // subspace means and only churns the shortlist boundary. Training
+    // earns its cost on clustered real embeddings; on this corpus the
+    // honest pin is a floor for BOTH paths, not trained >= seeded.
+    val emb = Tables.embeddings(spark, sf)
+    val probes = Seq(0L, 1L, 2L)
+    val truth = bruteTopK(probes, 5)
+    def recallWith(iters: Int): Double = {
+      val books = Similarity.pqCodebooks(emb, dim = 64, m = 8,
+        ksub = 16, iters = iters)
+      val got = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3),
+          dim = 64, codebooks = books, m = 8, k = 5, shortlist = 100)
+        .select("probe_id", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      recallAtK(got, truth, 5)
+    }
+    val seeded = recallWith(0)
+    val trained = recallWith(2)
+    info(f"PQ recall@5: seeded=$seeded%.3f trained=$trained%.3f")
+    assert(seeded >= 0.8, f"seeded $seeded%.3f < 0.8")
+    assert(trained >= 0.8, f"trained $trained%.3f < 0.8")
+  }
+
   test("x3_ann_ivf: recall@5 vs brute force >= 0.8 at sf0.01 (harness params)") {
     val emb = Tables.embeddings(spark, sf)
     val probes = Seq(0L, 1L, 2L)
