@@ -31,7 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // auto-rewrite row_number-top-k windows into the heap operator
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
     // auto-rewrite pure BETWEEN joins into the binned equi-join
-    // (opt-in via spark.graft.rangeJoin.binWidth)
+    // (width auto-sampled from the data; spark.graft.rangeJoin.binWidth
+    // overrides, 0 disables)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewriteRule)
 
     ext.injectFunction((

@@ -63,12 +63,25 @@ object RangeBench {
     val (binnedSec, nBinned) = time(agg(
       ops.RangeJoin.pointInInterval(points, "p_d", intervals,
         "lo_d", "hi_d", 8L)))
+    // the rule's auto width: median span over a 4096-row prefix sample
+    // (same heuristic as RangeJoinRewriteRule.sampledWidth)
+    val autoWidth = {
+      val spans = intervals
+        .select((col("hi_d") - col("lo_d") + 1).as("span"))
+        .filter(col("span") > 0).limit(4096)
+        .collect().map(_.getLong(0)).sorted
+      math.max(1L, spans(spans.length / 2))
+    }
+    val (autoSec, nAuto) = time(agg(
+      ops.RangeJoin.pointInInterval(points, "p_d", intervals,
+        "lo_d", "hi_d", autoWidth)))
     val (naiveSec, nNaive) = time(agg(
       points.join(intervals,
         col("p_d") >= col("lo_d") && col("p_d") <= col("hi_d"))))
     require(nBinned == nNaive, s"row mismatch: $nBinned vs $nNaive")
+    require(nAuto == nNaive, s"auto-width row mismatch: $nAuto vs $nNaive")
 
-    println(f"""{"metric":"range_join","naive_bnlj_sec":$naiveSec%.2f,"binned_sec":$binnedSec%.2f,"speedup":${naiveSec / binnedSec}%.1f,"intervals_rows":$nBinned,"sf":"$sfDir"}""")
+    println(f"""{"metric":"range_join","naive_bnlj_sec":$naiveSec%.2f,"binned_sec":$binnedSec%.2f,"auto_width":$autoWidth,"auto_binned_sec":$autoSec%.2f,"speedup":${naiveSec / binnedSec}%.1f,"intervals_rows":$nBinned,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

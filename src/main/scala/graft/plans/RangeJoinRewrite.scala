@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-/** Optimizer rule (opt-in): rewrites a pure point-in-interval
-  * non-equi inner join
+/** Optimizer rule: rewrites a pure point-in-interval non-equi inner
+  * join
   *
   *   points JOIN intervals ON p >= lo AND p <= hi      -- no equi key
   *
@@ -18,7 +18,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * |intervals|) comparisons and a full broadcast of one side — the
   * canonical 100 TB scale-killer.
   *
-  * Rewrite (bin width W from `spark.graft.rangeJoin.binWidth`):
+  * Rewrite (bin width W):
   *   - interval side gains `explode(sequence(floor(lo/W), floor(hi/W)))`
   *     (a Generate node — one row per covered bin);
   *   - point side gains `floor(p/W)` (a Project);
@@ -32,6 +32,19 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * never equi-matches, exactly like the original condition evaluating
   * to NULL.
   *
+  * Bin width (`spark.graft.rangeJoin.binWidth`):
+  *   - unset or `auto` (the default): derived per join from the DATA —
+  *     the median interval span `hi - lo + 1` over a bounded prefix
+  *     sample of the interval side, executed as a tiny planning-time
+  *     job ([[sampledWidth]]). Width ≈ median span keeps the
+  *     replication factor (bins per interval) at ~2 while a bin's
+  *     point population stays proportional to the span scale, and —
+  *     unlike any fixed constant — it is unit-correct whether the
+  *     keys are epoch days, micros, or ids.
+  *   - a positive long: fixed width in key units (the hand-tuned
+  *     escape hatch; also what the spec suite pins plan shapes with).
+  *   - `0`, negative, or unparsable: rule disabled.
+  *
   * Fires only when airtight:
   *   - inner join whose condition's conjuncts contain a lower and an
   *     upper bound on the SAME point expression from one side against
@@ -39,9 +52,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *     written order), all deterministic, all integral (int/long);
   *   - NO equi conjunct between the sides exists (if one does, Spark
   *     already has a hash key and binning would only add work);
-  *   - the rule is enabled: binWidth > 0. Off by default — bin width
-  *     is a data-dependent tuning choice (near the median interval
-  *     span), not something the engine should guess.
+  *   - the interval side's estimated size clears the small-side
+  *     guard (below) — tiny band tables keep their one-pass
+  *     broadcast loop.
   *
   * Strict bounds are accepted: the bin range of [lo, hi] is a superset
   * of (lo, hi)'s, and the residual predicate re-applies exactness.
@@ -59,13 +72,30 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     * compares under BNLJ, so the default stays small. */
   val SmallSideConf = "spark.graft.rangeJoin.smallSideBytes"
 
-  private def longConf(key: String, dflt: Long): Long =
-    try conf.getConfString(key, dflt.toString).toLong catch {
-      case _: NumberFormatException => dflt
-    }
+  /** Rows fetched by the planning-time span probe. A prefix sample
+    * (executeTake walks partitions until satisfied), so it reads at
+    * most a few input splits regardless of table size; width is a
+    * robustness heuristic, not an exactness requirement, so prefix
+    * bias is acceptable. */
+  private val SampleRows = 4096
 
-  private def width: Long = longConf(WidthConf, 0L)
-  private def smallSideBytes: Long = longConf(SmallSideConf, 8192L)
+  private sealed trait Mode
+  private case object Off extends Mode
+  private case object Auto extends Mode
+  private final case class Fixed(w: Long) extends Mode
+
+  private def mode: Mode = {
+    val raw = conf.getConfString(WidthConf, "auto").trim.toLowerCase
+    if (raw.isEmpty || raw == "auto") Auto
+    else
+      try { val n = raw.toLong; if (n > 0) Fixed(n) else Off }
+      catch { case _: NumberFormatException => Off }
+  }
+
+  private def smallSideBytes: Long =
+    try conf.getConfString(SmallSideConf, "8192").toLong catch {
+      case _: NumberFormatException => 8192L
+    }
 
   private def integral(e: Expression): Boolean = e.dataType match {
     case LongType | IntegerType => true
@@ -83,6 +113,37 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     val q = IntegralDivide(el, wl)
     If(And(LessThan(el, Literal(0L)), Not(EqualTo(Pmod(el, wl), Literal(0L)))),
       Subtract(q, Literal(1L)), q)
+  }
+
+  /** Median interval span (`hi - lo + 1`) over a bounded prefix of
+    * the interval side, run as its own planning-time job. The probe
+    * is a bare Project over the (already resolved) interval subplan,
+    * so it carries the subplan's own filters/aggregates; it contains
+    * no join, so this rule cannot re-fire on it. Returns None (no
+    * rewrite) when the side is empty or spans are degenerate. */
+  private def sampledWidth(iv: LogicalPlan, lo: Expression,
+      hi: Expression): Option[Long] = {
+    import org.apache.spark.sql.classic.SparkSession
+    val session = SparkSession.getActiveSession.getOrElse(return None)
+    val span = Alias(
+      Add(Subtract(asLong(hi), asLong(lo)), Literal(1L)), "__graft_span")()
+    try {
+      val rows = session.sessionState.executePlan(Project(Seq(span), iv))
+        .executedPlan.executeTake(SampleRows)
+      val spans = rows.iterator
+        .filterNot(_.isNullAt(0)).map(_.getLong(0)).filter(_ > 0).toArray
+      if (spans.isEmpty) None
+      else {
+        java.util.Arrays.sort(spans)
+        Some(spans(spans.length / 2))
+      }
+    } catch {
+      // a failed probe must never fail the query — fall back to no
+      // rewrite (Spark's own nested-loop plan)
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"range-join width probe failed, skipping rewrite: $e")
+        None
+    }
   }
 
   /** The (point, lo, hi, pointOnLeft) decomposition, if the condition
@@ -132,8 +193,8 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val w = width
-    if (w <= 0) return plan
+    val m = mode
+    if (m == Off) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) =>
         rangeKeys(cond, left, right) match {
@@ -142,22 +203,31 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
                 smallSideBytes =>
             val ptChild = if (pLeft) left else right
             val ivChild = if (pLeft) right else left
-            val ptAlias = Alias(binOf(p, w), "__pt_bin")()
-            val ptProj = Project(ptChild.output :+ ptAlias, ptChild)
-            val ivBin = AttributeReference("__iv_bin", LongType,
-              nullable = false)()
-            // Sequence is TimeZoneAwareExpression: it only resolves
-            // with a timezone bound, and ResolveTimeZone ran before us
-            val ivGen = Generate(
-              Explode(Sequence(binOf(lo, w), binOf(hi, w), None,
-                Some(conf.sessionLocalTimeZone))),
-              unrequiredChildIndex = Nil, outer = false, qualifier = None,
-              generatorOutput = Seq(ivBin), child = ivChild)
-            val equi = EqualTo(ptAlias.toAttribute, ivBin)
-            val newJoin =
-              if (pLeft) Join(ptProj, ivGen, Inner, Some(And(equi, cond)), hint)
-              else Join(ivGen, ptProj, Inner, Some(And(equi, cond)), hint)
-            Project(j.output, newJoin)
+            val wOpt = m match {
+              case Fixed(w) => Some(w)
+              case Auto => sampledWidth(ivChild, lo, hi)
+              case Off => None // unreachable
+            }
+            wOpt match {
+              case Some(w) =>
+                val ptAlias = Alias(binOf(p, w), "__pt_bin")()
+                val ptProj = Project(ptChild.output :+ ptAlias, ptChild)
+                val ivBin = AttributeReference("__iv_bin", LongType,
+                  nullable = false)()
+                // Sequence is TimeZoneAwareExpression: it only resolves
+                // with a timezone bound, and ResolveTimeZone ran before us
+                val ivGen = Generate(
+                  Explode(Sequence(binOf(lo, w), binOf(hi, w), None,
+                    Some(conf.sessionLocalTimeZone))),
+                  unrequiredChildIndex = Nil, outer = false, qualifier = None,
+                  generatorOutput = Seq(ivBin), child = ivChild)
+                val equi = EqualTo(ptAlias.toAttribute, ivBin)
+                val newJoin =
+                  if (pLeft) Join(ptProj, ivGen, Inner, Some(And(equi, cond)), hint)
+                  else Join(ivGen, ptProj, Inner, Some(And(equi, cond)), hint)
+                Project(j.output, newJoin)
+              case None => j // probe found nothing usable
+            }
           case _ => j // not a pure range join, or tiny interval side
         }
     }

@@ -42,8 +42,8 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
   *    the first-shared-bin filter.
   *  - `j5_rule_rewrite`: the j5 workload written as a naive BETWEEN
   *    join and fixed by the injected
-  *    [[graft.plans.RangeJoinRewriteRule]] — the oracle gate-checks
-  *    the optimizer rewrite end-to-end.
+  *    [[graft.plans.RangeJoinRewriteRule]] (auto-sampled bin width) —
+  *    the oracle gate-checks the optimizer rewrite end-to-end.
   *  - `p9_evolve_union`: schema-evolution union
   *    (`unionByName(allowMissingColumns)`) — null-fill by NAME, the
   *    engine-side half of ingesting evolving landed files.
@@ -119,16 +119,16 @@ object Parity11 {
 
     // ---- the same join written NAIVELY, fixed by the optimizer -----
     // Identical workload to j5_range_join but expressed as the plain
-    // BETWEEN join a SQL user would write; the opt-in
-    // RangeJoinRewriteRule (injected via GraftExtensions in the
-    // Verify/Bench sessions) turns it into the binned plan. The
-    // oracle compare therefore gate-checks the REWRITE end-to-end on
-    // real data, not just the spec's toy frames. The conf stays set
-    // for the rest of the suite: the only other pure range join
-    // (j9's 3-row band dim) is kept on its broadcast loop by the
-    // small-side guard.
+    // BETWEEN join a SQL user would write; the RangeJoinRewriteRule
+    // (injected via GraftExtensions in the Verify/Bench sessions)
+    // turns it into the binned plan, deriving the bin width from a
+    // planning-time sample of the interval spans — no conf, no
+    // session mutation, unit-correct by construction. The oracle
+    // compare therefore gate-checks the REWRITE end-to-end on real
+    // data, not just the spec's toy frames. The only other pure
+    // range join in the suite (j9's 3-row band dim) is kept on its
+    // broadcast loop by the small-side guard.
     "j5_rule_rewrite" -> { (s, d) =>
-      s.conf.set(graft.plans.RangeJoinRewriteRule.WidthConf, "32")
       val iv = lineitem(s, d)
         .filter(col("l_orderkey") <= 2000)
         .groupBy(col("l_orderkey").as("i_orderkey"))
@@ -384,10 +384,10 @@ object Parity11 {
                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
              ELSE CAST([] AS VARCHAR[]) END AS s FROM tk),
          hs AS (SELECT doc_id, list_transform(s, g ->
-             list_sum(list_transform(generate_series(1, 15),
+             CAST(list_sum(list_transform(generate_series(1, 15),
                i -> (CAST(strpos('0123456789abcdef',
                  substring(md5(g), i, 1)) AS BIGINT) - 1)
-                 << (4 * (15 - i))))) AS h FROM sh),
+                 << (4 * (15 - i)))) AS BIGINT)) AS h FROM sh),
          wn AS (SELECT doc_id, CASE WHEN length(h) >= 4
              THEN list_distinct(list_transform(
                   generate_series(1, length(h) - 3),
@@ -395,9 +395,10 @@ object Parity11 {
              ELSE list_distinct(h) END AS fp FROM hs)
          SELECT doc_id,
            CAST(length(fp) AS BIGINT) AS n_fingerprints,
-           CASE WHEN length(fp) = 0 THEN 0
-             ELSE list_reduce(fp, (a, b) -> xor(a, b)) END AS fp_xor,
-           list_min(fp) AS fp_min
+           CAST(CASE WHEN length(fp) = 0 THEN 0
+             ELSE list_reduce(fp, (a, b) -> xor(a, b)) END
+             AS BIGINT) AS fp_xor,
+           CAST(list_min(fp) AS BIGINT) AS fp_min
          FROM wn ORDER BY doc_id"""
   )
 }

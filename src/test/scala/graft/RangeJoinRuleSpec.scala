@@ -46,7 +46,8 @@ class RangeJoinRuleSpec extends AnyFunSuite {
       // queryExecution caches per DataFrame, so build one per conf state
       def q = pts(s).join(ivs(s),
         col("p") >= col("lo") && col("p") <= col("hi")).select("pid", "iid")
-      val naive = q.collect().toSet // conf off -> nested loop reference
+      s.conf.set(plans.RangeJoinRewriteRule.WidthConf, "0") // explicit off
+      val naive = q.collect().toSet // nested loop reference
       val pNaive = planOf(q)
       assert(pNaive.contains("BroadcastNestedLoopJoin"), pNaive)
 
@@ -56,6 +57,14 @@ class RangeJoinRuleSpec extends AnyFunSuite {
       assert(pNew.contains("Generate"), pNew)
       assert(q.collect().toSet == naive)
       assert(naive.size == 7) // (1,10)(2,10)(2,20)(3,20)(4,30)(6,10)(6,20)
+
+      // auto mode (conf unset): width sampled from the interval spans,
+      // same rewrite shape, same rows
+      s.conf.unset(plans.RangeJoinRewriteRule.WidthConf)
+      val pAuto = planOf(q)
+      assert(!pAuto.contains("BroadcastNestedLoopJoin"), pAuto)
+      assert(pAuto.contains("Generate"), pAuto)
+      assert(q.collect().toSet == naive)
     }
   }
 
@@ -113,9 +122,10 @@ class RangeJoinRuleSpec extends AnyFunSuite {
 
   test("j5_rule_rewrite harness query rewrites under the default guard") {
     withExtSession { s =>
-      // driver conditions: default small-side guard, conf set by the
-      // query itself; the interval aggregate's estimated size must
-      // clear the guard or the gate would silently test BNLJ instead
+      // driver conditions: default small-side guard, NO width conf —
+      // auto sampling must both arm the rule and pick a usable width;
+      // the interval aggregate's estimated size must clear the guard
+      // or the gate would silently test BNLJ instead
       s.conf.set(plans.RangeJoinRewriteRule.SmallSideConf, "8192")
       val p = planOf(SparkEntry.queries("j5_rule_rewrite")(
         s, "/root/testdata/sf0.001"))
@@ -124,11 +134,29 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
-  test("rule is off by default (no conf, no rewrite)") {
+  test("explicit zero/invalid width disables the rule") {
     withExtSession { s =>
+      for (off <- Seq("0", "-5", "nope")) {
+        s.conf.set(plans.RangeJoinRewriteRule.WidthConf, off)
+        // fresh frame per conf state: queryExecution caches per DataFrame
+        val q = pts(s).join(ivs(s),
+          col("p") >= col("lo") && col("p") <= col("hi"))
+        assert(planOf(q).contains("BroadcastNestedLoopJoin"),
+          s"width=$off: ${planOf(q)}")
+      }
+    }
+  }
+
+  test("auto width lands near the median interval span") {
+    withExtSession { s =>
+      // spans here: iv (0,64)->65, (50,130)->81, (-20,-1)->20; median 65.
+      // The rewrite with width 65 gives bins lo/65..hi/65 — just pin
+      // that the auto plan is the binned shape AND produces exact rows
+      // (the width value itself is internal; equivalence is the contract)
       val q = pts(s).join(ivs(s),
-        col("p") >= col("lo") && col("p") <= col("hi"))
-      assert(planOf(q).contains("BroadcastNestedLoopJoin"), planOf(q))
+        col("p") >= col("lo") && col("p") <= col("hi")).select("pid", "iid")
+      assert(planOf(q).contains("Generate"), planOf(q))
+      assert(q.collect().length == 7)
     }
   }
 }
