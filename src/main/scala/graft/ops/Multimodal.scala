@@ -1,5 +1,9 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -9,13 +13,22 @@ import org.apache.spark.sql.types._
   * metadata, with decode/feature-extraction as per-partition batch
   * functions.
   *
-  * The decode step is STUBBED (this container has no image/audio
-  * codecs): `decodeStub` produces a deterministic fake feature vector
-  * from the bytes. Everything around it — schema, batching,
-  * partitioning, the mapPartitions seam where a JNI/codec library
-  * would plug in — is real and tested. On a cluster the partition
-  * iterator amortizes per-batch model/codec setup exactly like a
-  * Pandas UDF's Arrow batches do in PySpark.
+  * The IMAGE path is real: PNG/JPEG encode and decode go through
+  * `javax.imageio` (pure JDK — no external codec dependency), and the
+  * decode emits exact integer pixel statistics, so it is
+  * oracle-checkable end-to-end: [[synthImages]] builds a
+  * deterministic PNG corpus whose pixel values are pure arithmetic in
+  * the image id, [[decodeStats]] decodes the actual bytes back, and a
+  * SQL oracle recomputes the same statistics from the arithmetic
+  * alone — the compare proves the encode → PNG → decode → pool
+  * pipeline bit-exact. Audio/video remain opaque (no JDK codec);
+  * non-decodable payloads fall back to a deterministic byte-fold
+  * feature so the plumbing still flows.
+  *
+  * Every decode runs inside `mapPartitions` — the Scala analog of
+  * `mapInPandas` — so per-partition codec setup (`ImageIO` cache
+  * config here; a JNI handle or model session in production) is
+  * amortized across the partition's rows instead of paid per row.
   */
 object Multimodal {
 
@@ -36,6 +49,13 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, modality: String,
       n_bytes: Int, feature: Array[Float])
 
+  /** Exact integer pixel statistics of a decoded image: total
+    * luminance plus the four quadrant sums (x<w/2, y<h/2 splits,
+    * integer division) — pooled features that stay in BIGINT so the
+    * oracle hash-compare is exact. */
+  final case class ImageStats(media_id: Long, width: Int, height: Int,
+      lum_sum: Long, q00: Long, q01: Long, q10: Long, q11: Long)
+
   /** Wrap any table as media rows by treating a string column as the
     * opaque payload (test/demo harness: documents.text -> bytes). */
   def fromText(df: DataFrame, idCol: String = "doc_id",
@@ -49,13 +69,110 @@ object Multimodal {
       lit(null).cast(IntegerType).as("height"),
       lit(null).cast(LongType).as("duration_ms"))
 
-  /** STUB decode: a real implementation would decode the payload with
-    * an image/audio codec here; the container has none, so this
-    * derives a deterministic 8-dim pseudo-feature from byte content.
-    * The seam (per-partition iterator, batch-amortized setup) is the
-    * production shape. */
-  def decodeStub(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
-    // ??? <- real codec goes here (e.g. JPEG decode + pooled embedding)
+  // ------------------------------------------------------------------
+  // Real JDK image codec
+  // ------------------------------------------------------------------
+
+  /** Encode an 8-bit grayscale PNG from a pixel function. Samples are
+    * written straight into the raster (no colorspace conversion), and
+    * PNG is lossless, so decode returns them bit-exact. */
+  def encodeGrayPng(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, px(x, y) & 0xFF); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode any ImageIO-supported payload (PNG/JPEG/GIF/BMP in the
+    * stock JDK); None when the bytes are not a decodable image. */
+  def decodeImage(bytes: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Band-0 sample statistics of a decoded image (for grayscale the
+    * luminance itself; raster samples, so no colorspace surprises). */
+  def statsOf(id: Long, img: BufferedImage): ImageStats = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    var lum = 0L; var q00 = 0L; var q01 = 0L; var q10 = 0L; var q11 = 0L
+    val halfW = w / 2; val halfH = h / 2
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = raster.getSample(x, y, 0).toLong
+        lum += v
+        if (y < halfH) { if (x < halfW) q00 += v else q01 += v }
+        else { if (x < halfW) q10 += v else q11 += v }
+        x += 1
+      }
+      y += 1
+    }
+    ImageStats(id, w, h, lum, q00, q01, q10, q11)
+  }
+
+  // ------------------------------------------------------------------
+  // Deterministic synthetic corpus (fixture generator)
+  // ------------------------------------------------------------------
+
+  /** Pixel value of synthetic image `id` at (x, y): pure arithmetic,
+    * so an SQL oracle can recompute it without touching image bytes. */
+  @inline def synthPixel(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** Synthetic image dims: width 8..12, height 6..8, keyed by id. */
+  @inline def synthDims(id: Long): (Int, Int) =
+    (8 + (id % 5).toInt, 6 + (id % 3).toInt)
+
+  /** Deterministic PNG corpus keyed by an id column: image `id` is
+    * `synthDims(id)` gray pixels of `synthPixel(id, x, y)`, REALLY
+    * encoded through the JDK PNG writer. mapPartitions so the
+    * ImageIO disk-cache opt-out (and in production, codec handles)
+    * is configured once per partition. */
+  def synthImages(spark: SparkSession, ids: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false) // per-partition codec setup
+        it.map { id =>
+          val (w, h) = synthDims(id)
+          (id, "image", "image/png",
+            encodeGrayPng(w, h, (x, y) => synthPixel(id, x, y)),
+            w, h)
+        }
+      }
+      .toDF("media_id", "modality", "mime", "payload", "width", "height")
+      .withColumn("duration_ms", lit(null).cast(LongType))
+  }
+
+  /** Decode payloads with the real JDK codec and emit exact integer
+    * pixel statistics — the oracle-checkable decode step. Rows whose
+    * payload does not decode are dropped (`flatMap`), mirroring a
+    * production corrupt-image filter. */
+  def decodeStats(spark: SparkSession, media: DataFrame): Dataset[ImageStats] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false) // per-partition codec setup
+        it.flatMap { case (id, payload) =>
+          decodeImage(payload).map(img => statsOf(id, img))
+        }
+      }
+  }
+
+  /** Deterministic byte-fold pseudo-feature — the fallback for
+    * payloads no JDK codec decodes (audio/video/opaque blobs). */
+  def byteFoldFeature(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
     val out = new Array[Float](dim)
     var i = 0
     while (i < bytes.length) {
@@ -64,6 +181,32 @@ object Multimodal {
     }
     out
   }
+
+  /** Feature vector of one payload: decodable images get `dim`
+    * vertical-strip mean luminances (a fixed-grid pooled embedding);
+    * everything else gets the byte-fold fallback. */
+  def decodeFeature(bytes: Array[Byte], dim: Int = 8): Array[Float] =
+    decodeImage(bytes) match {
+      case Some(img) =>
+        val w = img.getWidth; val h = img.getHeight
+        val raster = img.getRaster
+        val sums = new Array[Long](dim)
+        val counts = new Array[Long](dim)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val strip = math.min(dim - 1, x * dim / w)
+            sums(strip) += raster.getSample(x, y, 0)
+            counts(strip) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Array.tabulate(dim)(i =>
+          if (counts(i) == 0) 0f else (sums(i).toDouble / counts(i) / 255.0).toFloat)
+      case None => byteFoldFeature(bytes, dim)
+    }
 
   /** Per-partition feature extraction over the opaque payloads.
     * mapPartitions (not per-row UDF) so codec/model initialization is
@@ -74,18 +217,66 @@ object Multimodal {
     media.select(col("media_id"), col("modality"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition setup happens once, here (codec handles etc.)
+        ImageIO.setUseCache(false) // per-partition codec setup
         it.map { case (id, modality, payload) =>
           MediaFeatures(id, modality, payload.length,
-            decodeStub(payload, dim))
+            decodeFeature(payload, dim))
         }
       }
   }
 
-  /** Resize stub: deterministic downsample of the opaque payload by
-    * `factor` (every factor-th byte), with metadata kept consistent —
-    * the plumbing a real image resize (decode → scale → re-encode)
-    * plugs into at the same mapPartitions seam. */
+  /** Resize through the REAL codec: decode, area-average downscale by
+    * `factor`, re-encode as PNG — all inside the partition iterator.
+    * Non-decodable payloads pass through unchanged (width/height kept)
+    * so mixed corpora survive the pass. */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+      factor: Int = 2): DataFrame = {
+    import spark.implicits._
+    require(factor >= 1)
+    media.select(col("media_id"), col("modality"), col("mime"),
+      col("payload"), col("width"), col("height"))
+      .as[(Long, String, String, Array[Byte], Option[Int], Option[Int])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { case (id, modality, mime, payload, w0, h0) =>
+          decodeImage(payload) match {
+            case Some(img) =>
+              val nw = math.max(1, img.getWidth / factor)
+              val nh = math.max(1, img.getHeight / factor)
+              val out = new BufferedImage(nw, nh, BufferedImage.TYPE_BYTE_GRAY)
+              val src = img.getRaster; val dst = out.getRaster
+              var y = 0
+              while (y < nh) {
+                var x = 0
+                while (x < nw) {
+                  // area average of the factor x factor source block
+                  var s = 0L; var n = 0
+                  var dy = 0
+                  while (dy < factor && y * factor + dy < img.getHeight) {
+                    var dx = 0
+                    while (dx < factor && x * factor + dx < img.getWidth) {
+                      s += src.getSample(x * factor + dx, y * factor + dy, 0)
+                      n += 1; dx += 1
+                    }
+                    dy += 1
+                  }
+                  dst.setSample(x, y, 0, (s / math.max(1, n)).toInt)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new ByteArrayOutputStream()
+              ImageIO.write(out, "png", bos)
+              (id, modality, "image/png", bos.toByteArray, Some(nw), Some(nh))
+            case None => (id, modality, mime, payload, w0, h0)
+          }
+        }
+      }
+      .toDF("media_id", "modality", "mime", "payload", "width", "height")
+  }
+
+  /** Byte-level downsample of the opaque payload (every factor-th
+    * byte) for payloads with no codec — metadata kept consistent. */
   def resizeStub(spark: SparkSession, media: DataFrame,
       factor: Int = 4): DataFrame = {
     import spark.implicits._

@@ -167,22 +167,35 @@ object ExtQueries {
           percentile_approx(col("value"), lit(0.5), lit(10000))
             .as("approx_p50"))
     },
-    // ---- multimodal plumbing (decode stubbed; SURVEY §2.8) ------
+    // ---- multimodal: real JDK image codec (SURVEY §2.8) ---------
     "mm_frames" -> { (s, d) =>
       graft.ops.Multimodal.sampleFrames(s,
         graft.ops.Multimodal.fromText(documents(s, d)), stride = 64)
     },
-    // mapPartitions feature extraction — rows-only check. The 8-dim
-    // feature vector is widened to scalar f0..f7 columns because the
-    // driver's compare cannot sort array-typed columns; the array form
-    // is pinned by OpsSpec.
+    // REAL decode, fully oracle-checked: synthImages encodes one
+    // deterministic grayscale PNG per doc_id through the JDK PNG
+    // writer (pixel (x,y) = (id*31+7x+13y) mod 256, dims keyed by
+    // id); decodeStats decodes the actual bytes back with ImageIO
+    // and emits exact integer pixel statistics. The oracle recomputes
+    // the same statistics from the id arithmetic ALONE — agreement
+    // proves the encode → PNG → decode → pool pipeline bit-exact.
     "mm_features" -> { (s, d) =>
-      val feat = graft.ops.Multimodal.extractFeatures(s,
-        graft.ops.Multimodal.fromText(documents(s, d)), dim = 8)
-        .toDF()
-      feat.select(
-        Seq(col("media_id"), col("modality"), col("n_bytes")) ++
-          (0 until 8).map(i => col("feature").getItem(i).as(s"f$i")): _*)
+      val media = graft.ops.Multimodal.synthImages(s, documents(s, d))
+      graft.ops.Multimodal.decodeStats(s, media).toDF()
+        .orderBy(col("media_id"))
+    },
+    // decode → area-average downscale ×2 → PNG re-encode → decode:
+    // the resize path through the real codec, oracle-checked on the
+    // resized luminance total (floor-division block averages are
+    // exact integer arithmetic on both sides; trailing odd row/col
+    // dropped by both).
+    "mm_resize" -> { (s, d) =>
+      val media = graft.ops.Multimodal.synthImages(s, documents(s, d))
+      val resized = graft.ops.Multimodal.resizeImages(s, media, factor = 2)
+      graft.ops.Multimodal.decodeStats(s, resized).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("lum_sum"))
+        .orderBy(col("media_id"))
     },
     // exact binary-payload dedup: the md5 content key over the OPAQUE
     // payload bytes (images dedup by content hash long before any
@@ -378,6 +391,42 @@ object ExtQueries {
       SELECT md5(text) AS content_key, min(doc_id) AS keep_id,
              count(*) AS n_copies
       FROM documents GROUP BY md5(text) ORDER BY content_key""",
+    "mm_features" -> """
+      WITH d AS (SELECT doc_id, CAST(8 + doc_id % 5 AS INTEGER) AS w,
+                   CAST(6 + doc_id % 3 AS INTEGER) AS h FROM documents),
+      xs AS (SELECT CAST(unnest(generate_series(0, 11)) AS INTEGER) AS x),
+      ys AS (SELECT CAST(unnest(generate_series(0, 7)) AS INTEGER) AS y),
+      px AS (SELECT doc_id, w, h, x, y,
+               (doc_id * 31 + x * 7 + y * 13) % 256 AS v
+             FROM d CROSS JOIN xs CROSS JOIN ys
+             WHERE x < w AND y < h)
+      SELECT doc_id AS media_id, w AS width, h AS height,
+        CAST(sum(v) AS BIGINT) AS lum_sum,
+        CAST(sum(CASE WHEN x <  w // 2 AND y <  h // 2 THEN v ELSE 0 END)
+          AS BIGINT) AS q00,
+        CAST(sum(CASE WHEN x >= w // 2 AND y <  h // 2 THEN v ELSE 0 END)
+          AS BIGINT) AS q01,
+        CAST(sum(CASE WHEN x <  w // 2 AND y >= h // 2 THEN v ELSE 0 END)
+          AS BIGINT) AS q10,
+        CAST(sum(CASE WHEN x >= w // 2 AND y >= h // 2 THEN v ELSE 0 END)
+          AS BIGINT) AS q11
+      FROM px GROUP BY doc_id, w, h ORDER BY media_id""",
+    "mm_resize" -> """
+      WITH d AS (SELECT doc_id, CAST(8 + doc_id % 5 AS INTEGER) AS w,
+                   CAST(6 + doc_id % 3 AS INTEGER) AS h FROM documents),
+      xs AS (SELECT CAST(unnest(generate_series(0, 11)) AS INTEGER) AS x),
+      ys AS (SELECT CAST(unnest(generate_series(0, 7)) AS INTEGER) AS y),
+      px AS (SELECT doc_id, w, h, x, y,
+               (doc_id * 31 + x * 7 + y * 13) % 256 AS v
+             FROM d CROSS JOIN xs CROSS JOIN ys
+             WHERE x < (w // 2) * 2 AND y < (h // 2) * 2),
+      blocks AS (SELECT doc_id, w, h,
+                   CAST(sum(v) // count(*) AS BIGINT) AS bv
+                 FROM px GROUP BY doc_id, w, h, x // 2, y // 2)
+      SELECT doc_id AS media_id, CAST(w // 2 AS INTEGER) AS width,
+             CAST(h // 2 AS INTEGER) AS height,
+             CAST(sum(bv) AS BIGINT) AS lum_sum
+      FROM blocks GROUP BY doc_id, w, h ORDER BY media_id""",
     "x6_quantiles" -> """
       SELECT event_type,
              round(quantile_cont(value, 0.5), 4) AS p50,

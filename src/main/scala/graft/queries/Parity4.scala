@@ -175,9 +175,12 @@ object Parity4 {
           sum(p * p).cast("double").as("syy"),
           sum(q * p).cast("double").as("sxy"))
         .select(col("l_returnflag"),
-          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          // round: the two engines' double pipelines can differ in the
+          // last ulp (seen at sf0.001); 12 digits is far beyond the
+          // statistical meaning and far above the ulp noise
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
             (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 12)
             .as("corr_qty_price"))
     },
 
@@ -418,8 +421,9 @@ object Parity4 {
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
            FROM lineitem GROUP BY l_returnflag)
          SELECT l_returnflag,
-           (n * sxy - sx * sy) /
-             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+           round((n * sxy - sx * sy) /
+             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12)
+             AS corr_qty_price
          FROM s""",
     "q7_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -192,6 +192,82 @@ class OpsSpec extends AnyFunSuite {
     feats.foreach(f => assert(again(f.media_id) == f.feature.toSeq))
   }
 
+  test("PNG encode/decode roundtrips raster samples bit-exact") {
+    val bytes = Multimodal.encodeGrayPng(5, 3, (x, y) => (x * 50 + y * 17) % 256)
+    val img = Multimodal.decodeImage(bytes).get
+    assert(img.getWidth == 5 && img.getHeight == 3)
+    for (y <- 0 until 3; x <- 0 until 5)
+      assert(img.getRaster.getSample(x, y, 0) == (x * 50 + y * 17) % 256,
+        s"($x,$y)")
+    // non-image bytes decode to None, not an exception
+    assert(Multimodal.decodeImage("not a png".getBytes).isEmpty)
+  }
+
+  test("decodeStats over synthImages matches the pixel arithmetic") {
+    val ids = Seq(0L, 1L, 7L, 12L, 123L).toDF("doc_id")
+    val media = Multimodal.synthImages(spark, ids)
+    val stats = Multimodal.decodeStats(spark, media)
+      .collect().map(s => s.media_id -> s).toMap
+    assert(stats.size == 5)
+    for (id <- Seq(0L, 1L, 7L, 12L, 123L)) {
+      val (w, h) = Multimodal.synthDims(id)
+      var lum = 0L; var q00 = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = Multimodal.synthPixel(id, x, y).toLong
+        lum += v
+        if (x < w / 2 && y < h / 2) q00 += v
+      }
+      val s = stats(id)
+      assert(s.width == w && s.height == h)
+      assert(s.lum_sum == lum && s.q00 == q00, s"id=$id")
+      assert(s.q00 + s.q01 + s.q10 + s.q11 == lum)
+    }
+  }
+
+  test("resizeImages halves dims through the real codec, exact averages") {
+    val ids = Seq(3L, 9L).toDF("doc_id") // 9 -> w=12,h=6; 3 -> w=11,h=6
+    val resized = Multimodal.resizeImages(spark,
+      Multimodal.synthImages(spark, ids), factor = 2)
+    val stats = Multimodal.decodeStats(spark, resized)
+      .collect().map(s => s.media_id -> s).toMap
+    for (id <- Seq(3L, 9L)) {
+      val (w, h) = Multimodal.synthDims(id)
+      val (nw, nh) = (w / 2, h / 2)
+      var lum = 0L
+      for (by <- 0 until nh; bx <- 0 until nw) {
+        var s = 0L
+        for (dy <- 0 until 2; dx <- 0 until 2)
+          s += Multimodal.synthPixel(id, bx * 2 + dx, by * 2 + dy)
+        lum += s / 4
+      }
+      assert(stats(id).width == nw && stats(id).height == nh)
+      assert(stats(id).lum_sum == lum, s"id=$id")
+    }
+  }
+
+  test("extractFeatures decodes real images; opaque payloads fall back") {
+    val ids = Seq(4L).toDF("doc_id")
+    val media = Multimodal.synthImages(spark, ids)
+    val feat = Multimodal.extractFeatures(spark, media, dim = 4)
+      .collect().head
+    val (w, h) = Multimodal.synthDims(4L)
+    // expected strip means from the arithmetic
+    val sums = new Array[Long](4); val counts = new Array[Long](4)
+    for (y <- 0 until h; x <- 0 until w) {
+      val strip = math.min(3, x * 4 / w)
+      sums(strip) += Multimodal.synthPixel(4L, x, y); counts(strip) += 1
+    }
+    val expect = (0 until 4).map(i =>
+      (sums(i).toDouble / counts(i) / 255.0).toFloat)
+    assert(feat.feature.toSeq == expect)
+    // text payload -> byte-fold fallback, unchanged contract
+    val textMedia = Multimodal.fromText(docsDf(Seq((1L, base, "en"))))
+    val tf = Multimodal.extractFeatures(spark, textMedia, dim = 4)
+      .collect().head
+    assert(tf.feature.toSeq ==
+      Multimodal.byteFoldFeature(base.getBytes, 4).toSeq)
+  }
+
   test("resize stub downsamples payloads deterministically") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(10)
     val media = Multimodal.fromText(docs)
