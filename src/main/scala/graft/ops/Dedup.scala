@@ -202,6 +202,98 @@ object Dedup {
       .distinct()
   }
 
+  // ------------------------------------------------------------------
+  // Oracle-expressible "poly" twins of the xxhash64 production paths
+  // (the x4_winnow_poly precedent): identical operator SHAPE — banded
+  // minhash candidates / pigeonhole simhash chunks, exact verify —
+  // with the hash swapped for the md5-derived TextOps.polyHash60 a
+  // SQL oracle can replay step for step. The production variants stay
+  // on xxhash64 (single-pass native kernels, no md5 string cost).
+  // ------------------------------------------------------------------
+
+  /** MinHash+LSH near-dup pairs with fully SQL-replayable hashes:
+    * minhash i of a doc = min over shingles g of polyHash60(i ++ "|"
+    * ++ g); band keys are the PLAIN (band, r signature values) tuple
+    * rendered to a string (no second-level hash), so candidate
+    * generation, banding, and the exact-Jaccard verify are all
+    * deterministic arithmetic an oracle can reproduce — the driver's
+    * hash compare then checks candidate generation AND verification,
+    * not just row counts. */
+  def minhashNearDupPairsPoly(docs: DataFrame, tau: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val base = docs
+      .select(col(idCol).as("id"), TextOps.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // bind the signature array as its own projection so the k·|sh|
+    // md5 evaluations happen once per row, not once per consumer
+    val sigs = base.withColumn("sig",
+      transform(sequence(lit(0), lit(k - 1)), i =>
+        array_min(transform(col("sh"), g =>
+          TextOps.polyHash60(concat(i.cast("string"), lit("|"), g))))))
+    val banded = sigs.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), j =>
+        concat(j.cast("string"), lit(":"),
+          array_join(transform(slice(col("sig"), j * r + 1, lit(r)),
+            v => v.cast("string")), ",")))).as("bk"))
+    val cand = banded.select(col("id").as("id_a"), col("bk"))
+      .join(banded.select(col("id").as("id_b"), col("bk")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val sets = base.select(col("id"), col("sh"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** SimHash near-dup pairs with fully SQL-replayable hashes: a
+    * 60-bit signature over polyHash60(token) (bit i = sign of the
+    * ±1 bit-sum), candidates via 15-bit chunk equi-join (pigeonhole
+    * covers Hamming ≤ 3 across 4 chunks), verified exactly with
+    * bit_count(xor). Unlike the banded-minhash path this one is
+    * EXACT over the signature space — the chunk join has 100% recall
+    * for Hamming ≤ 3 — so the oracle's all-pairs replay must agree
+    * row for row. */
+  def simhashNearDupPairsPoly(docs: DataFrame, maxHamming: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming <= 3, "chunk join covers Hamming <= 3")
+    val sigs = docs
+      .withColumn("__hs",
+        transform(TextOps.tokens(col(textCol)), t => TextOps.polyHash60(t)))
+      .select(col(idCol).as("id"),
+        aggregate(sequence(lit(0), lit(59)), lit(0L), (acc, i) => {
+          val bitSum = aggregate(col("__hs"), lit(0L), (a, h) =>
+            a + when(call_function("getbit", h, i) === 1, 1L).otherwise(-1L))
+          acc.bitwiseOR(
+            when(bitSum > 0, call_function("shiftleft", lit(1L), i))
+              .otherwise(lit(0L)))
+        }).as("sig"))
+    val chunkStructs = (0 until 4).map(j =>
+      struct(lit(j).as("ci"),
+        call_function("shiftright", col("sig"), lit(j * 15))
+          .bitwiseAND(0x7FFFL).as("cv")))
+    val chunked = sigs
+      .withColumn("chunk", explode(array(chunkStructs: _*)))
+      .select(col("id"), col("sig"), col("chunk.ci"), col("chunk.cv"))
+    val a = chunked.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("ci"), col("cv"))
+    val b = chunked.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("ci"), col("cv"))
+    a.join(b, Seq("ci", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+          .cast(IntegerType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Exact pairwise n-gram Jaccard within a blocking key (e.g. lang):
     * the oracle-checkable exact counterpart of the LSH path.
     *

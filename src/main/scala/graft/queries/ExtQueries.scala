@@ -91,6 +91,20 @@ object ExtQueries {
     "x2_simhash" -> { (s, d) =>
       Dedup.simhashNearDupPairs(documents(s, d), maxHamming = 3)
     },
+    // the oracle-expressible md5-hash twins (x4_winnow_poly
+    // precedent): same banding / chunking / exact-verify shape, but
+    // every hash is SQL-replayable, so the driver hash-checks the
+    // full candidate-generation + verification pipeline instead of
+    // counting rows. ScalaTest pins poly == production recall on the
+    // planted near-dup set.
+    "x2_minhash_poly" -> { (s, d) =>
+      Dedup.minhashNearDupPairsPoly(documents(s, d), tau = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    "x2_simhash_poly" -> { (s, d) =>
+      Dedup.simhashNearDupPairsPoly(documents(s, d), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
 
     // ---- X3 similarity search ----------------------------------
     "x3_knn_bruteforce" -> { (s, d) =>
@@ -292,6 +306,64 @@ object ExtQueries {
       WHERE length(a.s) > 0 AND length(b.s) > 0
         AND CAST(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
              (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))) AS DOUBLE) >= 0.5""",
+    "x2_minhash_poly" -> s"""$toksCte
+      , sh AS (SELECT doc_id,
+          list_distinct(CASE WHEN length(t) >= 3
+            THEN list_transform(generate_series(1, length(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+            ELSE CAST([] AS VARCHAR[]) END) AS s
+        FROM tk),
+      sg AS (SELECT doc_id, s,
+          list_transform(generate_series(0, 15), i ->
+            list_min(list_transform(s, g ->
+              CAST(list_sum(list_transform(generate_series(1, 15),
+                p -> (CAST(strpos('0123456789abcdef',
+                  substring(md5(CAST(i AS VARCHAR) || '|' || g), p, 1))
+                  AS BIGINT) - 1) << (4 * (15 - p)))) AS BIGINT)))) AS sig
+        FROM sh WHERE length(s) > 0),
+      bk AS (SELECT doc_id,
+          unnest(list_transform(generate_series(0, 7), j ->
+            CAST(j AS VARCHAR) || ':' ||
+            CAST(sig[2*j+1] AS VARCHAR) || ',' ||
+            CAST(sig[2*j+2] AS VARCHAR))) AS key
+        FROM sg),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bk a JOIN bk b ON a.key = b.key AND a.doc_id < b.doc_id)
+      SELECT c.id_a, c.id_b,
+        CAST(CAST(length(list_intersect(x.s, y.s)) AS DOUBLE) /
+             (length(x.s) + length(y.s) - length(list_intersect(x.s, y.s)))
+          AS DOUBLE) AS jaccard
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b
+      WHERE CAST(CAST(length(list_intersect(x.s, y.s)) AS DOUBLE) /
+             (length(x.s) + length(y.s) - length(list_intersect(x.s, y.s)))
+          AS DOUBLE) >= 0.5
+      ORDER BY id_a, id_b""",
+    "x2_simhash_poly" -> s"""$toksCte
+      , hs AS (SELECT doc_id,
+          list_transform(t, g ->
+            CAST(list_sum(list_transform(generate_series(1, 15),
+              p -> (CAST(strpos('0123456789abcdef',
+                substring(md5(g), p, 1)) AS BIGINT) - 1)
+                << (4 * (15 - p)))) AS BIGINT)) AS h
+        FROM tk),
+      bits AS (SELECT doc_id, i,
+          sum(CASE WHEN (hv >> CAST(i AS INTEGER)) & 1 = 1
+              THEN 1 ELSE -1 END) AS bsum
+        FROM (SELECT doc_id, unnest(h) AS hv FROM hs)
+        CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i)
+        GROUP BY doc_id, i),
+      sig AS (SELECT doc_id,
+          CAST(sum(CASE WHEN bsum > 0
+            THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER)
+            ELSE 0 END) AS BIGINT) AS sg
+        FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.sg, b.sg)) AS INTEGER) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sg, b.sg)) <= 3
+      ORDER BY id_a, id_b""",
     "x2_ppjoin" -> s"""$toksCte
       , sh AS (SELECT doc_id, lang,
           list_distinct(CASE WHEN length(t) >= 3

@@ -99,6 +99,26 @@ class OpsSpec extends AnyFunSuite {
     assert(full.nonEmpty) // fixture actually contains near-dup pairs
   }
 
+  test("poly (md5) near-dup twins find the planted pairs like production") {
+    // production xxhash64 and oracle-expressible md5 paths share the
+    // operator shape; on the planted set both must recover the exact
+    // dup (1,4) and the near dup (1,2)/(2,4)
+    val polyM = Dedup.minhashNearDupPairsPoly(planted, tau = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(polyM.contains((1L, 4L)), s"exact dup missed: $polyM")
+    assert(polyM.contains((1L, 2L)) || polyM.contains((2L, 4L)),
+      s"near dup missed: $polyM")
+    // every emitted pair passes the exact tau (precision is exact)
+    Dedup.minhashNearDupPairsPoly(planted, tau = 0.5).collect()
+      .foreach(r => assert(r.getDouble(2) >= 0.5))
+
+    val polyS = Dedup.simhashNearDupPairsPoly(planted, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(polyS.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0),
+      s"exact dup must be hamming 0: ${polyS.toSeq}")
+    polyS.foreach(p => assert(p._3 <= 3))
+  }
+
   test("minhashDedup drops the higher-id near-duplicates") {
     val kept = Dedup.minhashDedup(planted, tau = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).sorted
