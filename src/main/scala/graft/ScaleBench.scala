@@ -125,6 +125,32 @@ object ScaleBench {
         f""""x100_sec":$t100%.3f,"r10":${t10 / t1}%.2f,"r100":$r}"""
     }.mkString("{", ",", "}")
     System.err.println(s"[scalebench] $json")
+    // CC round-count shape on a planted deep chain (diameter 127):
+    // min-label walks the diameter — one join+agg round per hop —
+    // while large-star/small-star contracts paths exponentially.
+    // At a billion-edge graph with long chains this is the difference
+    // between hundreds of shuffle rounds and ~ten.
+    locally {
+      import spark.implicits._
+      val chain = (1L until 128L).map(i => (i, i + 1)).toDF("s", "t")
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val ((mlN, mlRounds), mlSec) = timed {
+        val (df, r) = ops.Connect.minLabelRounds(chain, "s", "t", maxIter = 200)
+        (df.filter(col("comp") === 1L).count(), r)
+      }
+      val ((lsN, lsRounds), lsSec) = timed {
+        val (df, r) = ops.Connect.largeStarRounds(chain, "s", "t")
+        (df.filter(col("comp") === 1L).count(), r)
+      }
+      require(mlN == 128 && lsN == 128, s"CC labels wrong: $mlN vs $lsN")
+      System.err.println(
+        f"""[scalebench] {"cc_chain_nodes":128,"min_label_rounds":$mlRounds,""" +
+          f""""min_label_sec":$mlSec%.1f,"large_star_rounds":$lsRounds,""" +
+          f""""large_star_sec":$lsSec%.1f}""")
+    }
+
     val c100 = rows.filter(_._4 > 0)
     println(f"""{"metric":"scaleup","x1_total":${rows.map(_._2).sum}%.2f,""" +
       f""""x10_total":${rows.map(_._3).sum}%.2f,""" +

@@ -1,55 +1,165 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 
-/** Connected components by iterative min-label propagation — the
-  * clustering step that turns pairwise near-duplicate edges into
-  * whole duplicate GROUPS (one-round dedup like
-  * [[Dedup.minhashDedup]] only collapses direct neighbours; chains
-  * a~b~c need the transitive closure).
+/** Connected components — the clustering step that turns pairwise
+  * near-duplicate edges into whole duplicate GROUPS (one-round dedup
+  * like [[Dedup.minhashDedup]] only collapses direct neighbours;
+  * chains a~b~c need the transitive closure).
   *
-  * Algorithm: every node starts labelled with its own id; each round
-  * every node takes the min of its label and its neighbours' labels;
-  * stop when a round changes nothing. Deterministic (min is
-  * order-independent), converges in O(component diameter) rounds.
+  * Two algorithms, same output contract:
   *
-  * Scale shape: each round is one equi-join edges⋈labels + one
-  * min-aggregate — the same shuffle pattern as any fact join, fully
-  * distributed. `localCheckpoint` after each round truncates the
-  * exponentially-growing lineage (the standard iterative-algorithm
-  * requirement; on a production cluster use reliable checkpointing or
-  * persist+unpersist). Near-dup components are small and shallow, so
-  * rounds are few; for billion-edge general graphs swap in the
-  * large-star/small-star variant — the round structure is identical.
+  *  - [[connectedComponents]] — iterative min-label propagation.
+  *    Every node starts labelled with its own id; each round every
+  *    node takes the min of its label and its neighbours' labels.
+  *    O(component diameter) rounds; each round is one equi-join
+  *    edges⋈labels + one min-aggregate. The right default for
+  *    near-dup graphs, whose components are small and shallow.
+  *
+  *  - [[connectedComponentsLargeStar]] — alternating large-star /
+  *    small-star (Kiveris et al., "Connected Components in MapReduce
+  *    and Beyond"): each round rewires every node's strictly-larger
+  *    neighbours (large-star) then its smaller neighbours
+  *    (small-star) directly to the local minimum, contracting paths
+  *    aggressively — O(log diameter) rounds on deep graphs, the
+  *    published choice for billion-edge general graphs.
+  *
+  * Convergence costs NO extra job in either variant: the
+  * changed-row / edge-set-checksum check rides the same action that
+  * materializes the round (an accumulator bumped while the
+  * checkpoint writes), so the Spark UI shows exactly one job per
+  * round.
+  *
+  * Lineage is truncated per round via [[Iter.truncate]]:
+  * `localCheckpoint` by default, RELIABLE checkpointing when
+  * `checkpointDir` is set (the fault-tolerant 100 TB posture).
   */
-object Connect {
+object Connect extends Logging {
 
   /** @return (id, comp) for every node appearing in `edges`; comp is
     *         the smallest node id in the connected component. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
+      maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame =
+    minLabelRounds(edges, srcCol, dstCol, maxIter, checkpointDir)._1
+
+  /** [[connectedComponents]] plus the number of rounds run — for
+    * benches and convergence tests. */
+  def minLabelRounds(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20, checkpointDir: Option[String] = None)
+      : (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    val sym = Iter.truncate(
+      edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+        .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+        .distinct(), checkpointDir)
+    var labels = Iter.truncate(
+      sym.select(col("a").as("id")).distinct()
+        .withColumn("lbl", col("id")), checkpointDir)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
+      val changed = spark.sparkContext.longAccumulator(s"graft.cc.changed.$iter")
       val nbrMin = sym.join(labels, sym("b") === labels("id"))
         .groupBy(col("a").as("nid")).agg(min(col("lbl")).as("nlbl"))
-      val updated = labels
+      val joined = labels
         .join(nbrMin, labels("id") === nbrMin("nid"), "left_outer")
-        .select(col("id"), col("lbl"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl2"))
-        .localCheckpoint(true)
-      done = updated.filter(col("lbl2") < col("lbl")).isEmpty
-      labels = updated.select(col("id"), col("lbl2").as("lbl"))
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl2"),
+          col("lbl"))
+      // the convergence check rides the SAME job that materializes
+      // the round: this map bumps the accumulator as the checkpoint
+      // writes each partition — no separate isEmpty action
+      val schema = joined.schema
+      val counted = joined.mapPartitions { it =>
+        it.map { r =>
+          if (r.get(1) != r.get(2)) changed.add(1L)
+          r
+        }
+      }(Encoders.row(schema))
+      labels = Iter.truncate(
+        counted.select(col("id"), col("lbl2").as("lbl")), checkpointDir)
+      done = changed.value == 0L
       iter += 1
     }
-    labels.select(col("id"), col("lbl").as("comp"))
+    if (!done) {
+      logWarning(s"min-label CC hit maxIter=$maxIter before convergence " +
+        "(component diameter exceeds the round budget); labels are partial" +
+        " — raise maxIter or use connectedComponentsLargeStar " +
+        "(O(log diameter) rounds)")
+    }
+    (labels.select(col("id"), col("lbl").as("comp")), iter)
+  }
+
+  /** Large-star/small-star connected components: same (id, comp)
+    * output as [[connectedComponents]], O(log diameter) rounds. */
+  def connectedComponentsLargeStar(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIter: Int = 30,
+      checkpointDir: Option[String] = None): DataFrame =
+    largeStarRounds(edges, srcCol, dstCol, maxIter, checkpointDir)._1
+
+  /** [[connectedComponentsLargeStar]] plus the number of rounds. */
+  def largeStarRounds(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 30, checkpointDir: Option[String] = None)
+      : (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    val nodes = edges.select(col(srcCol).as("id"))
+      .union(edges.select(col(dstCol).as("id"))).distinct()
+    // canonical undirected edges u > v; self-loops carry no information
+    var e = Iter.truncate(
+      edges.select(greatest(col(srcCol), col(dstCol)).as("u"),
+        least(col(srcCol), col(dstCol)).as("v"))
+        .filter(col("u") =!= col("v")).distinct(), checkpointDir)
+    var iter = 0
+    var prev = (-1L, -1L)
+    var done = false
+    while (!done && iter < maxIter) {
+      // LARGE-STAR: for each node u (symmetric neighbourhood), link
+      // every strictly larger neighbour v to m = min(Γ(u) ∪ {u}).
+      // Emitted (v, m) has v > u >= m, so it is already canonical.
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val lsm = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u").as("cu"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(lsm, col("u") === col("cu"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // SMALL-STAR on the canonical (u > all its v) orientation: link
+      // every smaller neighbour and u itself to m = min of them.
+      val ssm = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = ls.join(ssm, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v")) // v > m: canonical
+        .union(ssm.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // stability check (count + commutative checksum) rides the
+      // materializing job via accumulators — one job per round
+      val cnt = spark.sparkContext.longAccumulator(s"graft.ccstar.cnt.$iter")
+      val chk = spark.sparkContext.longAccumulator(s"graft.ccstar.chk.$iter")
+      val schema = ss.schema
+      val counted = ss.mapPartitions { it =>
+        it.map { r =>
+          cnt.add(1L)
+          chk.add(Iter.mix(r.getAs[Number](0).longValue(),
+            r.getAs[Number](1).longValue()))
+          r
+        }
+      }(Encoders.row(schema))
+      e = Iter.truncate(counted, checkpointDir)
+      val cur = (cnt.value.longValue(), chk.value.longValue())
+      done = cur == prev
+      prev = cur
+      iter += 1
+    }
+    // converged: stars — every non-root u has exactly one edge to its
+    // component min; roots and self-loop-only nodes label themselves
+    val comp = e.groupBy(col("u")).agg(min(col("v")).as("cmp"))
+    val out = nodes.join(comp, nodes("id") === comp("u"), "left_outer")
+      .select(col("id"), coalesce(col("cmp"), col("id")).as("comp"))
+    (out, iter)
   }
 }

@@ -178,14 +178,15 @@ object Similarity {
     * iterated plan does not grow. An emptied cluster keeps its
     * previous centroid (k never silently shrinks). */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    var cents: DataFrame = emb.orderBy(col(idCol).asc).limit(k)
-      .select(col(idCol).as("seed_id"), col(vecCol).as("centroid"))
-      .withColumn("cent_id",
-        row_number().over(Window.orderBy(col("seed_id"))) - 1)
-      .select(col("cent_id"), col("centroid"))
-      .localCheckpoint()
+    var cents: DataFrame = Iter.truncate(
+      emb.orderBy(col(idCol).asc).limit(k)
+        .select(col(idCol).as("seed_id"), col(vecCol).as("centroid"))
+        .withColumn("cent_id",
+          row_number().over(Window.orderBy(col("seed_id"))) - 1)
+        .select(col("cent_id"), col("centroid")), checkpointDir)
     val base = emb.select(col(idCol).as("id"),
         quantize(col(vecCol)).as("q"), col(vecCol).as("v"))
       .withColumn("n2", dotScaled(col("q"), col("q")))
@@ -213,11 +214,11 @@ object Similarity {
           .as("pm"))
         .select(col("cent_id"),
           transform(col("pm"), p => p.getField("m")).as("centroid"))
-      cents = cents.alias("o")
+      cents = Iter.truncate(cents.alias("o")
         .join(recentered.alias("n"), Seq("cent_id"), "left")
         .select(col("cent_id"),
-          coalesce(col("n.centroid"), col("o.centroid")).as("centroid"))
-        .localCheckpoint()
+          coalesce(col("n.centroid"), col("o.centroid")).as("centroid")),
+        checkpointDir)
     }
     cents
   }
@@ -311,21 +312,22 @@ object Similarity {
     * the codebook is broadcast state by construction. */
   def pqCodebooks(emb: DataFrame, dim: Int, m: Int = 4, ksub: Int = 16,
       iters: Int = 2, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subs = emb
       .select(col(idCol).as("id"), subSlices(col(vecCol), dim, m).as("s"))
       .select(col("id"), col("s.sub").as("sub"), col("s.subv").as("v"))
       .withColumn("q", quantize(col("v")))
-    var books: DataFrame = emb.orderBy(col(idCol).asc).limit(ksub)
+    var books: DataFrame = Iter.truncate(
+      emb.orderBy(col(idCol).asc).limit(ksub)
       .select(col(idCol).as("seed_id"), subSlices(col(vecCol), dim, m).as("s"))
       .select(col("seed_id"), col("s.sub").as("sub"),
         col("s.subv").as("centroid"))
       .withColumn("cent_id", row_number().over(
         Window.partitionBy(col("sub")).orderBy(col("seed_id"))) - 1)
-      .select(col("sub"), col("cent_id"), col("centroid"))
-      .localCheckpoint()
+      .select(col("sub"), col("cent_id"), col("centroid")), checkpointDir)
     for (_ <- 1 to iters) {
       val cb = broadcast(books
         .select(col("sub"), col("cent_id"), quantize(col("centroid")).as("cq"))
@@ -348,11 +350,11 @@ object Similarity {
           .as("pm"))
         .select(col("sub"), col("cent_id"),
           transform(col("pm"), p => p.getField("mn")).as("centroid"))
-      books = books.alias("o")
+      books = Iter.truncate(books.alias("o")
         .join(recentered.alias("n"), Seq("sub", "cent_id"), "left")
         .select(col("sub"), col("cent_id"),
-          coalesce(col("n.centroid"), col("o.centroid")).as("centroid"))
-        .localCheckpoint()
+          coalesce(col("n.centroid"), col("o.centroid")).as("centroid")),
+        checkpointDir)
     }
     books
   }

@@ -84,6 +84,20 @@ object Parity6 {
         .select(col("doc_id"),
           coalesce(col("comp"), col("doc_id")).as("comp"))
     },
+    // The same clustering through the large-star/small-star algorithm
+    // (O(log diameter) rounds — the billion-edge posture): identical
+    // output contract as x2_cc_dedup, checked against the same
+    // recursive-CTE oracle, so both CC variants are oracle-pinned on
+    // real near-dup edges.
+    "x2_cc_largestar" -> { (s, d) =>
+      val pairs = Dedup.ngramJaccardPairs(documents(s, d), tau = 0.5,
+        blockCol = "lang")
+      val comp = Connect.connectedComponentsLargeStar(pairs, "id_a", "id_b")
+      documents(s, d)
+        .join(comp, col("doc_id") === col("id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp"))
+    },
     // Embedding near-dup dedup: drop every vector with a cosine >= tau
     // neighbour at a smaller id inside its label block — the
     // embedding-space compaction (exact pairs; the ANN path generates
@@ -128,6 +142,18 @@ object Parity6 {
                ORDER BY n_chars DESC, doc_id ASC) AS rn FROM f)
          SELECT fp, doc_id AS keep_id, n_chars FROM r WHERE rn = 1""",
     "x2_cc_dedup" -> s"""
+      WITH RECURSIVE pairs AS (${ExtQueries.oracles("x2_ngram_jaccard")}),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT a AS id FROM edges),
+      reach(id, lbl) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+      comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id)
+      SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""",
+    "x2_cc_largestar" -> s"""
       WITH RECURSIVE pairs AS (${ExtQueries.oracles("x2_ngram_jaccard")}),
       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
                 UNION SELECT id_b, id_a FROM pairs),

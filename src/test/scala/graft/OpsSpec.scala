@@ -322,6 +322,70 @@ class OpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("large-star CC == min-label CC on random graphs and chains") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val cases: Seq[Seq[(Long, Long)]] =
+      // random graphs at three densities over 30 nodes
+      Seq(15, 30, 60).map(m => Seq.fill(m)(
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))) ++ Seq(
+        // deep chain, a triangle + pendant, self-loops, one edge
+        (1L to 49L).map(i => (i, i + 1)),
+        Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (9L, 9L)),
+        Seq((5L, 5L)), Seq((7L, 3L)))
+    for ((es, ci) <- cases.zipWithIndex) {
+      val edges = es.toDF("s", "t")
+      // maxIter must cover the 50-chain's diameter for the min-label
+      // reference (it warns + returns partial labels past the cap)
+      val a = ops.Connect.connectedComponents(edges, "s", "t", maxIter = 60)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = ops.Connect.connectedComponentsLargeStar(edges, "s", "t")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a == b, s"case $ci: minLabel=$a largeStar=$b")
+    }
+  }
+
+  test("large-star converges in ~log rounds on a deep chain") {
+    import spark.implicits._
+    val chain = (1L to 64L).map(i => (i, i + 1)).toDF("s", "t")
+    val (ml, mlRounds) = ops.Connect.minLabelRounds(chain, "s", "t",
+      maxIter = 80)
+    val (lsDf, lsRounds) = ops.Connect.largeStarRounds(chain, "s", "t")
+    assert(ml.collect().forall(_.getLong(1) == 1L))
+    assert(lsDf.collect().forall(_.getLong(1) == 1L))
+    // min-label walks the diameter; star contraction is logarithmic
+    assert(mlRounds > 30, s"minLabel rounds=$mlRounds")
+    assert(lsRounds <= 10, s"largeStar rounds=$lsRounds")
+  }
+
+  test("iterative ops run identically under reliable checkpointing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      .toString
+    try {
+      val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+        .toDF("id_a", "id_b")
+      val local = ops.Connect.connectedComponents(edges, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val reliable = ops.Connect.connectedComponents(edges, "id_a", "id_b",
+        checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local)
+      val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val cLocal = Similarity.kmeansCentroids(emb, k = 4, iters = 2)
+        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+      val cRel = Similarity.kmeansCentroids(emb, k = 4, iters = 2,
+        checkpointDir = Some(dir))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+      assert(cRel == cLocal)
+      // the reliable mode really wrote checkpoint data
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .count() > 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("native DotLongs expression == HOF fallback dot product") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
