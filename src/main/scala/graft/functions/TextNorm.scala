@@ -91,7 +91,15 @@ object TextNorm {
       if (Normalizer.isNormalized(str, Normalizer.Form.NFD)) str
       else Normalizer.normalize(str, Normalizer.Form.NFD)
     val stripped = Marks.matcher(nfd).replaceAll("")
-    if (stripped eq str) s else UTF8String.fromString(stripped)
+    // recompose: scripts whose NFD decomposition contains non-mark
+    // characters (Hangul syllables -> conjoining Jamo, category Lo)
+    // must return to composed form or accent-free text comes back
+    // byte-different from the input (and diverges from utf8proc
+    // oracles, which emit composed output)
+    val out =
+      if (Normalizer.isNormalized(stripped, Normalizer.Form.NFC)) stripped
+      else Normalizer.normalize(stripped, Normalizer.Form.NFC)
+    if (out == str) s else UTF8String.fromString(out)
   }
 
   val NfcName = "graft_nfc"

@@ -78,9 +78,9 @@ object Ingest {
     * forbids referencing only the corrupt column on the streaming
     * re-parse path, and caching also guarantees both halves see the
     * same parse. */
-  def readCsvQuarantine(spark: SparkSession, path: String,
+  private def parseCsvQuarantine(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val Corrupt = "_corrupt_record"
     // _metadata must become a REAL column before the cache: the hidden
     // file-source column never enters InMemoryRelation, so a later
@@ -99,7 +99,31 @@ object Ingest {
     val bad = parsed.filter(col(Corrupt).isNotNull)
       .select(col("__source_file").as("source_file"),
         col(Corrupt).as("raw_line"))
+    (parsed, good, bad)
+  }
+
+  /** One-shot form: the returned halves share a cached parse that
+    * stays pinned for the session — fine for a single interactive
+    * load, a leak for repeated/batched loads. Prefer
+    * [[withCsvQuarantine]], which unpersists on the way out. */
+  def readCsvQuarantine(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, DataFrame) = {
+    val (_, good, bad) = parseCsvQuarantine(spark, path, schema)
     (good, bad)
+  }
+
+  /** Bracketed form of [[readCsvQuarantine]]: consume both halves
+    * inside `f`; the backing cache is unpersisted on the way out, so
+    * repeated loads do not accumulate pinned InMemoryRelations.
+    * Write/collect both frames before returning — the cache is gone
+    * afterwards and lazy plans would silently re-parse. */
+  def withCsvQuarantine[T](spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType)
+      (f: (DataFrame, DataFrame) => T): T = {
+    val (parsed, good, bad) = parseCsvQuarantine(spark, path, schema)
+    try f(good, bad)
+    finally parsed.unpersist()
   }
 
   /** Hockey-reference team-stats CSV -> RAW.TEAM_STATS

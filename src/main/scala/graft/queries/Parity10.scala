@@ -98,6 +98,23 @@ object Parity10 {
         .orderBy(col("user_id"), col("session_start_us"))
     },
 
+    // The streaming SCD2 history build run over the bounded event set:
+    // the SAME updateScd2 fold the state store drives (one group
+    // invocation per key in batch mode, events sorted in-call), so
+    // the oracle compare pins the state-transition function itself.
+    // Emits CLOSED intervals only — each key's open interval lives in
+    // state, exactly as on a live CDC stream; the oracle drops the
+    // open (valid_to_us IS NULL) rows accordingly. StreamingSpec
+    // additionally pins a real AvailableNow stream == batch.
+    "x1_scd2_stream" -> { (s, d) =>
+      graft.streaming.StatefulScd2.scd2(s,
+          graft.streaming.StatefulScd2.fromRaw(s, eventsNs(s, d)))
+        .toDF()
+        .select(col("user_id"), col("event_type"),
+          col("valid_from_us"), col("valid_to_us"))
+        .orderBy(col("user_id"), col("valid_from_us"))
+    },
+
     // ---- S1: in-engine HTML table extraction -----------------------
     // Round-trip identity: render `nation` as an HTML page (header
     // row, entity-bearing cells, a SECOND table that must be
@@ -166,6 +183,20 @@ object Parity10 {
     })
 
   val oracles: Map[String, String] = Map(
+    "x1_scd2_stream" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS us FROM events),
+         c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS prev FROM e),
+         ch AS (SELECT user_id, event_id, event_type, us FROM c
+           WHERE prev IS NULL OR prev <> event_type),
+         iv AS (SELECT user_id, event_type, us AS valid_from_us,
+           lead(us) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) - 1 AS valid_to_us
+         FROM ch)
+         SELECT user_id, event_type, valid_from_us, valid_to_us
+         FROM iv WHERE valid_to_us IS NOT NULL
+         ORDER BY user_id, valid_from_us""",
     "x2_jaccard_dfcap" ->
       """WITH tk AS (SELECT doc_id, lang,
              string_split_regex(trim(text), '\s+') AS t FROM documents),

@@ -103,10 +103,19 @@ object Sinks {
   def compact(spark: SparkSession, srcPath: String, destPath: String,
       targetBytes: Long = 128L << 20): Long = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
-    val fs = new org.apache.hadoop.fs.Path(srcPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(
-      new org.apache.hadoop.fs.Path(srcPath)).getLength
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // sum DATA files only: _SUCCESS, .crc and other hidden markers
+    // would otherwise pad the byte total and drift the planned file
+    // count off the data-bytes target
+    def dataBytes(p: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(p).iterator.map { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) 0L
+        else if (st.isDirectory) dataBytes(st.getPath)
+        else st.getLen
+      }.sum
+    val bytes = if (fs.exists(src)) dataBytes(src) else 0L
     // an empty/markers-only directory has nothing to rewrite (and
     // spark.read.parquet on it cannot infer a schema) — report 0
     // planned files and leave dest untouched instead of throwing

@@ -139,15 +139,19 @@ class NhlPipelineSpec extends AnyFunSuite {
       "1,alpha,10\n2,beta,20\nnotanumber,gamma,30\n3,delta,oops\n")
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "id LONG, name STRING, qty LONG")
-    val (good, bad) = Ingest.readCsvQuarantine(spark, d, schema)
-    assert(good.count() == 2)
-    assert(good.columns.toSeq == Seq("id", "name", "qty"))
-    val rejected = bad.collect()
-    assert(rejected.length == 2)
-    // the raw line is preserved verbatim for audit/replay
-    assert(rejected.map(_.getString(1)).toSet ==
-      Set("notanumber,gamma,30", "3,delta,oops"))
-    assert(rejected.forall(_.getString(0).endsWith("batch.csv")))
+    Ingest.withCsvQuarantine(spark, d, schema) { (good, bad) =>
+      assert(good.count() == 2)
+      assert(good.columns.toSeq == Seq("id", "name", "qty"))
+      val rejected = bad.collect()
+      assert(rejected.length == 2)
+      // the raw line is preserved verbatim for audit/replay
+      assert(rejected.map(_.getString(1)).toSet ==
+        Set("notanumber,gamma,30", "3,delta,oops"))
+      assert(rejected.forall(_.getString(0).endsWith("batch.csv")))
+    }
+    // the bracket released the shared parse cache (no pinned
+    // InMemoryRelation leaks across repeated loads)
+    assert(spark.sharedState.cacheManager.isEmpty)
   }
 
   test("ledger COPY INTO: replayed files are no-ops (S7 idempotence)") {

@@ -151,10 +151,14 @@ class Parity11Spec extends AnyFunSuite {
   }
 
   test("text norm leaves non-Latin and supplementary-plane text intact") {
-    // emoji (surrogate pairs), CJK, and ZWJ sequences carry no
-    // combining marks — normalization must pass them through
+    // emoji (surrogate pairs), CJK, ZWJ sequences, and Hangul carry
+    // no combining marks — normalization must pass them through.
+    // Hangul is the regression case: its NFD decomposition is
+    // conjoining Jamo (category Lo, not marks), so strip_accents must
+    // RECOMPOSE after stripping or accent-free syllables come back
+    // byte-different (and diverge from utf8proc oracles).
     val inputs = Seq("café 😀🏽", "你好世界",
-      "a‍ b")
+      "a‍ b", "한국어")
     val out = inputs.toDF("s").select(
       graft.functions.TextNorm.unicode_nfc(col("s")).as("n"),
       graft.functions.TextNorm.strip_accents(col("s")).as("f"))
@@ -162,6 +166,7 @@ class Parity11Spec extends AnyFunSuite {
     assert(out.map(_.getString(0)).toSeq == inputs)
     assert(out(0).getString(1) == "cafe 😀🏽")
     assert(out(1).getString(1) == "你好世界")
+    assert(out(3).getString(1) == "한국어")
   }
 
   // ---- poly-hash winnowing -------------------------------------------
