@@ -9,8 +9,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Each stage is a pure function; "orchestration" is Scala call
   * order. `run` returns every materialized layer so callers (tests,
   * jobs) can inspect or persist them.
+  *
+  * Task-retry semantics (ref: `dags/nhl_api_dag.py:113` —
+  * `retries=1, retry_delay=5s`; same pattern in the other DAGs)
+  * live in [[withRetry]]: wrap any stage call to get the Airflow
+  * task-level retry behavior. Because every COPY INTO is idempotent
+  * per file (S7 ledger), a retried ingest never double-loads —
+  * retries are safe by construction, which is the property the
+  * reference leans on too. Scheduling (`@daily`) and sensor
+  * poke/timeout stay out of engine scope (SURVEY §2.1): they belong
+  * to whatever invokes the pipeline.
   */
 object Pipeline {
+
+  /** Run `f`, retrying up to `retries` more times on failure with
+    * `delayMs` between attempts — the Airflow task retry contract.
+    * Non-retryable analysis errors (missing columns, bad schemas)
+    * fail fast: retrying cannot fix a plan that does not resolve. */
+  def withRetry[T](retries: Int = 1, delayMs: Long = 5000L)(f: => T): T = {
+    require(retries >= 0 && delayMs >= 0)
+    var attempt = 0
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      try out = Some(f)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException => throw e
+        case scala.util.control.NonFatal(e) =>
+          if (attempt >= retries) throw e
+          attempt += 1
+          if (delayMs > 0) Thread.sleep(delayMs)
+      }
+    }
+    out.get
+  }
 
   final case class Layout(
       gamesCsvDir: String, teamStatsCsvDir: String,

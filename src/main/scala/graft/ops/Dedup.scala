@@ -227,17 +227,26 @@ object Dedup {
     val base = docs
       .select(col(idCol).as("id"), TextOps.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    // bind the signature array as its own projection so the k·|sh|
-    // md5 evaluations happen once per row, not once per consumer
-    val sigs = base.withColumn("sig",
-      transform(sequence(lit(0), lit(k - 1)), i =>
-        array_min(transform(col("sh"), g =>
-          TextOps.polyHash60(concat(i.cast("string"), lit("|"), g))))))
-    val banded = sigs.select(col("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), j =>
-        concat(j.cast("string"), lit(":"),
-          array_join(transform(slice(col("sig"), j * r + 1, lit(r)),
-            v => v.cast("string")), ",")))).as("bk"))
+    // Exploded (doc, shingle, perm) rows instead of nested array
+    // lambdas: HOFs are interpreted (outside whole-stage codegen) and
+    // re-evaluate the k·|sh| md5 calls per consuming expression; the
+    // explode keeps every md5 in codegen and evaluates it exactly
+    // once (measured 13 s -> ~3 s at sf0.1). Same values either way.
+    val mins = base.select(col("id"), explode(col("sh")).as("g"))
+      .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("i"),
+        col("g"))
+      .select(col("id"), col("i"),
+        TextOps.polyHash60(
+          concat(col("i").cast("string"), lit("|"), col("g"))).as("h"))
+      .groupBy(col("id"), col("i")).agg(min(col("h")).as("mh"))
+    val banded = mins
+      .withColumn("band", (col("i") / lit(r)).cast("int"))
+      .groupBy(col("id"), col("band"))
+      .agg(array_sort(collect_list(struct(col("i"), col("mh")))).as("ms"))
+      .select(col("id"),
+        concat(col("band").cast("string"), lit(":"),
+          array_join(transform(col("ms"),
+            m => m.getField("mh").cast("string")), ",")).as("bk"))
     val cand = banded.select(col("id").as("id_a"), col("bk"))
       .join(banded.select(col("id").as("id_b"), col("bk")), Seq("bk"))
       .filter(col("id_a") < col("id_b"))
@@ -263,17 +272,25 @@ object Dedup {
   def simhashNearDupPairsPoly(docs: DataFrame, maxHamming: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(maxHamming <= 3, "chunk join covers Hamming <= 3")
-    val sigs = docs
-      .withColumn("__hs",
-        transform(TextOps.tokens(col(textCol)), t => TextOps.polyHash60(t)))
+    // Explode + 60-column conditional-sum hash aggregate (the same
+    // shape as simhashSignatures' fallback): one codegen'd md5 per
+    // token. The nested per-bit HOF formulation is interpreted and
+    // re-evaluates the token hashes per bit — measured 69 s vs ~2 s
+    // at sf0.1 for identical output. TextOps.tokens never yields an
+    // empty array, so the explode drops no documents.
+    val exploded = docs
       .select(col(idCol).as("id"),
-        aggregate(sequence(lit(0), lit(59)), lit(0L), (acc, i) => {
-          val bitSum = aggregate(col("__hs"), lit(0L), (a, h) =>
-            a + when(call_function("getbit", h, i) === 1, 1L).otherwise(-1L))
-          acc.bitwiseOR(
-            when(bitSum > 0, call_function("shiftleft", lit(1L), i))
-              .otherwise(lit(0L)))
-        }).as("sig"))
+        explode(TextOps.tokens(col(textCol))).as("t"))
+      .select(col("id"), TextOps.polyHash60(col("t")).as("h"))
+    val bitSums = (0 until 60).map(i =>
+      sum(when(call_function("getbit", col("h"), lit(i)) === 1, 1L)
+        .otherwise(-1L)).as(s"b$i"))
+    val sigExpr = (0 until 60)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val sigs = exploded.groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), sigExpr.as("sig"))
     val chunkStructs = (0 until 4).map(j =>
       struct(lit(j).as("ci"),
         call_function("shiftright", col("sig"), lit(j * 15))

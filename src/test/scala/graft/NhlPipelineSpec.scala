@@ -272,6 +272,46 @@ class NhlPipelineSpec extends AnyFunSuite {
     assert(r2.seasonalMetricsAgg.count() == 5)
   }
 
+  test("withRetry: transient failures retry, analysis errors fail fast") {
+    // transient failure on attempt 1, success on attempt 2 (the
+    // Airflow retries=1 contract; delay 0 keeps the test instant)
+    var calls = 0
+    val got = Pipeline.withRetry(retries = 1, delayMs = 0) {
+      calls += 1
+      if (calls < 2) sys.error("transient")
+      41 + calls
+    }
+    assert(got == 43 && calls == 2)
+    // exhausted retries rethrow the last failure
+    var calls2 = 0
+    val e = intercept[RuntimeException] {
+      Pipeline.withRetry(retries = 2, delayMs = 0) {
+        calls2 += 1; sys.error("always")
+      }
+    }
+    assert(e.getMessage == "always" && calls2 == 3)
+    // a plan that does not resolve is not retried — retrying cannot
+    // fix a missing column
+    var calls3 = 0
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Pipeline.withRetry(retries = 3, delayMs = 0) {
+        calls3 += 1
+        spark.range(1).select(col("no_such_column")).collect()
+      }
+    }
+    assert(calls3 == 1)
+    // retried COPY INTO never double-loads (idempotent ledger, S7)
+    val target = s"$fx/target_retry_${System.nanoTime()}"
+    val batch = Ingest.readGamesCsv(spark, gamesDir)
+    var attempts = 0
+    Pipeline.withRetry(retries = 1, delayMs = 0) {
+      attempts += 1
+      Ledger.copyInto(spark, batch, target)
+      if (attempts < 2) sys.error("crash after load")
+    }
+    assert(Ledger.readTarget(spark, target).get.count() == 3)
+  }
+
   test("api schedule JSON: promoted paths + empty-payload guard (P8)") {
     val d = s"$fx/sched_json"
     write(s"$d/sched_reg.json",
