@@ -506,4 +506,69 @@ object Similarity {
       .select(col("probe_id"), col("id"), col("cosine_sim"),
         col("rk").cast(IntegerType).as("rk"))
   }
+
+  /** Oracle-replayable LSH ANN twin (the poly-twin pattern, X3
+    * edition): the production [[annTopK]] pipeline — sign-projection
+    * buckets → candidate equi-join → exact-cosine verify → top-k —
+    * with every non-SQL ingredient replaced by replayable
+    * arithmetic. Hyperplane "randomness" is the ±1 parity of
+    * `polyHash60(bit + ":" + dim)`; projections accumulate in exact
+    * micro-unit longs (sign decisions are integer comparisons, no
+    * float order-dependence); ties break on id. A DuckDB oracle
+    * replays signs, projections, buckets, candidates, and the final
+    * cosine ranking step for step (`x3_ann_poly`), so the driver
+    * hash-checks an END-TO-END ANN pipeline rather than counting
+    * rows. The xxhash64 production path stays the fast variant
+    * (single native-kernel signature, no per-(bit,dim) hash table).
+    *
+    * Scale shape: the sign matrix is nBits×dim rows — broadcast by
+    * construction; projection is one explode + two hash aggregates;
+    * candidates are an equi-join on bucket. Same posture as annTopK.
+    */
+  def annTopKPoly(emb: DataFrame, probes: DataFrame, dim: Int,
+      nBits: Int = 8, k: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBits <= 63, s"nBits $nBits exceeds the 63-bit bucket")
+    val spark = emb.sparkSession
+    // deterministic ±1 sign matrix from md5 parity: data-independent,
+    // nBits*dim rows, broadcast
+    val signs = broadcast(
+      spark.range(nBits.toLong).toDF("j")
+        .crossJoin(spark.range(dim.toLong).toDF("i"))
+        .select(col("j").cast(IntegerType).as("j"),
+          col("i").cast(IntegerType).as("i"),
+          when(pmod(TextOps.polyHash60(
+            concat(col("j").cast("string"), lit(":"),
+              col("i").cast("string"))), lit(2)) === 1, lit(1L))
+            .otherwise(lit(-1L)).as("sgn")))
+    def withBuckets(df: DataFrame, idAs: String, qAs: String,
+        n2As: String): DataFrame = {
+      val q = df.select(col(idCol).as(idAs), quantize(col(vecCol)).as(qAs))
+        .withColumn(n2As, dotScaled(col(qAs), col(qAs)))
+      val bkt = q
+        .select(col(idAs), posexplode(col(qAs)).as(Seq("i", "qx")))
+        .join(signs, Seq("i"))
+        .groupBy(col(idAs), col("j"))
+        .agg(sum(col("sgn") * col("qx")).as("p"))
+        .groupBy(col(idAs))
+        .agg(sum(when(col("p") > 0,
+          call_function("shiftleft", lit(1L), col("j")))
+          .otherwise(lit(0L))).as("bucket"))
+      q.join(bkt, Seq(idAs))
+    }
+    val idx = withBuckets(emb, "id", "q", "n2")
+    val prb = broadcast(withBuckets(probes, "probe_id", "pq", "pn2"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine_sim").desc, col("id").asc)
+    idx.join(prb, Seq("bucket"))
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id"),
+        cosineFromScaled(dotScaled(col("q"), col("pq")),
+          col("n2"), col("pn2")).as("cosine_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("id"), col("cosine_sim"),
+        col("rk").cast(IntegerType).as("rk"))
+  }
 }

@@ -123,6 +123,17 @@ object ExtQueries {
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 3), dim = 64,
         k = 5, nBits = 6, nTables = 8, multiprobe = true)
     },
+    // the oracle-replayable ANN twin: sign projections from md5
+    // parity, exact micro-unit-long accumulation, bucket equi-join,
+    // exact-cosine top-k — DuckDB replays the ENTIRE pipeline, so
+    // this row hash-checks ANN end-to-end (production xxhash64
+    // variants above stay rows-only + RecallSpec).
+    "x3_ann_poly" -> { (s, d) =>
+      val emb = embeddings(s, d)
+      Similarity.annTopKPoly(emb, emb.filter(col("vec_id") < 3),
+        dim = 64, nBits = 6, k = 5)
+        .orderBy(col("probe_id"), col("rk"))
+    },
     // IVF-list ANN over k-means-trained lists — no SQL oracle;
     // rows-only here, recall pinned in RecallSpec.
     "x3_ann_ivf" -> { (s, d) =>
@@ -396,6 +407,48 @@ object ExtQueries {
       JOIN n2 pn ON pn.vec_id = 0
       ORDER BY cosine_sim DESC, dots.vec_id ASC
       LIMIT 10""",
+    "x3_ann_poly" -> """
+      WITH ex AS (SELECT vec_id,
+             CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x,
+             generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+      qx AS (SELECT vec_id, i, CAST(x * 1000000 AS BIGINT) AS q FROM ex),
+      sg AS (SELECT j, i,
+             CASE WHEN CAST(list_sum(list_transform(generate_series(1, 15),
+               p -> (CAST(strpos('0123456789abcdef', substring(
+                 md5(CAST(j AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)),
+                 p, 1)) AS BIGINT) - 1) << (4 * (15 - p)))) AS BIGINT)
+               % 2 = 1 THEN 1 ELSE -1 END AS sgn
+           FROM (SELECT unnest(generate_series(0, 5)) AS j)
+           CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)),
+      proj AS (SELECT vec_id, j, sum(sgn * q) AS p
+           FROM qx JOIN sg USING (i) GROUP BY vec_id, j),
+      bkt AS (SELECT vec_id, CAST(sum(CASE WHEN p > 0
+               THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER) ELSE 0 END)
+             AS BIGINT) AS bucket
+           FROM proj GROUP BY vec_id),
+      n2 AS (SELECT vec_id, sum(x * x) AS n2 FROM ex GROUP BY vec_id),
+      cand AS (SELECT p.vec_id AS probe_id, b.vec_id AS id
+           FROM bkt p JOIN bkt b ON p.bucket = b.bucket
+             AND b.vec_id <> p.vec_id
+           WHERE p.vec_id < 3),
+      dots AS (SELECT c.probe_id, c.id, sum(a.x * b.x) AS d
+           FROM cand c
+           JOIN ex a ON a.vec_id = c.probe_id
+           JOIN ex b ON b.vec_id = c.id AND b.i = a.i
+           GROUP BY c.probe_id, c.id),
+      scored AS (SELECT dots.probe_id, dots.id,
+             CAST(CAST(d AS DOUBLE) /
+                  (sqrt(CAST(nb.n2 AS DOUBLE)) * sqrt(CAST(np.n2 AS DOUBLE)))
+               AS DOUBLE) AS cosine_sim
+           FROM dots
+           JOIN n2 nb ON nb.vec_id = dots.id
+           JOIN n2 np ON np.vec_id = dots.probe_id),
+      ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+               ORDER BY cosine_sim DESC, id ASC) AS INTEGER) AS rk
+           FROM scored)
+      SELECT probe_id, id, cosine_sim, rk FROM ranked WHERE rk <= 5
+      ORDER BY probe_id, rk""",
     "x3_neardup_pairs" -> """
       WITH ex AS (SELECT vec_id, label, CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x,
                          generate_subscripts(embedding, 1) AS i
