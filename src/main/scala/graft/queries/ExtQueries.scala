@@ -239,6 +239,34 @@ object ExtQueries {
           round(expr("percentile(value, 0.5)"), 4).as("p50"),
           round(expr("percentile(value, 0.95)"), 4).as("p95"))
     },
+    // KMV (k-minimum-values) distinct sketch with the replayable md5
+    // hash — the oracle-checked SKETCH row (the poly-twin pattern,
+    // X6 edition). KMV is deterministic given the hash: keep the k
+    // smallest distinct hash values per group; if fewer than k exist
+    // the count is exact, else estimate (k-1)·2^60 / h_k. The oracle
+    // replays hashing, the k-minima cut, and the estimator formula,
+    // so the driver hash-checks an approximate-distinct pipeline end
+    // to end. Scale shape: map-only hash + one (group, h) distinct
+    // shuffle + per-group bounded top-k (TopKPerKey-rewritable).
+    "x6_kmv_poly" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val hashed = eventsNs(s, d)
+        .select(col("event_type"),
+          TextOps.polyHash60(col("user_id").cast("string")).as("h"))
+        .distinct()
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h").asc)
+      hashed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .groupBy(col("event_type"))
+        .agg(max(col("h")).as("hk"), count(lit(1)).as("n_min"))
+        .select(col("event_type"), col("n_min"),
+          when(col("n_min") < k, col("n_min").cast("double"))
+            .otherwise(lit((k - 1).toDouble) *
+              lit(1152921504606846976.0) / col("hk").cast("double"))
+            .as("est_distinct"))
+        .orderBy(col("event_type"))
+    },
     // Mergeable HLL sketches (Apache DataSketches built-ins): the
     // persistable-sketch path for X6 — per-group sketches unioned to
     // a global estimate without re-scanning. Rows-only check.
@@ -556,5 +584,21 @@ object ExtQueries {
       SELECT event_type,
              round(quantile_cont(value, 0.5), 4) AS p50,
              round(quantile_cont(value, 0.95), 4) AS p95
-      FROM events GROUP BY event_type""")
+      FROM events GROUP BY event_type""",
+    "x6_kmv_poly" -> """
+      WITH h AS (SELECT DISTINCT event_type,
+             CAST(list_sum(list_transform(generate_series(1, 15),
+               p -> (CAST(strpos('0123456789abcdef', substring(
+                 md5(CAST(user_id AS VARCHAR)), p, 1)) AS BIGINT) - 1)
+                 << (4 * (15 - p)))) AS BIGINT) AS h
+           FROM events),
+      r AS (SELECT event_type, h, row_number() OVER
+             (PARTITION BY event_type ORDER BY h ASC) AS rn FROM h),
+      m AS (SELECT event_type, max(h) AS hk, count(*) AS n_min
+           FROM r WHERE rn <= 64 GROUP BY event_type)
+      SELECT event_type, n_min,
+        CASE WHEN n_min < 64 THEN CAST(n_min AS DOUBLE)
+          ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0 /
+               CAST(hk AS DOUBLE) END AS est_distinct
+      FROM m ORDER BY event_type""")
 }

@@ -460,4 +460,23 @@ class OpsSpec extends AnyFunSuite {
     val approx = ev.select(approx_count_distinct(col("user_id"))).head().getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.1)
   }
+
+  test("KMV poly sketch estimates within its error bound (X6)") {
+    // per-type estimates from the deterministic md5 KMV (k=64,
+    // stderr ~ 1/sqrt(k-2) ~ 12.7%) vs exact distinct counts; groups
+    // under k are exact by construction
+    val d = "/root/testdata/sf0.001"
+    val est = SparkEntry.queries("x6_kmv_poly")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = Tables.events(spark, d)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    for ((t, (nMin, e)) <- est) {
+      val x = exact(t)
+      if (nMin < 64) assert(e == x.toDouble, s"$t under-k must be exact")
+      else assert(math.abs(e - x) / x < 0.4,
+        s"$t: est $e vs exact $x (3-sigma KMV bound)")
+    }
+  }
 }
