@@ -258,6 +258,7 @@ object ExtQueries {
       val w = Window.partitionBy(col("event_type")).orderBy(col("h").asc)
       hashed.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k)
+        .drop("rn") // dropping rn lets TopKRewriteRule plan the heap
         .groupBy(col("event_type"))
         .agg(max(col("h")).as("hk"), count(lit(1)).as("n_min"))
         .select(col("event_type"), col("n_min"),

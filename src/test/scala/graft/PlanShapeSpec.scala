@@ -72,6 +72,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "top-k fell back to a window sort:\n" + p)
   }
 
+  test("x6_kmv_poly: the k-minima cut plans as the bounded heap") {
+    // the row_number-over-(type, h asc) <= k window must rewrite to
+    // TopKPerKeyExec (bounded heap, no per-partition full sort) under
+    // the injected TopKRewriteRule — at 100 TB the sketch's memory is
+    // then O(groups * k), not O(distinct hashes)
+    val p = planOf("x6_kmv_poly")
+    assert(p.contains("TopKPerKey"), p)
+  }
+
   test("x2_minhash_lsh signature stage has no shuffle before banding") {
     // the signature subplan is map-only: scanning documents up to the
     // banded explode must not contain an Exchange (the only shuffles
