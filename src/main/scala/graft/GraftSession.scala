@@ -18,6 +18,11 @@ object GraftSession {
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
     val b = SparkSession
       .builder()
+      // the factory session carries the full Catalyst surface
+      // (TopKStrategy, TopKRewriteRule, RangeJoinRewriteRule, SQL
+      // functions) — without this, rule-dependent plans only form in
+      // sessions that remember to wire the extensions themselves
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)

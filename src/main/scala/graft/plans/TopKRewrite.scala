@@ -69,5 +69,29 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
             TopKPerKeyNode(partSpec, orderSpec, k, unwrapGroupLimit(w.child)))
         case _ => p
       }
+
+    // CollapseProject folds a `.drop("rn")` straight into a parent
+    // Aggregate before user rules run, leaving
+    // Aggregate(Filter(Window(row_number))) with no intervening
+    // Project — the KMV k-minima cut (x6_kmv_poly) plans this way.
+    // Same guards as above, with "the projection drops rn" replaced
+    // by "no grouping or aggregate expression references rn".
+    case a @ Aggregate(groupExprs, aggExprs,
+        Filter(cond,
+          w @ Window(Seq(al @ Alias(
+            WindowExpression(_: RowNumber, _), _)), partSpec, orderSpec, _, _)), _)
+        if partSpec.nonEmpty && orderSpec.nonEmpty &&
+          partSpec.forall(_.deterministic) &&
+          orderSpec.forall(_.deterministic) =>
+      val rn = al.exprId
+      bound(cond, rn) match {
+        case Some(k) if k >= 1 &&
+            cond.references.forall(_.exprId == rn) &&
+            groupExprs.forall(!_.references.exists(_.exprId == rn)) &&
+            aggExprs.forall(!_.references.exists(_.exprId == rn)) =>
+          a.copy(child =
+            TopKPerKeyNode(partSpec, orderSpec, k, unwrapGroupLimit(w.child)))
+        case _ => a
+      }
   }
 }
