@@ -80,6 +80,9 @@ object Connect extends Logging {
       }(Encoders.row(schema))
       labels = Iter.truncate(
         counted.select(col("id"), col("lbl2").as("lbl")), checkpointDir)
+      // task retries can only INFLATE the accumulator (a spurious
+      // extra round), never fake a zero — premature convergence is
+      // impossible by construction
       done = changed.value == 0L
       iter += 1
     }
@@ -137,7 +140,9 @@ object Connect extends Logging {
         .filter(col("u") =!= col("v"))
         .distinct()
       // stability check (count + commutative checksum) rides the
-      // materializing job via accumulators — one job per round
+      // materializing job via accumulators — one compute pass per
+      // round (reliable-checkpoint mode adds a cache-backed write
+      // job that does not recompute the round; see Iter.truncate)
       val cnt = spark.sparkContext.longAccumulator(s"graft.ccstar.cnt.$iter")
       val chk = spark.sparkContext.longAccumulator(s"graft.ccstar.chk.$iter")
       val schema = ss.schema
@@ -151,9 +156,19 @@ object Connect extends Logging {
       }(Encoders.row(schema))
       e = Iter.truncate(counted, checkpointDir)
       val cur = (cnt.value.longValue(), chk.value.longValue())
+      // a task retry inflates cnt/chk, making THIS round's pair
+      // differ from the previous one — the worst case is a spurious
+      // extra round; retry noise can never manufacture the stable
+      // round-to-round equality that declares convergence early
       done = cur == prev
       prev = cur
       iter += 1
+    }
+    if (!done) {
+      logWarning(s"large-star CC hit maxIter=$maxIter before the edge set " +
+        "stabilized; the star extraction below assumes convergence, so " +
+        "labels may be inconsistent — raise maxIter (rounds grow " +
+        "O(log diameter), so a small bump goes far)")
     }
     // converged: stars — every non-root u has exactly one edge to its
     // component min; roots and self-loop-only nodes label themselves

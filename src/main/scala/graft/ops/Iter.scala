@@ -29,7 +29,13 @@ private[graft] object Iter {
         if (!sc.getCheckpointDir.exists(_.contains(dir))) {
           sc.setCheckpointDir(dir)
         }
-        df.checkpoint(eager = true)
+        // RDD checkpointing runs TWO jobs over the plan (materialize,
+        // then write); persist first so the write pass reads cached
+        // partitions instead of recomputing the round's joins — this
+        // also keeps convergence accumulators single-counted
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try df.checkpoint(eager = true)
+        finally df.unpersist(blocking = false)
       case None => df.localCheckpoint(eager = true)
     }
 

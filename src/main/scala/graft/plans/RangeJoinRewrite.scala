@@ -115,16 +115,35 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       Subtract(q, Literal(1L)), q)
   }
 
+  /** Probe results memoized by (canonicalized interval subplan, bound
+    * exprs rendered by name). Planning the same join twice — explain()
+    * then execute, AQE re-optimization, a query re-run, or the same
+    * dimension subplan appearing under several joins — must not re-run
+    * the probe job. Width is a robustness heuristic, so serving a
+    * cached value to a structurally identical subplan over changed
+    * data is acceptable. Bounded: wholesale-cleared past 128 shapes. */
+  private val widthCache =
+    new java.util.concurrent.ConcurrentHashMap[(LogicalPlan, String), Option[Long]]()
+
   /** Median interval span (`hi - lo + 1`) over a bounded prefix of
-    * the interval side, run as its own planning-time job. The probe
-    * is a bare Project over the (already resolved) interval subplan,
-    * so it carries the subplan's own filters/aggregates; it contains
-    * no join, so this rule cannot re-fire on it. Returns None (no
-    * rewrite) when the side is empty or spans are degenerate. */
+    * the interval side, run as its own planning-time job (memoized —
+    * see [[widthCache]]). The probe is a bare Project over the
+    * (already resolved) interval subplan, so it carries the subplan's
+    * own filters/aggregates; it contains no join, so this rule cannot
+    * re-fire on it. COST: executeTake is a prefix sample — over a leaf
+    * scan it reads a few input splits, but when the interval side is
+    * itself an aggregate/join subplan its upstream stages execute once
+    * to produce that prefix (then the result is cached per shape; set
+    * a fixed `spark.graft.rangeJoin.binWidth` to avoid the probe
+    * entirely). Returns None (no rewrite) when the side is empty or
+    * spans are degenerate. */
   private def sampledWidth(iv: LogicalPlan, lo: Expression,
       hi: Expression): Option[Long] = {
     import org.apache.spark.sql.classic.SparkSession
     val session = SparkSession.getActiveSession.getOrElse(return None)
+    val key = (iv.canonicalized, s"${lo.sql}|${hi.sql}")
+    val hit = widthCache.get(key)
+    if (hit != null) return hit
     val span = Alias(
       Add(Subtract(asLong(hi), asLong(lo)), Literal(1L)), "__graft_span")()
     try {
@@ -132,14 +151,19 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
         .executedPlan.executeTake(SampleRows)
       val spans = rows.iterator
         .filterNot(_.isNullAt(0)).map(_.getLong(0)).filter(_ > 0).toArray
-      if (spans.isEmpty) None
-      else {
-        java.util.Arrays.sort(spans)
-        Some(spans(spans.length / 2))
-      }
+      val computed =
+        if (spans.isEmpty) None
+        else {
+          java.util.Arrays.sort(spans)
+          Some(spans(spans.length / 2))
+        }
+      if (widthCache.size >= 128) widthCache.clear()
+      widthCache.put(key, computed)
+      computed
     } catch {
       // a failed probe must never fail the query — fall back to no
-      // rewrite (Spark's own nested-loop plan)
+      // rewrite (Spark's own nested-loop plan). NOT cached: a
+      // transient failure should not pin the fallback plan forever.
       case scala.util.control.NonFatal(e) =>
         logWarning(s"range-join width probe failed, skipping rewrite: $e")
         None
