@@ -232,7 +232,21 @@ object Dedup {
     // re-evaluate the k·|sh| md5 calls per consuming expression; the
     // explode keeps every md5 in codegen and evaluates it exactly
     // once (measured 13 s -> ~3 s at sf0.1). Same values either way.
+    //
+    // The repartition(id) BEFORE the k-way explode is load-bearing:
+    // without it the k·|shingles| md5 stream inherits the scan's
+    // split count (a compact parquet source can be a single split, so
+    // the whole hash stage runs on one core — measured 5.0 s of the
+    // query's 5.4 s at sf0.1). One slim (id, g) shuffle fans the hash
+    // work across the cluster AND pre-clusters by id, which satisfies
+    // ClusteredDistribution for BOTH downstream aggregations (mins on
+    // (id, i), banding on (id, band)) — so it replaces, not adds, a
+    // shuffle. (The alternative rewrite — hashing each distinct
+    // shingle once and joining back — was measured SLOWER here:
+    // 8.7 -> 11.7 s cold, since it re-evaluates the shingle kernel a
+    // third time and its join shuffle outweighs the saved md5 calls.)
     val mins = base.select(col("id"), explode(col("sh")).as("g"))
+      .repartition(col("id"))
       .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("i"),
         col("g"))
       .select(col("id"), col("i"),
@@ -278,6 +292,11 @@ object Dedup {
     // re-evaluates the token hashes per bit — measured 69 s vs ~2 s
     // at sf0.1 for identical output. TextOps.tokens never yields an
     // empty array, so the explode drops no documents.
+    // (No pre-hash repartition here, unlike the minhash poly path:
+    // this stream is one md5 per token — not per (token, perm) — and
+    // the 60-column partial aggregate collapses it map-side before
+    // the shuffle; an explicit repartition was measured 0.7 s SLOWER
+    // at sf0.1 because it ships the raw token stream instead.)
     val exploded = docs
       .select(col(idCol).as("id"),
         explode(TextOps.tokens(col(textCol))).as("t"))
