@@ -151,6 +151,51 @@ object ScaleBench {
           f""""large_star_sec":$lsSec%.1f}""")
     }
 
+    // KMV k-minima cut (x6_kmv_poly's heavy stage) at the 10x/100x
+    // tiers: the stock sort-window plan (InferWindowGroupLimit
+    // pre-filters each partition to k but still sorts and numbers)
+    // vs the bounded-heap TopKPerKeyExec (O(groups·k) live state,
+    // no partition sort). Hashes event_id — replica-offset, so the
+    // distinct input grows with the tier (user_id is shared across
+    // replicas and would collapse under distinct); the estimator
+    // shape is exactly the query's.
+    locally {
+      val k = 64
+      def kmvCut(dir: String, heap: Boolean): Unit = {
+        val hashed = spark.read.parquet(s"$dir/events.parquet")
+          .select(col("event_type"),
+            ops.TextOps.polyHash60(col("event_id").cast("string")).as("h"))
+          .distinct()
+        val cut =
+          if (heap) plans.TopKPerKey.topKPerKey(
+            hashed, Seq("event_type"), Seq(("h", false)), k)
+          else {
+            import org.apache.spark.sql.expressions.Window
+            val w = Window.partitionBy(col("event_type"))
+              .orderBy(col("h").asc)
+            hashed.withColumn("rn", row_number().over(w))
+              .filter(col("rn") <= k).drop("rn")
+          }
+        cut.groupBy(col("event_type"))
+          .agg(max(col("h")).as("hk"), count(lit(1)).as("n_min"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      def best2(dir: String, heap: Boolean): Double = {
+        def once: Double = {
+          val t0 = System.nanoTime(); kmvCut(dir, heap)
+          (System.nanoTime() - t0) / 1e9
+        }
+        math.min(once, once)
+      }
+      val kmv = Seq(10 -> "target/sf1", 100 -> "target/sf10").map {
+        case (c, dir) => (c, best2(dir, heap = false), best2(dir, heap = true))
+      }
+      val js = kmv.map { case (c, w, h) =>
+        f""""x$c":{"window_sec":$w%.2f,"heap_sec":$h%.2f,"ratio":${w / h}%.2f}"""
+      }.mkString(",")
+      System.err.println(s"""[scalebench] {"kmv_cut_k":$k,$js}""")
+    }
+
     val c100 = rows.filter(_._4 > 0)
     println(f"""{"metric":"scaleup","x1_total":${rows.map(_._2).sum}%.2f,""" +
       f""""x10_total":${rows.map(_._3).sum}%.2f,""" +

@@ -84,10 +84,26 @@ object ExtQueries {
         blockCol = "lang")
         .orderBy(col("blk"), col("id_a"), col("id_b"))
     },
-    // xxhash64-based — no SQL oracle; rows-only + ScalaTest.
+    // The PRODUCTION xxhash64 LSH path — and still fully
+    // hash-checked: banding at (k=32, b=16, r=2) detects a J>=0.5
+    // pair with p = 1-(1-J²)^16 and the corpus's true near-dups all
+    // sit at J>=0.7 (p >= 1-0.51^16 ≈ 1-2e-5; measured: emitted ==
+    // brute-force exact(J>=0.5) at sf0.001/0.01/0.1 — PairCheck),
+    // so after the exact-Jaccard verify the emitted set EQUALS the
+    // brute-force all-pairs J>=0.5 set and the oracle recomputes it
+    // without replaying xxhash. A banding/verify regression breaks
+    // the equality and the row goes red.
     "x2_minhash_lsh" -> { (s, d) =>
       Dedup.minhashNearDupPairs(documents(s, d), tau = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
     },
+    // xxhash64 SimHash (Hamming <= 3) — rows-only BY NATURE: the
+    // Hamming-ball membership is a property of the 64 xxhash sign
+    // sums themselves (measured against brute-force exact Jaccard it
+    // is neither a subset nor a superset of any J-level set), so no
+    // hash-free oracle exists; the pipeline structure is hash-checked
+    // via x2_simhash_poly, and the chunk join's completeness is
+    // pinned against the all-pairs scan in ScalaTest.
     "x2_simhash" -> { (s, d) =>
       Dedup.simhashNearDupPairs(documents(s, d), maxHamming = 3)
     },
@@ -182,15 +198,32 @@ object ExtQueries {
         .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n_events"))
     },
-    // HLL++ / KLL — approximate by design; rows-only check, accuracy
-    // asserted against exact counts in ScalaTest.
+    // HLL++ / KLL — approximate by design, so the raw estimates can
+    // never hash-match an oracle; instead the query CHECKS them: it
+    // emits the exact values (DuckDB recomputes those — real value
+    // assertions) plus booleans pinning each estimate inside its
+    // published error bound (HLL++ rsd=0.05 default → 3σ = 15%;
+    // percentile_approx accuracy=10000 → rank error 1e-4, asserted
+    // against the far-looser exact p49..p51 bracket). A sketch that
+    // drifts out of bound flips a boolean and the row goes red.
     "x6_approx_sketch" -> { (s, d) =>
-      eventsNs(s, d)
-        .groupBy(col("event_type"))
+      val ev = eventsNs(s, d)
+      val approx = ev.groupBy(col("event_type"))
         .agg(
           approx_count_distinct(col("user_id")).as("approx_users"),
           percentile_approx(col("value"), lit(0.5), lit(10000))
             .as("approx_p50"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          expr("percentile(value, 0.49)").as("p49"),
+          expr("percentile(value, 0.51)").as("p51"))
+      approx.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * 0.15).as("users_in_bound"),
+          (col("approx_p50") >= col("p49") &&
+            col("approx_p50") <= col("p51")).as("p50_in_bound"))
+        .orderBy(col("event_type"))
     },
     // ---- multimodal: real JDK image codec (SURVEY §2.8) ---------
     "mm_frames" -> { (s, d) =>
@@ -270,15 +303,25 @@ object ExtQueries {
     },
     // Mergeable HLL sketches (Apache DataSketches built-ins): the
     // persistable-sketch path for X6 — per-group sketches unioned to
-    // a global estimate without re-scanning. Rows-only check.
+    // a global estimate without re-scanning. Same bounded-oracle
+    // pattern as x6_approx_sketch: the oracle recomputes n_groups and
+    // the exact union cardinality; the sketch estimate is asserted
+    // within 5% (lgK=12 → rsd 1.04/√4096 ≈ 1.6%, 3σ ≈ 4.9%).
     "x6_hll_sketch" -> { (s, d) =>
-      val perType = eventsNs(s, d)
+      val ev = eventsNs(s, d)
+      val perType = ev
         .groupBy(col("event_type"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
-      perType.agg(
+      val est = perType.agg(
         hll_sketch_estimate(hll_union_agg(col("sk")))
           .cast("long").as("approx_total_users"),
         count(lit(1)).as("n_groups"))
+      val exact = ev.agg(
+        countDistinct(col("user_id")).as("exact_total_users"))
+      est.crossJoin(exact)
+        .select(col("n_groups"), col("exact_total_users"),
+          (abs(col("approx_total_users") - col("exact_total_users")) <=
+            col("exact_total_users") * 0.05).as("union_in_bound"))
     })
 
   private val toksCte =
@@ -346,6 +389,28 @@ object ExtQueries {
       WHERE length(a.s) > 0 AND length(b.s) > 0
         AND CAST(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
              (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))) AS DOUBLE) >= 0.5""",
+    // full-equality oracle for the production LSH path: brute-force
+    // all-pairs exact Jaccard (cross-language; the size-ratio prune
+    // max <= 2*min is lossless at tau=0.5 since J>=0.5 forces
+    // |A∩B| >= (|A|+|B|)/3 and |A∩B| <= min). See the query comment
+    // for why LSH recall is deterministically 1 on this corpus.
+    "x2_minhash_lsh" -> s"""$toksCte
+      , sh AS (SELECT doc_id,
+          list_distinct(CASE WHEN length(t) >= 3
+            THEN list_transform(generate_series(1, length(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+            ELSE CAST([] AS VARCHAR[]) END) AS s
+        FROM tk)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
+             (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))) AS DOUBLE) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        AND length(a.s) <= 2 * length(b.s)
+        AND length(b.s) <= 2 * length(a.s)
+      WHERE length(a.s) > 0 AND length(b.s) > 0
+        AND CAST(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
+             (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))) AS DOUBLE) >= 0.5
+      ORDER BY id_a, id_b""",
     "x2_minhash_poly" -> s"""$toksCte
       , sh AS (SELECT doc_id,
           list_distinct(CASE WHEN length(t) >= 3
@@ -532,6 +597,20 @@ object ExtQueries {
       SELECT event_type, count(DISTINCT user_id) AS n_users,
              count(*) AS n_events
       FROM events GROUP BY event_type""",
+    // bounded-sketch oracles: the exact columns are REAL value
+    // assertions (DuckDB recomputes them); the booleans pin the
+    // Spark-side estimates inside their published error bounds —
+    // TRUE here means "the oracle requires the sketch in-bound",
+    // and a drifting sketch flips the Spark value and goes red.
+    "x6_approx_sketch" -> """
+      SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             TRUE AS users_in_bound, TRUE AS p50_in_bound
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "x6_hll_sketch" -> """
+      SELECT count(DISTINCT event_type) AS n_groups,
+             count(DISTINCT user_id) AS exact_total_users,
+             TRUE AS union_in_bound
+      FROM events""",
     "mm_frames" -> """
       WITH d AS (SELECT doc_id AS media_id, length(text) AS len FROM documents),
       f AS (SELECT media_id, len,

@@ -137,6 +137,27 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)))
   }
 
+  test("simhash chunk join is COMPLETE: equals the all-pairs Hamming<=3 scan at sf0.01") {
+    // the 16-bit-chunk pigeonhole must lose NOTHING vs brute force —
+    // a shift/mask bug in the chunk extraction would silently drop
+    // pairs; this pins the candidate generator against the O(n²)
+    // scan on the gate corpus (the harness row is rows-only since
+    // Hamming-ball membership isn't expressible without xxhash).
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val sigs = Dedup.simhashSignatures(docs)
+    val brute = sigs.select(col("id").as("id_a"), col("sig").as("sa"))
+      .crossJoin(sigs.select(col("id").as("id_b"), col("sig").as("sb")))
+      .filter(col("id_a") < col("id_b") &&
+        bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.simhashNearDupPairs(docs, maxHamming = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute,
+      s"chunk join missed ${(brute -- blocked).size} / leaked ${(blocked -- brute).size} pairs")
+  }
+
   test("langId picks marker language; defaults en") {
     val df = docsDf(Seq(
       (1L, "le chat est sur la table et les livres", "fr"),

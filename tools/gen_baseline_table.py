@@ -8,7 +8,7 @@ n = len(qs)
 total = detail["total"]
 
 rows = "\n".join(f"| `{k}` | {v:.2f} |" for k, v in sorted(qs.items()))
-table = (f"### Per-query seconds (sf0.1, local[32], {n} queries, round-6 run)\n\n"
+table = (f"### Per-query seconds (sf0.1, local[32], {n} queries, round-8 run)\n\n"
          f"| query | sec |\n|---|---|\n{rows}\n\n"
          f"Total: {total:.1f} s.\n")
 
