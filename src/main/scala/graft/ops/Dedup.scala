@@ -221,7 +221,7 @@ object Dedup {
     * not just row counts. */
   def minhashNearDupPairsPoly(docs: DataFrame, tau: Double = 0.5,
       textCol: String = "text", idCol: String = "doc_id",
-      n: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
+      n: Int = 3, k: Int = 32, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
     val base = docs
@@ -245,13 +245,25 @@ object Dedup {
     // shingle once and joining back — was measured SLOWER here:
     // 8.7 -> 11.7 s cold, since it re-evaluates the shingle kernel a
     // third time and its join shuffle outweighs the saved md5 calls.)
+    // One md5 per (doc, shingle); the k permutations derive from its
+    // two independent hex slices via Kirsch–Mitzenmacher double
+    // hashing (TextOps.permHash — overflow-safe pure long ops:
+    // i·h2 < 64·2^56 = 2^62, +h1 < 2^62 + 2^60 < 2^63). Since the
+    // md5 count no longer grows with k, the twin runs the PRODUCTION
+    // banding parameters (k=32, b=16: per-pair candidate-miss odds at
+    // J=0.7 are 0.51^16 ≈ 2e-5, vs 0.45% at the old k=16/b=8 — which
+    // measurably dropped one true pair on the sf0.01 gate corpus).
+    require(k <= 64, s"K-M overflow audit covers k <= 64, got k=$k")
     val mins = base.select(col("id"), explode(col("sh")).as("g"))
       .repartition(col("id"))
+      .select(col("id"), md5(col("g")).as("m"))
+      .select(col("id"),
+        TextOps.mdBase1(col("m")).as("h1"),
+        TextOps.mdBase2(col("m")).as("h2"))
       .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("i"),
-        col("g"))
+        col("h1"), col("h2"))
       .select(col("id"), col("i"),
-        TextOps.polyHash60(
-          concat(col("i").cast("string"), lit("|"), col("g"))).as("h"))
+        TextOps.permHash(col("i"), col("h1"), col("h2")).as("h"))
       .groupBy(col("id"), col("i")).agg(min(col("h")).as("mh"))
     val banded = mins
       .withColumn("band", (col("i") / lit(r)).cast("int"))

@@ -136,6 +136,33 @@ object TextOps {
   def polyHash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast(LongType)
 
+  /** Kirsch–Mitzenmacher double hashing for SQL-replayable minhash:
+    * ONE md5 per shingle yields TWO independent bases — h1 = hex
+    * digits 1..15 (60 bits), h2 = digits 16..29 (56 bits) — and
+    * permutation i is g_i = (h1 + i·h2) mod (2^61 − 1). md5 (digest
+    * + hex + conv) is ~the entire per-permutation cost, so deriving
+    * k permutations from one digest cuts the hash stage k-fold; the
+    * derivation itself is three primitive long ops that stay inside
+    * whole-stage codegen. Overflow-audited for BOTH engines:
+    * i·h2 < 16·2^56 = 2^60, + h1 < 2^61 — inside signed-64 range, so
+    * Spark long arithmetic and DuckDB BIGINT compute the identical
+    * value (an earlier decimal(38) mulmod variant was exact too but
+    * BigDecimal-backed: measured 13.5 s vs 6.4 s baseline — wrong
+    * direction; this one is pure primitive ops). */
+  val MinHashMod: Long = 2305843009213693951L // 2^61 - 1 (Mersenne)
+
+  /** 60-bit base 1 from a bound md5-hex column. */
+  def mdBase1(m: Column): Column =
+    conv(substring(m, 1, 15), 16, 10).cast(LongType)
+
+  /** 56-bit base 2 from the same bound md5-hex column. */
+  def mdBase2(m: Column): Column =
+    conv(substring(m, 16, 14), 16, 10).cast(LongType)
+
+  /** g_i over bound long base columns (i is the 0-based perm index). */
+  def permHash(i: Column, h1: Column, h2: Column): Column =
+    pmod(h1 + i.cast(LongType) * h2, lit(MinHashMod))
+
   /** Winnow from a BOUND hash-array column. Callers on big data must
     * bind `shingleHashes` to a named column first — passing the hash
     * expression directly re-evaluates it per window (the nested-HOF

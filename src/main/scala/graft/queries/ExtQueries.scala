@@ -418,16 +418,26 @@ object ExtQueries {
                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
             ELSE CAST([] AS VARCHAR[]) END) AS s
         FROM tk),
-      sg AS (SELECT doc_id, s,
-          list_transform(generate_series(0, 15), i ->
-            list_min(list_transform(s, g ->
-              CAST(list_sum(list_transform(generate_series(1, 15),
-                p -> (CAST(strpos('0123456789abcdef',
-                  substring(md5(CAST(i AS VARCHAR) || '|' || g), p, 1))
-                  AS BIGINT) - 1) << (4 * (15 - p)))) AS BIGINT)))) AS sig
+      hb AS (SELECT doc_id, s,
+          list_transform(s, g ->
+            CAST(list_sum(list_transform(generate_series(1, 15),
+              p -> (CAST(strpos('0123456789abcdef',
+                substring(md5(g), p, 1))
+                AS BIGINT) - 1) << (4 * (15 - p)))) AS BIGINT)) AS hs1,
+          list_transform(s, g ->
+            CAST(list_sum(list_transform(generate_series(16, 29),
+              p -> (CAST(strpos('0123456789abcdef',
+                substring(md5(g), p, 1))
+                AS BIGINT) - 1) << (4 * (29 - p)))) AS BIGINT)) AS hs2
         FROM sh WHERE length(s) > 0),
+      sg AS (SELECT doc_id, s,
+          list_transform(generate_series(0, 31), i ->
+            CAST(list_min(list_transform(generate_series(1, length(hs1)),
+              j -> (hs1[j] + i * hs2[j])
+                % ${TextOps.MinHashMod})) AS BIGINT)) AS sig
+        FROM hb),
       bk AS (SELECT doc_id,
-          unnest(list_transform(generate_series(0, 7), j ->
+          unnest(list_transform(generate_series(0, 15), j ->
             CAST(j AS VARCHAR) || ':' ||
             CAST(sig[2*j+1] AS VARCHAR) || ',' ||
             CAST(sig[2*j+2] AS VARCHAR))) AS key
