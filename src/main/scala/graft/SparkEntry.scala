@@ -28,6 +28,7 @@ object SparkEntry {
       graft.queries.Parity9.queries ++
       graft.queries.Parity10.queries ++
       graft.queries.Parity11.queries ++
+      graft.queries.Parity12.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -45,5 +46,6 @@ object SparkEntry {
       graft.queries.Parity9.oracles ++
       graft.queries.Parity10.oracles ++
       graft.queries.Parity11.oracles ++
+      graft.queries.Parity12.oracles ++
       graft.queries.ExtQueries.oracles
 }

@@ -87,15 +87,8 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       n: Int = 3, k: Int = 32, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
-    val r = k / bands
     val sigs = signatures(docs, textCol, idCol, n, k)
-    val bandStructs = (0 until bands).map { j =>
-      val cols = (0 until r).map(q => col(s"m${j * r + q}"))
-      struct(lit(j).as("band"), xxhash64(lit(j) +: cols: _*).as("bh"))
-    }
-    val banded = sigs
-      .select(col("id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.bh"))
+    val banded = bandKeys(sigs, k, bands)
     val cand = banded.select(col("id").as("id_a"), col("band"), col("bh"))
       .join(banded.select(col("id").as("id_b"), col("band"), col("bh")),
         Seq("band", "bh"))
@@ -119,6 +112,79 @@ object Dedup {
     val drop = minhashNearDupPairs(docs, tau, textCol, idCol)
       .select(col("id_b").as(idCol)).distinct()
     docs.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Slim banded LSH keys (id, band, bh) from a signature frame. */
+  private def bandKeys(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    val bandStructs = (0 until bands).map { j =>
+      val cols = (0 until r).map(q => col(s"m${j * r + q}"))
+      struct(lit(j).as("band"), xxhash64(lit(j) +: cols: _*).as("bh"))
+    }
+    sigs.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bh"))
+  }
+
+  /** The two persisted halves of an incremental MinHash dedup index:
+    * `bands` (id, band, bh) drives candidate generation, `sets`
+    * (id, sh) drives exact-Jaccard verification. Both are plain
+    * DataFrames — at production scale you write them to parquet once
+    * per corpus snapshot (bucketed by `bh` and `id` respectively) and
+    * re-read them for every incoming batch, so the corpus is never
+    * re-shingled or re-hashed. */
+  final case class MinHashIndex(bands: DataFrame, sets: DataFrame)
+
+  /** Build the [[MinHashIndex]] halves for a corpus (same signature
+    * and banding parameters as [[minhashNearDupPairs]] — indexes
+    * built and queried with different parameters are incompatible). */
+  def minhashIndex(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3, k: Int = 32,
+      bands: Int = 16): MinHashIndex = {
+    require(k % bands == 0, "k must divide into bands")
+    val sigs = signatures(docs, textCol, idCol, n, k)
+    MinHashIndex(bandKeys(sigs, k, bands), sigs.select(col("id"), col("sh")))
+  }
+
+  /** Incremental near-dup: all pairs (id_a < id_b, jaccard >= tau)
+    * that TOUCH the new batch — new×corpus and new×new — without
+    * recomputing anything over the indexed corpus. This is the
+    * daily-ingest shape at 100 TB: the corpus index is petabyte-scale
+    * parquet, the new batch is small, and the only work that scales
+    * with the corpus is one equi-join probe of the band index (AQE
+    * broadcasts the new side when it is small enough), followed by
+    * set-verification joins that fetch ONLY the candidate ids'
+    * shingle sets. The emitted pair set equals
+    * `minhashNearDupPairs(corpus ∪ batch)` restricted to pairs with
+    * at least one new id (same signatures, same banding — pinned in
+    * OpsSpec), so the full-equality oracle argument from
+    * `x2_minhash_lsh` carries over unchanged.
+    *
+    * New-batch ids must be disjoint from indexed ids (ingest-ledger
+    * responsibility, S7). */
+  def minhashNearDupPairsIncremental(newDocs: DataFrame,
+      index: MinHashIndex, tau: Double = 0.5, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3, k: Int = 32,
+      bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val newSigs = signatures(newDocs, textCol, idCol, n, k)
+    val newBands = bandKeys(newSigs, k, bands)
+    // probe side = corpus ∪ batch so new×new pairs surface too; the
+    // batch side of the join stays the (small) new-band frame
+    val cand = index.bands.unionByName(newBands)
+      .select(col("id").as("id_x"), col("band"), col("bh"))
+      .join(newBands.select(col("id").as("id_y"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+    val sets = index.sets.unionByName(newSigs.select(col("id"), col("sh")))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= tau)
   }
 
   /** 64-bit SimHash over the token multiset: bit i is the sign of the
@@ -455,6 +521,59 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("shared")).cast(DoubleType))
           .cast(DoubleType).as("jaccard"))
       .filter(col("jaccard") >= tau)
+  }
+
+  /** Asymmetric CONTAINMENT pair join: emits (blk, id_a, id_b,
+    * cont_a, cont_b) where cont_a = |A∩B| / |A| is the fraction of
+    * A's shingles that also occur in B (and symmetrically cont_b),
+    * keeping pairs where either direction reaches `tau`.
+    *
+    * Why a separate operator: Jaccard MISSES subset duplicates by
+    * construction — a 50-shingle quote embedded verbatim in a
+    * 5000-shingle article has J ≈ 0.01 but containment 1.0. Training
+    * corpora are full of exactly this shape (quotations, boilerplate
+    * wrappers, chunk-of-a-longer-doc extractions), so a dedup stack
+    * needs the directed measure alongside the symmetric one. The
+    * size-ratio prune used by every Jaccard variant is deliberately
+    * ABSENT here: tiny-A-inside-huge-B is the target, not noise.
+    *
+    * Scale: identical df-capped inverted-index shape as
+    * [[ngramJaccardPairsCapped]] (postings ≤ dfCap ⇒ the pair stage
+    * is ≤ |vocab|·dfCap² rows, linear in corpus size, skew-proof),
+    * and like there the capped similarity is the well-defined,
+    * SQL-reproducible semantics: containment over the df-filtered
+    * shingle sets. */
+  def containmentPairs(docs: DataFrame, tau: Double, dfCap: Long,
+      blockCol: String, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3): DataFrame = {
+    val inv = docs
+      .select(col(idCol).as("id"), col(blockCol).as("blk"),
+        explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+    val kept = inv.join(
+      inv.groupBy(col("blk"), col("shingle"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap)
+        .select(col("blk"), col("shingle")),
+      Seq("blk", "shingle"))
+    val sz = kept.groupBy(col("id"), col("blk"))
+      .agg(count(lit(1)).as("sz"))
+    val a = kept.join(sz, Seq("id", "blk"))
+      .select(col("id").as("id_a"), col("blk"), col("sz").as("sz_a"),
+        col("shingle"))
+    val b = kept.join(sz, Seq("id", "blk"))
+      .select(col("id").as("id_b"), col("blk"), col("sz").as("sz_b"),
+        col("shingle"))
+    a.join(b, Seq("blk", "shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("blk"), col("id_a"), col("id_b"),
+        col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("shared"))
+      .select(col("blk"), col("id_a"), col("id_b"),
+        (col("shared").cast(DoubleType) / col("sz_a").cast(DoubleType))
+          .cast(DoubleType).as("cont_a"),
+        (col("shared").cast(DoubleType) / col("sz_b").cast(DoubleType))
+          .cast(DoubleType).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= tau)
   }
 
   /** PPJoin-style prefix-filtered exact Jaccard pair join — the same

@@ -62,9 +62,20 @@ object StatefulDedup {
   }
 
   /** Dedup a (streaming or batch-replayed) typed doc stream by `key`,
-    * keeping state only for `ttl` (processing time; ZERO = forever). */
+    * keeping state only for `ttl` (processing time; ZERO = forever).
+    *
+    * Works on BATCH datasets too (Spark executes `transformWithState`
+    * over an in-memory state store, one "micro-batch" holding
+    * everything, so the whole input is one batch and the minimum
+    * doc_id per key survives deterministically). Batch execution
+    * loads per-partition state stores, which resolve the driver's
+    * StateStoreCoordinator RPC endpoint — created as a field of the
+    * lazily-instantiated StreamingQueryManager — so touch
+    * `spark.streams` first or the tasks fail with
+    * CANNOT_LOAD_STATE_STORE on a session that never ran a stream. */
   def dedup(docs: Dataset[Doc], ttl: Duration): Dataset[Doc] = {
     import docs.sparkSession.implicits._
+    if (!docs.isStreaming) docs.sparkSession.streams
     val mode = if (ttl.isZero || ttl.isNegative) TimeMode.None()
       else TimeMode.ProcessingTime()
     docs.groupByKey(_.key)

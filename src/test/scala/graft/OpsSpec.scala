@@ -125,6 +125,50 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.sameElements(Array(1L, 3L, 5L)))
   }
 
+  test("incremental minhash == full pair set restricted to the batch") {
+    // same signatures + banding => the index probe must emit exactly
+    // the full run's pairs that touch a batch id, values included
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") % 10 < 8)
+    val batch = docs.filter(col("doc_id") % 10 >= 8)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val incr = Dedup.minhashNearDupPairsIncremental(batch,
+      Dedup.minhashIndex(corpus)).collect().map(key).toSet
+    val full = Dedup.minhashNearDupPairs(docs)
+      .filter(col("id_a") % 10 >= 8 || col("id_b") % 10 >= 8)
+      .collect().map(key).toSet
+    assert(incr == full && incr.nonEmpty)
+  }
+
+  test("containment catches subset pairs that jaccard misses") {
+    val words = (1 to 40).map(i => s"w$i")
+    val article = words.mkString(" ")
+    val quote = words.slice(10, 18).mkString(" ") // 8 words -> 6 shingles, all in article
+    val docs = docsDf(Seq((1L, article, "en"), (2L, quote, "en")))
+    val cont = Dedup.containmentPairs(docs, tau = 0.9, dfCap = 1000L,
+      blockCol = "lang").collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    assert(r.getLong(1) == 1L && r.getLong(2) == 2L)
+    assert(r.getDouble(4) == 1.0) // cont_b: quote fully inside article
+    assert(r.getDouble(3) < 0.2)  // cont_a: article barely covered
+    // symmetric jaccard (6 shared / 38 union ~ 0.16) never fires
+    val jac = Dedup.ngramJaccardPairs(docs, tau = 0.5, blockCol = "lang")
+    assert(jac.count() == 0)
+  }
+
+  test("batch transformWithState dedup keeps the min doc_id per key") {
+    import graft.streaming.StatefulDedup
+    val docs = Seq(
+      StatefulDedup.Doc("k1", 5L, "x"), StatefulDedup.Doc("k1", 2L, "x"),
+      StatefulDedup.Doc("k2", 7L, "y"), StatefulDedup.Doc("k1", 9L, "x"))
+      .toDS()
+    val out = StatefulDedup.dedup(docs, java.time.Duration.ZERO)
+      .collect().map(dd => dd.key -> dd.doc_id).toMap
+    assert(out == Map("k1" -> 2L, "k2" -> 7L))
+  }
+
   test("simhash: near-dups within hamming 3, unrelated docs far") {
     val sigs = planted.select(col("doc_id"),
       Dedup.simhash(col("text")).as("sig"))
