@@ -95,13 +95,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    val sets = sigs.select(col("id"), col("sh"))
-    cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= tau)
+    verifyPairs(cand, sigs.select(col("id"), col("sh")), tau)
   }
 
   /** Drop every doc that has a near-duplicate with a smaller id
@@ -178,13 +172,8 @@ object Dedup {
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))
       .distinct()
-    val sets = index.sets.unionByName(newSigs.select(col("id"), col("sh")))
-    cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= tau)
+    verifyPairs(cand,
+      index.sets.unionByName(newSigs.select(col("id"), col("sh"))), tau)
   }
 
   /** 64-bit SimHash over the token multiset: bit i is the sign of the
@@ -288,6 +277,36 @@ object Dedup {
   def minhashNearDupPairsPoly(docs: DataFrame, tau: Double = 0.5,
       textCol: String = "text", idCol: String = "doc_id",
       n: Int = 3, k: Int = 32, bands: Int = 16): DataFrame = {
+    val (banded, sets) = polyBandsAndSets(docs, textCol, idCol, n, k, bands)
+    val cand = banded.select(col("id").as("id_a"), col("bk"))
+      .join(banded.select(col("id").as("id_b"), col("bk")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    verifyPairs(cand, sets, tau)
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs
+    * against (id, sh) shingle sets — shared tail of every minhash
+    * candidate generator. */
+  private[graft] def verifyPairs(cand: DataFrame, sets: DataFrame,
+      tau: Double): DataFrame =
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+
+  /** Poly (md5 + Kirsch–Mitzenmacher) signature banding: returns the
+    * (id, bk) band-key frame and the (id, sh) shingle-set frame — the
+    * SQL-replayable twin of [[minhashIndex]]'s halves, shared by the
+    * batch poly pair join and the streaming candidate generator
+    * ([[graft.streaming.StatefulNearDup]]). */
+  private[graft] def polyBandsAndSets(docs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 3, k: Int = 32,
+      bands: Int = 16): (DataFrame, DataFrame) = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
     val base = docs
@@ -339,18 +358,7 @@ object Dedup {
         concat(col("band").cast("string"), lit(":"),
           array_join(transform(col("ms"),
             m => m.getField("mh").cast("string")), ",")).as("bk"))
-    val cand = banded.select(col("id").as("id_a"), col("bk"))
-      .join(banded.select(col("id").as("id_b"), col("bk")), Seq("bk"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    val sets = base.select(col("id"), col("sh"))
-    cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= tau)
+    (banded, base.select(col("id"), col("sh")))
   }
 
   /** SimHash near-dup pairs with fully SQL-replayable hashes: a

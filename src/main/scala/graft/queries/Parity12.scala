@@ -73,9 +73,30 @@ object Parity12 {
       Dedup.containmentPairs(documents(s, d), tau = ContTau,
         dfCap = DfCap, blockCol = "lang")
         .orderBy(col("blk"), col("id_a"), col("id_b"))
+    },
+
+    // ---- streaming LSH candidates, batch-executed ------------------
+    // The stateful bucket processor ([[graft.streaming.StatefulNearDup]])
+    // replaces the band self-join; run in batch its candidate multiset
+    // is exactly the self-join's, so after the shared verify tail the
+    // query must reproduce x2_minhash_poly row for row — it reuses
+    // that oracle verbatim.
+    "x2_stream_neardup" -> { (s, d) =>
+      import s.implicits._
+      val (bands, sets) = Dedup.polyBandsAndSets(documents(s, d))
+      val cand = graft.streaming.StatefulNearDup.candidates(
+          bands.select(col("bk").as("key"), col("id").as("doc_id"))
+            .as[graft.streaming.StatefulNearDup.BandRow],
+          java.time.Duration.ZERO)
+        .toDF().distinct()
+      Dedup.verifyPairs(cand, sets, tau = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
     })
 
   val oracles: Map[String, String] = Map(
+    // batch-executed streaming candidates must equal the batch LSH
+    // join exactly — same oracle, same rows
+    "x2_stream_neardup" -> ExtQueries.oracles("x2_minhash_poly"),
     // arg-min per content fingerprint (fp unique after dedup, so the
     // ORDER BY is total)
     "x1_stream_dedup" ->

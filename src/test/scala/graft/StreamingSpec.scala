@@ -160,6 +160,54 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming near-dup candidates: new×stored across batches, re-delivery no-op") {
+    import graft.streaming.StatefulNearDup
+    import spark.implicits._
+    val src = s"$fx/nd_src"; val ckp = s"$fx/nd_ckp"; val out = s"$fx/nd_out"
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(): Unit = {
+        val stream = spark.readStream
+          .schema("key STRING, doc_id LONG")
+          .json(src).as[StatefulNearDup.BandRow]
+        val q = StatefulNearDup.candidates(stream, java.time.Duration.ZERO)
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", ckp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      def pairs() = spark.read.parquet(out).as[StatefulNearDup.CandPair]
+        .collect().map(p => (p.id_a, p.id_b)).toSeq
+      // batch 1: docs 1,2 share bucket b1; doc 9 alone in b2
+      write(s"$src/a.jsonl",
+        """{"key":"b1","doc_id":1}
+          |{"key":"b1","doc_id":2}
+          |{"key":"b2","doc_id":9}
+          |""".stripMargin)
+      run()
+      assert(pairs().sorted == Seq((1L, 2L)))
+      // batch 2: doc 3 joins b1 (pairs with stored 1 and 2, and 1-2 is
+      // NOT re-emitted), doc 4 joins b2, doc 1 is RE-DELIVERED to b1
+      // (no-op: already stored)
+      write(s"$src/b.jsonl",
+        """{"key":"b1","doc_id":3}
+          |{"key":"b2","doc_id":4}
+          |{"key":"b1","doc_id":1}
+          |""".stripMargin)
+      run()
+      assert(pairs().sorted == Seq((1L, 3L), (2L, 3L), (4L, 9L)).++(Seq((1L, 2L))).sorted)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming observe reports the A1 null gate per micro-batch") {
     val srcDir = s"$fx/events_obs_src"
     Files.createDirectories(Paths.get(srcDir))
