@@ -208,6 +208,66 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("maxBucket cap: a planted hot bucket emits exactly cap-bounded pairs") {
+    import graft.streaming.StatefulNearDup
+    import spark.implicits._
+    // batch execution (same code path as x2_stream_neardup): a hot
+    // bucket with 6 members under cap 3 admits the 3 lowest ids —
+    // 3 pairs, 3 drops — while a cold bucket is untouched
+    val acc = spark.sparkContext.longAccumulator("capped")
+    val rows = ((1L to 6L).map(i => StatefulNearDup.BandRow("hot", i)) :+
+      StatefulNearDup.BandRow("cold", 10L) :+
+      StatefulNearDup.BandRow("cold", 11L)).toDS()
+    val out = StatefulNearDup.candidates(rows, java.time.Duration.ZERO,
+        maxBucket = 3, capped = Some(acc))
+      .collect().map(p => (p.id_a, p.id_b)).sorted
+    assert(out.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
+    assert(acc.value == 3L)
+
+    // across micro-batches: a bucket saturated in batch 1 drops every
+    // later arrival (no pairs, no state growth)
+    val src = s"$fx/cap_src"; val ckp = s"$fx/cap_ckp"; val outP = s"$fx/cap_out"
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val acc2 = spark.sparkContext.longAccumulator("capped_stream")
+      def run(): Unit = {
+        val stream = spark.readStream
+          .schema("key STRING, doc_id LONG")
+          .json(src).as[StatefulNearDup.BandRow]
+        val q = StatefulNearDup.candidates(stream, java.time.Duration.ZERO,
+            maxBucket = 2, capped = Some(acc2))
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", outP)
+          .option("checkpointLocation", ckp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      def pairs() = spark.read.parquet(outP).as[StatefulNearDup.CandPair]
+        .collect().map(p => (p.id_a, p.id_b)).toSeq.sorted
+      write(s"$src/a.jsonl",
+        """{"key":"b1","doc_id":1}
+          |{"key":"b1","doc_id":2}
+          |""".stripMargin)
+      run()
+      assert(pairs() == Seq((1L, 2L)))
+      write(s"$src/b.jsonl",
+        """{"key":"b1","doc_id":3}
+          |{"key":"b1","doc_id":4}
+          |""".stripMargin)
+      run()
+      assert(pairs() == Seq((1L, 2L))) // saturated: 3 and 4 dropped
+      assert(acc2.value == 2L)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming observe reports the A1 null gate per micro-batch") {
     val srcDir = s"$fx/events_obs_src"
     Files.createDirectories(Paths.get(srcDir))
