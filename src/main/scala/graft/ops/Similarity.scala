@@ -442,6 +442,59 @@ object Similarity {
         col("rk").cast(IntegerType).as("rk"))
   }
 
+  /** Exact brute-force top-k for a (small) probe SET — the multi-probe
+    * generalization of [[knnBruteForce]]: probes broadcast against one
+    * map-only scan, per-probe top-k via rank window (ties by id, so
+    * the result is total). This is the recall TRUTH the approximate
+    * paths are measured against. */
+  def exactTopK(emb: DataFrame, probes: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prb = broadcast(probes
+      .select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
+      .withColumn("pn2", dotScaled(col("pq"), col("pq"))))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine_sim").desc, col("id").asc)
+    emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
+      .withColumn("n2", dotScaled(col("q"), col("q")))
+      .crossJoin(prb)
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id"),
+        cosineFromScaled(dotScaled(col("q"), col("pq")),
+          col("n2"), col("pn2")).as("cosine_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("id"), col("cosine_sim"),
+        col("rk").cast(IntegerType).as("rk"))
+  }
+
+  /** Bounded-oracle wrapper for an approximate top-k result (the
+    * x6_approx_sketch pattern, X3 edition): emits one row per probe
+    * with the probe's EXACT k-th-neighbor cosine (real value
+    * assertion — a DuckDB oracle recomputes it brute-force with the
+    * same decimal arithmetic) and a `recall_ok` boolean pinning the
+    * ann result's overall recall@k against the exact top-k at
+    * `floor`. An ANN regression (bucketing bug, broken rerank, lost
+    * table) drops hits below the floor, flips the boolean, and the
+    * harness row goes red — so the approximate queries get a value
+    * oracle without pretending determinism they don't have. */
+  def recallChecked(ann: DataFrame, emb: DataFrame, probes: DataFrame,
+      k: Int, floor: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val exact = exactTopK(emb, probes, k, idCol, vecCol)
+    val hits = ann.select(col("probe_id"), col("id"))
+      .join(exact.select(col("probe_id"), col("id")),
+        Seq("probe_id", "id"), "left_semi")
+    val ok = hits.agg(count(lit(1)).as("n_hits"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .select((col("n_hits").cast(DoubleType) >=
+        col("n_exact").cast(DoubleType) * lit(floor)).as("recall_ok"))
+    exact.filter(col("rk") === k)
+      .select(col("probe_id"), col("cosine_sim").as("kth_exact_cos"))
+      .crossJoin(broadcast(ok))
+      .orderBy(col("probe_id"))
+  }
+
   /** ANN top-k for a probe set: multi-table random-hyperplane LSH —
     * both sides hash once into `nTables · nBits` sign bits (ONE native
     * kernel call), the signature is sliced into `nTables` independent

@@ -97,15 +97,47 @@ object ExtQueries {
       Dedup.minhashNearDupPairs(documents(s, d), tau = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     },
-    // xxhash64 SimHash (Hamming <= 3) — rows-only BY NATURE: the
-    // Hamming-ball membership is a property of the 64 xxhash sign
-    // sums themselves (measured against brute-force exact Jaccard it
-    // is neither a subset nor a superset of any J-level set), so no
-    // hash-free oracle exists; the pipeline structure is hash-checked
-    // via x2_simhash_poly, and the chunk join's completeness is
-    // pinned against the all-pairs scan in ScalaTest.
+    // xxhash64 SimHash (Hamming <= 3) — the emitted-pair SET is
+    // rows-only by nature (Hamming-ball membership is a property of
+    // the 64 xxhash sign sums; measured against brute-force exact
+    // Jaccard it is neither a subset nor superset of any J-level
+    // set), so this row carries the BOUNDED oracle instead (the
+    // x6_approx_sketch pattern): the exact value assertion is the
+    // DuckDB-replayable planted-pair count (brute-force J >= 0.7);
+    // `recall_ok` pins simhash's planted recall at >= 0.5 (measured
+    // 0.60 / 0.74 / 0.75 at sf0.01 / 0.1 / 0.001 — deterministic,
+    // xxhash is); `ham_ok` re-derives every emitted pair's Hamming
+    // through the INDEPENDENT explode+aggregate signature path and
+    // requires it to agree with the native kernel and stay <= 3. The
+    // pair-level pipeline stays fully hash-checked via the poly twin.
     "x2_simhash" -> { (s, d) =>
-      Dedup.simhashNearDupPairs(documents(s, d), maxHamming = 3)
+      val docs = documents(s, d)
+      val emitted = Dedup.simhashNearDupPairs(docs, maxHamming = 3)
+      val sigs = Dedup.simhashSignatures(docs, native = false)
+      val ham = emitted
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")),
+          Seq("id_a"))
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")),
+          Seq("id_b"))
+        .select((bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+          .cast(IntegerType) === col("hamming") &&
+          col("hamming") <= 3).as("ok"))
+      // planted truth: the production minhash path equals brute-force
+      // exact Jaccard on this corpus (PairCheck; the x2_minhash_lsh
+      // full-equality argument), so it supplies the J>=0.7 pair set
+      // without an all-pairs scan
+      val planted = Dedup.minhashNearDupPairs(docs, tau = 0.7)
+        .select(col("id_a"), col("id_b"))
+      val hits = planted.join(emitted.select(col("id_a"), col("id_b")),
+        Seq("id_a", "id_b"), "left_semi")
+      planted.agg(count(lit(1)).as("n_planted"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .crossJoin(ham.agg(coalesce(bool_and(col("ok")), lit(true))
+          .as("ham_ok")))
+        .select(col("n_planted"),
+          (col("n_hit").cast("double") >=
+            col("n_planted").cast("double") * lit(0.5)).as("recall_ok"),
+          col("ham_ok"))
     },
     // the oracle-expressible md5-hash twins (x4_winnow_poly
     // precedent): same banding / chunking / exact-verify shape, but
@@ -130,14 +162,20 @@ object ExtQueries {
       Similarity.cosinePairsBlocked(embeddings(s, d), tau = 0.3,
         blockCol = "label")
     },
-    // LSH-bucketed ANN — no SQL oracle; rows-only here, measured
-    // recall@5 vs brute force pinned in RecallSpec. 8 tables of 6
-    // bits: single-table recall collapses on moderate-similarity
-    // neighbors (p^6), multi-table is the standard production shape.
+    // LSH-bucketed ANN, bounded-oracle form (Similarity.recallChecked):
+    // one row per probe carrying the exact k-th-neighbor cosine (DuckDB
+    // recomputes it brute-force — real value assertion) plus a boolean
+    // pinning recall@5 >= 0.8 (RecallSpec's floor with these harness
+    // params; measured 0.933). 8 tables of 6 bits: single-table recall
+    // collapses on moderate-similarity neighbors (p^6), multi-table is
+    // the standard production shape. Pair-level ANN stays hash-checked
+    // end to end via x3_ann_poly.
     "x3_ann_lsh" -> { (s, d) =>
       val emb = embeddings(s, d)
-      Similarity.annTopK(emb, emb.filter(col("vec_id") < 3), dim = 64,
+      val probes = emb.filter(col("vec_id") < 3)
+      val ann = Similarity.annTopK(emb, probes, dim = 64,
         k = 5, nBits = 6, nTables = 8, multiprobe = true)
+      Similarity.recallChecked(ann, emb, probes, k = 5, floor = 0.8)
     },
     // the oracle-replayable ANN twin: sign projections from md5
     // parity, exact micro-unit-long accumulation, bucket equi-join,
@@ -150,13 +188,16 @@ object ExtQueries {
         dim = 64, nBits = 6, k = 5)
         .orderBy(col("probe_id"), col("rk"))
     },
-    // IVF-list ANN over k-means-trained lists — no SQL oracle;
-    // rows-only here, recall pinned in RecallSpec.
+    // IVF-list ANN over k-means-trained lists, bounded-oracle form
+    // (same pattern as x3_ann_lsh; RecallSpec floor 0.8, measured
+    // 0.933 with trained centroids).
     "x3_ann_ivf" -> { (s, d) =>
       val emb = embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 3)
       val cents = Similarity.kmeansCentroids(emb, k = 16, iters = 3)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3), k = 5,
+      val ann = Similarity.ivfTopK(emb, probes, k = 5,
         nLists = 16, nProbe = 4, centroids = Some(cents))
+      Similarity.recallChecked(ann, emb, probes, k = 5, floor = 0.8)
     },
 
     // As-of (backward) join: enrich each event with the customer's
@@ -330,6 +371,34 @@ object ExtQueries {
                 string_split_regex(trim(text), '\s+') AS t
          FROM documents)"""
 
+  /** Shared bounded oracle for the approximate-ANN rows: brute-force
+    * exact top-5 per probe (same decimal arithmetic as
+    * x3_knn_bruteforce — bit-identical to the Spark quantized-long
+    * path), emitting the rank-5 cosine as the value assertion; the
+    * recall boolean is required TRUE (the Spark side computes it
+    * against the same exact top-k). */
+  private[queries] val annRecallOracle = """
+      WITH ex AS (SELECT vec_id,
+             CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x,
+             generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+      n2 AS (SELECT vec_id, sum(x * x) AS n2 FROM ex GROUP BY vec_id),
+      px AS (SELECT vec_id AS probe_id, i, x AS p FROM ex WHERE vec_id < 3),
+      dots AS (SELECT px.probe_id, e.vec_id AS id, sum(e.x * px.p) AS d
+           FROM ex e JOIN px ON e.i = px.i AND e.vec_id <> px.probe_id
+           GROUP BY px.probe_id, e.vec_id),
+      scored AS (SELECT dots.probe_id, dots.id,
+             CAST(CAST(d AS DOUBLE) /
+                  (sqrt(CAST(nb.n2 AS DOUBLE)) * sqrt(CAST(np.n2 AS DOUBLE)))
+               AS DOUBLE) AS cosine_sim
+           FROM dots
+           JOIN n2 nb ON nb.vec_id = dots.id
+           JOIN n2 np ON np.vec_id = dots.probe_id),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+             ORDER BY cosine_sim DESC, id ASC) AS rk FROM scored)
+      SELECT probe_id, cosine_sim AS kth_exact_cos, TRUE AS recall_ok
+      FROM ranked WHERE rk = 5 ORDER BY probe_id"""
+
   val oracles: Map[String, String] = Map(
     "x4_text_stats" -> s"""$toksCte
       SELECT doc_id,
@@ -479,6 +548,28 @@ object ExtQueries {
       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.sg, b.sg)) <= 3
       ORDER BY id_a, id_b""",
+    "x3_ann_lsh" -> annRecallOracle,
+    "x3_ann_ivf" -> annRecallOracle,
+    // bounded simhash oracle: the value assertion is the brute-force
+    // planted-pair count at J >= 0.7 (size-ratio prune lossless there,
+    // same argument as x2_minhash_lsh's tau=0.5 case); the booleans
+    // are required TRUE — recall_ok pins simhash's planted recall,
+    // ham_ok pins native-vs-fallback signature agreement on every
+    // emitted pair.
+    "x2_simhash" -> s"""$toksCte
+      , sh AS (SELECT doc_id,
+          list_distinct(CASE WHEN length(t) >= 3
+            THEN list_transform(generate_series(1, length(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+            ELSE CAST([] AS VARCHAR[]) END) AS s
+        FROM tk)
+      SELECT count(*) AS n_planted, TRUE AS recall_ok, TRUE AS ham_ok
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        AND length(a.s) <= 2 * length(b.s)
+        AND length(b.s) <= 2 * length(a.s)
+      WHERE length(a.s) > 0 AND length(b.s) > 0
+        AND CAST(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
+             (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))) AS DOUBLE) >= 0.7""",
     "x2_ppjoin" -> s"""$toksCte
       , sh AS (SELECT doc_id, lang,
           list_distinct(CASE WHEN length(t) >= 3

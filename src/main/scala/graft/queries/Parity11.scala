@@ -203,15 +203,19 @@ object Parity11 {
     // vectors encoded to m codes, probes score candidates via an
     // m·ksub lookup table (slim equi-join + hash agg — full vectors
     // untouched), exact-cosine rerank of the shortlist. Approximate
-    // by construction -> rows-only here; RecallSpec pins measured
-    // recall@5 vs brute force with these exact parameters.
+    // by construction, so the harness row is the bounded-oracle form
+    // (Similarity.recallChecked, like x3_ann_lsh/ivf): exact
+    // k-th-neighbor cosine per probe as the DuckDB value assertion +
+    // recall@5 >= 0.8 boolean (RecallSpec's floor with these exact
+    // parameters; measured 0.867 trained).
     "x3_ann_pq" -> { (s, d) =>
       val emb = embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 3)
       val books = Similarity.pqCodebooks(emb, dim = 64, m = 8,
         ksub = 16, iters = 2)
-      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3), dim = 64,
+      val ann = Similarity.pqTopK(emb, probes, dim = 64,
         codebooks = books, m = 8, k = 5, shortlist = 100)
-        .orderBy(col("probe_id"), col("rk"))
+      Similarity.recallChecked(ann, emb, probes, k = 5, floor = 0.8)
     },
 
     // ---- schema-evolution union (ELT ingest across file versions) --
@@ -279,6 +283,8 @@ object Parity11 {
     })
 
   val oracles: Map[String, String] = Map(
+    // shared bounded ANN oracle (see ExtQueries.annRecallOracle)
+    "x3_ann_pq" -> ExtQueries.annRecallOracle,
     "j5_range_join" ->
       """WITH iv AS (SELECT l_orderkey AS i_orderkey,
              CAST(min(CAST(l_shipdate AS DATE)) - DATE '1970-01-01'

@@ -141,7 +141,7 @@ class RecallSpec extends AnyFunSuite {
     assert(pqSampled >= 0.8, f"pq sampled $pqSampled%.3f < 0.8")
     assert(ivfSampled >= 0.8, f"ivf sampled $ivfSampled%.3f < 0.8")
     // and sampling must not cost recall vs full-corpus training
-    assert(pqSampled >= pqFull - 0.134, // one neighbor of 15
+    assert(pqSampled >= pqFull - 0.134, // two neighbors of 15 (2/15 ≈ 0.134)
       f"pq: sampled $pqSampled%.3f lost >2 neighbors vs full $pqFull%.3f")
     assert(ivfSampled >= ivfFull - 0.134,
       f"ivf: sampled $ivfSampled%.3f lost >2 neighbors vs full $ivfFull%.3f")
