@@ -255,6 +255,81 @@ object ScaleBench {
       System.err.println(s"""[scalebench] {"mh_incr":{$tiersJs}}""")
     }
 
+    // Streaming-mode state evidence for the two transformWithState
+    // operators: a REAL multi-batch run (AvailableNow, one file per
+    // trigger, RocksDB provider) over the sf0.1 corpus split into 8
+    // arrival batches, recording per-batch input rows, trigger wall
+    // time, and total state-store rows. The claim under test: state
+    // rows grow linearly with arrivals (TTL/cap are the production
+    // bounds) while PER-BATCH time tracks the batch's own work — for
+    // dedup the batch's key count, for near-dup the batch's bucket
+    // collisions — not the accumulated corpus. The per-batch ms/row is
+    // also the measured per-key state-store overhead that motivated
+    // the occupancy prune in the x2_stream_neardup batch replay.
+    locally {
+      import org.apache.spark.sql.streaming.Trigger
+      val prevProvider =
+        spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val nB = 8
+        def stage(dir: String, df: DataFrame, splitCol: String): Unit =
+          if (!Files.exists(Paths.get(dir))) (0 until nB).foreach { i =>
+            df.filter(pmod(col(splitCol), lit(nB)) === i)
+              .coalesce(1).write.mode("append").parquet(dir)
+          }
+        def drive(dir: String, ckp: String,
+            mk: DataFrame => org.apache.spark.sql.Dataset[_]): String = {
+          val schema = spark.read.parquet(dir).schema
+          val stream = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(dir)
+          val q = mk(stream).writeStream.format("noop")
+            .option("checkpointLocation", ckp)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          q.recentProgress.toSeq
+            .filter(_.numInputRows > 0)
+            .map { p =>
+              val st = p.stateOperators.headOption
+                .map(_.numRowsTotal).getOrElse(-1L)
+              s"""{"batch":${p.batchId},"rows":${p.numInputRows},""" +
+                s""""ms":${p.durationMs.get("triggerExecution")},""" +
+                s""""state_rows":$st}"""
+            }.mkString("[", ",", "]")
+        }
+        val docs = Tables.documents(spark, src)
+          .select(ops.TextOps.fingerprint(col("text")).as("key"),
+            col("doc_id").cast("long").as("doc_id"), col("text"))
+        stage("target/stream_docs", docs, "doc_id")
+        val dedupJs = drive("target/stream_docs", "target/stream_docs_ckp",
+          df => {
+            import spark.implicits._
+            streaming.StatefulDedup.dedup(
+              df.as[streaming.StatefulDedup.Doc], java.time.Duration.ZERO)
+          })
+        val (bands, _) = ops.Dedup.polyBandsAndSets(Tables.documents(spark, src))
+        stage("target/stream_bands",
+          bands.select(col("bk").as("key"), col("id").as("doc_id")), "doc_id")
+        val ndJs = drive("target/stream_bands", "target/stream_bands_ckp",
+          df => {
+            import spark.implicits._
+            streaming.StatefulNearDup.candidates(
+              df.as[streaming.StatefulNearDup.BandRow],
+              java.time.Duration.ZERO)
+          })
+        System.err.println(
+          s"""[scalebench] {"stream_state":{"dedup":$dedupJs,"neardup":$ndJs}}""")
+      } finally {
+        prevProvider match {
+          case Some(p) => spark.conf
+            .set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => spark.conf
+            .unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }
+
     val c100 = rows.filter(_._4 > 0)
     println(f"""{"metric":"scaleup","x1_total":${rows.map(_._2).sum}%.2f,""" +
       f""""x10_total":${rows.map(_._3).sum}%.2f,""" +

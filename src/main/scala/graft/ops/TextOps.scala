@@ -143,8 +143,10 @@ object TextOps {
     * + hex + conv) is ~the entire per-permutation cost, so deriving
     * k permutations from one digest cuts the hash stage k-fold; the
     * derivation itself is three primitive long ops that stay inside
-    * whole-stage codegen. Overflow-audited for BOTH engines:
-    * i·h2 < 16·2^56 = 2^60, + h1 < 2^61 — inside signed-64 range, so
+    * whole-stage codegen. Overflow-audited for BOTH engines at the
+    * k <= 64 bound Dedup enforces (i <= 63):
+    * i·h2 < 64·2^56 = 2^62, + h1 < 2^62 + 2^60 < 2^63 — inside
+    * signed-64 range (pinned by the GraftProps permHash property), so
     * Spark long arithmetic and DuckDB BIGINT compute the identical
     * value (an earlier decimal(38) mulmod variant was exact too but
     * BigDecimal-backed: measured 13.5 s vs 6.4 s baseline — wrong

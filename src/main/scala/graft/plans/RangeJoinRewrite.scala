@@ -121,9 +121,14 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     * dimension subplan appearing under several joins — must not re-run
     * the probe job. Width is a robustness heuristic, so serving a
     * cached value to a structurally identical subplan over changed
-    * data is acceptable. Bounded: wholesale-cleared past 128 shapes. */
+    * data is acceptable. Keyed by a plan FINGERPRINT (canonicalized
+    * semanticHash + bound-expr SQL), not the plan tree itself, so the
+    * JVM-global map never pins LogicalPlan trees (and their relation
+    * metadata) in memory; a fingerprint collision at worst serves a
+    * suboptimal bin width — plan shape only, never results. Bounded:
+    * wholesale-cleared past 128 shapes. */
   private val widthCache =
-    new java.util.concurrent.ConcurrentHashMap[(LogicalPlan, String), Option[Long]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Option[Long]]()
 
   /** Median interval span (`hi - lo + 1`) over a bounded prefix of
     * the interval side, run as its own planning-time job (memoized —
@@ -141,7 +146,7 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       hi: Expression): Option[Long] = {
     import org.apache.spark.sql.classic.SparkSession
     val session = SparkSession.getActiveSession.getOrElse(return None)
-    val key = (iv.canonicalized, s"${lo.sql}|${hi.sql}")
+    val key = (iv.canonicalized.semanticHash(), s"${lo.sql}|${hi.sql}")
     val hit = widthCache.get(key)
     if (hit != null) return hit
     val span = Alias(

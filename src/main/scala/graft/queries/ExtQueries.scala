@@ -43,19 +43,29 @@ object ExtQueries {
         col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"))
     },
-    // Winnowing rolling-hash fingerprints — xxhash64-based, rows-only.
-    // Scalar summary columns only (count + order-independent xor-fold):
-    // the driver's compare sorts rows by every column, so array-typed
-    // outputs are not allowed in harness results. The full fingerprint
-    // set is pinned by OpsSpec's shared-substring property instead.
+    // Winnowing rolling-hash fingerprints — xxhash64-based, so the
+    // fingerprint VALUES are not SQL-replayable (the md5 twin
+    // x4_winnow_poly hash-checks those end to end; OpsSpec pins the
+    // shared-substring property). This row carries the BOUNDED oracle
+    // form instead: the value assertion is the DuckDB-replayable
+    // shingle count, and `in_bound` pins the winnow kernel's
+    // guaranteed density envelope — for m >= w hashes the distinct
+    // window-minima count lies in [floor(m/w), m-w+1] (at least one
+    // selection per w consecutive windows; at most one per window),
+    // and for m < w winnowing degrades to the distinct hash set, so
+    // the count equals m exactly. A broken window size, a lost
+    // distinct, or an empty-output regression flips the boolean.
     "x4_winnowing" -> { (s, d) =>
+      val w = 4
       documents(s, d)
         .withColumn("hs", TextOps.shingleHashes(col("text")))
-        .withColumn("fingerprints", TextOps.winnowFromHashes(col("hs")))
+        .withColumn("n_fp", size(TextOps.winnowFromHashes(col("hs"), w)))
         .select(col("doc_id"),
-          size(col("fingerprints")).as("n_fingerprints"),
-          aggregate(col("fingerprints"), lit(0L),
-            (acc, x) => acc.bitwiseXOR(x)).as("fp_xor"))
+          size(col("hs")).as("n_shingles"),
+          when(size(col("hs")) >= w,
+            col("n_fp") >= floor(size(col("hs")) / w) &&
+              col("n_fp") <= size(col("hs")) - (w - 1))
+            .otherwise(col("n_fp") === size(col("hs"))).as("in_bound"))
     },
     "x4_langid" -> { (s, d) =>
       documents(s, d)
@@ -93,6 +103,13 @@ object ExtQueries {
     // brute-force all-pairs J>=0.5 set and the oracle recomputes it
     // without replaying xxhash. A banding/verify regression breaks
     // the equality and the row goes red.
+    //
+    // DATA-REGEN GATE: this full-equality oracle encodes a measured
+    // corpus property (LSH recall exactly 1 — a marginal pair near
+    // J=0.5 misses a band with ~(1-J^2)^16 ≈ 1% odds), not an engine
+    // invariant. Whenever the test corpora are regenerated, re-run
+    // `sbt "runMain graft.PairCheck"` FIRST: it prints mh==exact per
+    // SF, so a red row traces to data, not engine.
     "x2_minhash_lsh" -> { (s, d) =>
       Dedup.minhashNearDupPairs(documents(s, d), tau = 0.5)
         .orderBy(col("id_a"), col("id_b"))
@@ -245,8 +262,12 @@ object ExtQueries {
     // assertions) plus booleans pinning each estimate inside its
     // published error bound (HLL++ rsd=0.05 default → 3σ = 15%;
     // percentile_approx accuracy=10000 → rank error 1e-4, asserted
-    // against the far-looser exact p49..p51 bracket). A sketch that
-    // drifts out of bound flips a boolean and the row goes red.
+    // against the far-looser exact p45..p55 bracket — wide because
+    // percentile_approx returns an actual data ELEMENT while exact
+    // percentiles interpolate: on a coarse-valued group no element
+    // need fall inside a tight interpolated bracket, so a narrow one
+    // would flake on regenerated data with a healthy sketch). A
+    // sketch that drifts out of bound flips a boolean, row goes red.
     "x6_approx_sketch" -> { (s, d) =>
       val ev = eventsNs(s, d)
       val approx = ev.groupBy(col("event_type"))
@@ -256,14 +277,14 @@ object ExtQueries {
             .as("approx_p50"))
       val exact = ev.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("exact_users"),
-          expr("percentile(value, 0.49)").as("p49"),
-          expr("percentile(value, 0.51)").as("p51"))
+          expr("percentile(value, 0.45)").as("p45"),
+          expr("percentile(value, 0.55)").as("p55"))
       approx.join(exact, Seq("event_type"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users")) <=
             col("exact_users") * 0.15).as("users_in_bound"),
-          (col("approx_p50") >= col("p49") &&
-            col("approx_p50") <= col("p51")).as("p50_in_bound"))
+          (col("approx_p50") >= col("p45") &&
+            col("approx_p50") <= col("p55")).as("p50_in_bound"))
         .orderBy(col("event_type"))
     },
     // ---- multimodal: real JDK image codec (SURVEY §2.8) ---------
@@ -440,6 +461,18 @@ object ExtQueries {
              WHEN s_de >= s_zh THEN 'de'
              ELSE 'zh' END AS lang_pred
       FROM sc""",
+    // bounded winnowing oracle: exact DuckDB-replayable shingle count
+    // + required-TRUE density-envelope boolean (see the query comment)
+    "x4_winnowing" -> s"""$toksCte
+      , sh AS (SELECT doc_id,
+          list_distinct(CASE WHEN length(t) >= 3
+            THEN list_transform(generate_series(1, length(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+            ELSE CAST([] AS VARCHAR[]) END) AS s
+        FROM tk)
+      SELECT doc_id, CAST(length(s) AS INTEGER) AS n_shingles,
+             TRUE AS in_bound
+      FROM sh""",
     "x1_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
          min(doc_id) AS keep_id, count(*) AS n_copies
