@@ -29,6 +29,7 @@ object SparkEntry {
       graft.queries.Parity10.queries ++
       graft.queries.Parity11.queries ++
       graft.queries.Parity12.queries ++
+      graft.queries.Parity13.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -47,5 +48,6 @@ object SparkEntry {
       graft.queries.Parity10.oracles ++
       graft.queries.Parity11.oracles ++
       graft.queries.Parity12.oracles ++
+      graft.queries.Parity13.oracles ++
       graft.queries.ExtQueries.oracles
 }

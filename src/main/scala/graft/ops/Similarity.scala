@@ -135,6 +135,59 @@ object Similarity {
       .filter(col("cosine_sim") >= tau)
   }
 
+  /** SemDeDup-style embedding dedup with NO natural blocking column
+    * (the "semantic deduplication" pipeline shape: cluster, then
+    * dedup within clusters): assign every vector to its nearest of
+    * `k` deterministic seed centroids (the k smallest-id vectors —
+    * reproducible in any engine, unlike trained centroids), find
+    * in-cluster pairs with exact cosine >= tau, connect them into
+    * components, and report each vector's cluster and min-id
+    * component representative (`comp == id` means the vector
+    * survives dedup).
+    *
+    * Scale: the centroid set is k rows -> broadcast; assignment is a
+    * map-only broadcast argmax folded into ONE map-side-combinable
+    * aggregate (max over (cosine, -centroid) structs — no n×k-row
+    * window shuffle). The quadratic pair stage is confined within
+    * clusters (sum of c_i² work, the whole point of clustering
+    * first), and the component pass is the same O(log d)
+    * min-label/large-star machinery as the text CC dedup. All
+    * arithmetic is the exact scaled-long cosine, so the full
+    * pipeline — assignment, edges, components — replays bit-exactly
+    * in the DuckDB oracle. */
+  def semDedup(emb: DataFrame, k: Int, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
+      .withColumn("n2", dotScaled(col("q"), col("q")))
+    val cent = broadcast(q.filter(col("id") < k)
+      .select(col("id").as("cid"), col("q").as("cq"), col("n2").as("cn2")))
+    // nearest centroid, ties to the smaller centroid id: one
+    // aggregate, no per-vector window
+    val assignment = q.crossJoin(cent)
+      .select(col("id"), struct(
+        cosineFromScaled(dotScaled(col("q"), col("cq")),
+          col("n2"), col("cn2")).as("cos"),
+        (-col("cid")).as("negcid")).as("sc"))
+      .groupBy(col("id"))
+      .agg(max(col("sc")).as("m"))
+      .select(col("id"), (-col("m.negcid")).as("cluster"))
+    val assigned = q.join(assignment, Seq("id"))
+    val a = assigned.select(col("cluster"), col("id").as("id_a"),
+      col("q").as("q_a"), col("n2").as("n2_a"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"),
+      col("q").as("q_b"), col("n2").as("n2_b"))
+    val edges = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosineFromScaled(dotScaled(col("q_a"), col("q_b")),
+        col("n2_a"), col("n2_b")) >= tau)
+      .select(col("id_a"), col("id_b"))
+    val comp = Connect.connectedComponents(edges, "id_a", "id_b")
+    assignment
+      .join(comp, Seq("id"), "left_outer")
+      .select(col("id").as(idCol), col("cluster"),
+        coalesce(col("comp"), col("id")).as("comp"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for plane j,
     * dimension i: xxhash64 mapped to [-1, 1]. */
   private def planeComponent(j: Column, i: Column): Column =
