@@ -29,6 +29,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def run(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
@@ -36,6 +37,7 @@ object Bench {
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          errors(name) = String.valueOf(e).take(300)
           return -1.0
       }
       (System.nanoTime() - t0) / 1e9
@@ -74,7 +76,16 @@ object Bench {
     System.err.println(s"[bench] full detail: ${toJson(results)}")
     try {
       val w = new java.io.PrintWriter("/root/repo/BENCH_DETAIL.json")
-      try w.println(s"""{"total":${fmt(total)},"queries":${toJson(results)},"sf":"$sfDir"}""")
+      // errors: per-failed-query exception text — a -1.000 sentinel
+      // without its cause is undiagnosable from the artifact alone
+      // (round 9 shipped 12 bare sentinels).
+      def jstr(s: String): String = "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+      val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString("{", ",", "}")
+      try w.println(s"""{"total":${fmt(total)},"n_failed":${errors.size},"errors":$errJson,"queries":${toJson(results)},"sf":"$sfDir"}""")
       finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_DETAIL.json not written: $e")

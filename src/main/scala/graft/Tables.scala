@@ -43,12 +43,40 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** events with the INT64-nanosecond `ts` readable as long: the
-    * testdata stores ns timestamps Spark 4 otherwise refuses; the
-    * legacy conf participates in schema inference, so it must be set
-    * BEFORE the read (previously copy-pasted into each query file). */
+  /** events with `ts` normalized to epoch-NANOSECOND BIGINT, whatever
+    * the parquet physically stores. The testdata has shipped two
+    * representations across harness runs:
+    *   - INT64 timestamp[ns] — Spark 4 refuses it unless
+    *     `spark.sql.legacy.parquet.nanosAsLong=true`, which reads it as
+    *     LongType nanos (the conf participates in schema inference, so
+    *     it must be set BEFORE the read);
+    *   - timestamp[us] — reads as Timestamp(NTZ)Type; convert with
+    *     unix_micros × 1000 (exact: micros fit 2^63/1000).
+    * Downstream event-time math is integer arithmetic on the nano
+    * value either way — exact, timezone-free, and bit-identical to the
+    * DuckDB oracle's `epoch_us(ts)` (which also accepts both). */
   def eventsNs(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events(s, d)
+    withTsNs(events(s, d))
+  }
+
+  /** Normalize a `ts` column to epoch-nanos BIGINT in place. Pure
+    * column rewrite — works on batch AND streaming frames (the
+    * StreamingSpec readStream paths hit the same representation
+    * drift). */
+  def withTsNs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case TimestampNTZType =>
+        // session TZ is pinned UTC everywhere (GraftSession/Bench/Verify),
+        // so NTZ -> TZ cast is the identity on the micros value
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other =>
+        throw new IllegalStateException(s"events.ts: unsupported type $other")
+    }
   }
 }

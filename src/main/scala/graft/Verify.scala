@@ -30,6 +30,18 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A query that fails to run must NOT vanish from the round's
+        // correctness report (round 9 silently dropped 12 entries).
+        // Write a marker parquet in its place: the driver's compare
+        // then produces a loud red row (schema/row mismatch) carrying
+        // the exception text, instead of an absent entry that reads
+        // as all-green.
+        try {
+          import spark.implicits._
+          Seq((name, String.valueOf(e).take(500)))
+            .toDF("graft_query_failed", "graft_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -52,7 +52,8 @@ class StreamingSpec extends AnyFunSuite {
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
       Paths.get(s"$srcDir/events.parquet"))
     val schema = spark.read.parquet(srcDir).schema
-    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val stream = Tables.withTsNs(
+      spark.readStream.schema(schema).parquet(srcDir))
     val sessions = StatefulSessions.sessionize(spark,
       StatefulSessions.fromRaw(spark, stream))
     val name = s"sess_${System.nanoTime()}"
@@ -67,7 +68,7 @@ class StreamingSpec extends AnyFunSuite {
     // closes each user's LAST session (it stays in state), so compare
     // against batch sessions minus the per-user last one.
     val batchAll = graft.ops.Sessionize
-      .sessionize(Tables.events(spark, "/root/testdata/sf0.001"))
+      .sessionize(Tables.eventsNs(spark, "/root/testdata/sf0.001"))
     val lastSeq = batchAll.groupBy("user_id")
       .agg(max("session_seq").as("session_seq"))
     val batchClosed = batchAll.join(lastSeq, Seq("user_id", "session_seq"),
@@ -298,7 +299,7 @@ class StreamingSpec extends AnyFunSuite {
       Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"), tgt)
     val schema = spark.read.parquet(srcDir).schema
     def streamSide(t: String, u: String, tsName: String) =
-      spark.readStream.schema(schema).parquet(srcDir)
+      Tables.withTsNs(spark.readStream.schema(schema).parquet(srcDir))
         .filter(col("event_type") === t)
         .select(col("user_id").as(u),
           timestamp_micros(graft.ops.Sessionize.nsToUs(col("ts"))).as(tsName))
@@ -318,7 +319,8 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     q.awaitTermination()
     def batchSide(t: String, u: String, tsName: String) =
-      spark.read.parquet(srcDir).filter(col("event_type") === t)
+      Tables.withTsNs(spark.read.parquet(srcDir))
+        .filter(col("event_type") === t)
         .select(col("user_id").as(u),
           timestamp_micros(graft.ops.Sessionize.nsToUs(col("ts"))).as(tsName))
     val batch = batchSide("view", "v_user", "view_ts").join(
@@ -340,7 +342,8 @@ class StreamingSpec extends AnyFunSuite {
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
       Paths.get(s"$srcDir/events.parquet"))
     val schema = spark.read.parquet(srcDir).schema
-    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val stream = Tables.withTsNs(
+      spark.readStream.schema(schema).parquet(srcDir))
     val agg = IncrementalLoad.windowedEventCounts(stream)
     val name = s"win_${System.nanoTime()}"
     // complete mode so every window is visible regardless of watermark
@@ -353,7 +356,7 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"))
     val batch = graft.ops.Sessionize
-      .tumblingAgg(Tables.events(spark, "/root/testdata/sf0.001"),
+      .tumblingAgg(Tables.eventsNs(spark, "/root/testdata/sf0.001"),
         10L * 60 * 1000000)
       .select(col("window_start"), col("event_type"), col("n_events"))
     assert(streamed.count() > 0)
@@ -365,8 +368,11 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.streaming.Trigger
     val srcDir = s"$fx/events_sw_src"
     Files.createDirectories(Paths.get(srcDir))
-    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
-      Paths.get(s"$srcDir/a_events.parquet"))
+    // write the base events with ts normalized to BIGINT nanos — a raw
+    // copy would mix a timestamp-typed file with the Long-ts sentinel
+    // file below under one inferred schema
+    Tables.eventsNs(spark, "/root/testdata/sf0.001")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
     // one far-future sentinel event per user: pushes the watermark past
     // every real session so append mode emits them all; the sentinel
     // sessions themselves stay open (nothing follows) and never emit
@@ -423,7 +429,8 @@ class StreamingSpec extends AnyFunSuite {
         .select("event_id", "win_id")
     val schema = spark.read.parquet(srcDir).schema
     val name = s"rj_${System.nanoTime()}"
-    val q = joined(spark.readStream.schema(schema).parquet(srcDir))
+    val q = joined(Tables.withTsNs(
+        spark.readStream.schema(schema).parquet(srcDir)))
       .writeStream.outputMode("append").format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
@@ -441,8 +448,8 @@ class StreamingSpec extends AnyFunSuite {
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
       Paths.get(s"$srcDir/events.parquet"))
     val schema = spark.read.parquet(srcDir).schema
-    val stream = StatefulScd2.fromRaw(spark,
-      spark.readStream.schema(schema).parquet(srcDir))
+    val stream = StatefulScd2.fromRaw(spark, Tables.withTsNs(
+      spark.readStream.schema(schema).parquet(srcDir)))
     val name = s"scd2_${System.nanoTime()}"
     val q = StatefulScd2.scd2(spark, stream)
       .writeStream.outputMode("append")
