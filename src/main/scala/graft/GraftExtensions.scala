@@ -75,6 +75,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (e: Seq[Expression]) => functions.ZOrder2(e.head, e(1))))
 
     ext.injectFunction((
+      FunctionIdentifier(functions.Hilbert2.FuncName),
+      info(functions.Hilbert2.FuncName,
+        "2-D Hilbert curve index of two 16-bit grid coordinates"),
+      (e: Seq[Expression]) => functions.Hilbert2(e.head, e(1))))
+
+    ext.injectFunction((
       FunctionIdentifier(functions.TextNorm.NfcName),
       info(functions.TextNorm.NfcName,
         "Unicode NFC canonicalization (UAX #15)"),

@@ -176,4 +176,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("- Exchange \\(".r.findAllIn(p).size == 1,
       "mart must shuffle exactly once (union-distinct):\n" + p)
   }
+
+  test("x1_changelog_compact: both windows share one keyed exchange") {
+    // the claim in Parity14: last-op rank and op count are window
+    // functions over the SAME user_id partitioning — adding the count
+    // must not buy a second shuffle of the log
+    val p = planOf("x1_changelog_compact")
+    val shuffles = "- Exchange \\(".r.findAllIn(p).size
+    assert(shuffles <= 2, // key shuffle + final orderBy range exchange
+      s"changelog compaction shuffled $shuffles times:\n" + p)
+  }
+
+  test("x6_cms_est: the counter matrix joins as broadcast") {
+    // the sketch is depth*width rows regardless of corpus size — if
+    // it ever plans as a shuffle join the size-invariance is lost
+    val p = planOf("x6_cms_est")
+    assert(p.contains("BroadcastHashJoin"),
+      "CMS counters must broadcast:\n" + p)
+  }
+
+  test("x8_hilbert_curve: the kernel stays inside whole-stage codegen") {
+    // AQE assigns codegen ids only in the final plan — execute first
+    val df = SparkEntry.queries("x8_hilbert_curve")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("codegen id :"), p)
+    // the native expression must not fall back to interpreted eval
+    // via a Project outside codegen: the scan->project span is fused
+    assert(!p.contains("BatchEvalPython"), p)
+  }
 }
