@@ -31,6 +31,7 @@ object SparkEntry {
       graft.queries.Parity12.queries ++
       graft.queries.Parity13.queries ++
       graft.queries.Parity14.queries ++
+      graft.queries.Parity15.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -51,5 +52,6 @@ object SparkEntry {
       graft.queries.Parity12.oracles ++
       graft.queries.Parity13.oracles ++
       graft.queries.Parity14.oracles ++
+      graft.queries.Parity15.oracles ++
       graft.queries.ExtQueries.oracles
 }
