@@ -68,6 +68,59 @@ class HilbertSpec extends AnyFunSuite {
       functions.Hilbert2.compute(65535L, 0L))
   }
 
+  test("hilbert blocks are tiles AND consecutive blocks touch; z blocks jump") {
+    // the full order-16 curve fills the (0,0) 64x64 subsquare in its
+    // first 4096 indices, so sorting the [0,63]^2 grid by hilbert2 and
+    // cutting 64-point blocks gives aligned 8x8 tiles (4^3-aligned
+    // index ranges are subsquares) — same tiling as Morton. The
+    // difference is BETWEEN blocks: the Hilbert walk never jumps, so
+    // consecutive files are edge-adjacent; Morton jumps quadrants.
+    val n = 64
+    def blocksBy(key: (Long, Long) => Long) =
+      (for (a <- 0 until n; b <- 0 until n)
+        yield (a.toLong, b.toLong, key(a.toLong, b.toLong)))
+        .sortBy(_._3).grouped(64).toSeq
+    val hb = blocksBy(functions.Hilbert2.compute)
+    assert(hb.forall { blk =>
+      val (as, bs) = (blk.map(_._1), blk.map(_._2))
+      (as.max - as.min) == 7 && (bs.max - bs.min) == 7
+    }, "every 64-point hilbert block must be an 8x8 tile")
+    def jumps(blocks: Seq[Seq[(Long, Long, Long)]]): Seq[Long] =
+      blocks.sliding(2).map { case Seq(x, y) =>
+        val (_, (a1, b1, _), (a2, b2, _)) = (0, x.last, y.head)
+        math.abs(a1 - a2) + math.abs(b1 - b2)
+      }.toSeq
+    assert(jumps(hb).forall(_ == 1L),
+      "hilbert: consecutive blocks must be edge-adjacent")
+    val zj = jumps(blocksBy(functions.ZOrder2.compute))
+    assert(zj.max > 8L,
+      s"morton should jump quadrants between blocks (max ${zj.max})")
+  }
+
+  test("writeHilbertOrdered files cover tight rectangles in both key dims") {
+    import org.apache.spark.sql.functions.{avg, max, min}
+    val dir = java.nio.file.Files.createTempDirectory("hilbert").toFile
+    dir.deleteOnExit()
+    val path = s"${dir.getAbsolutePath}/li"
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_partkey", "l_suppkey")
+    sources.Sinks.writeHilbertOrdered(li, path, "l_partkey", "l_suppkey", 16)
+    val spans = spark.read.parquet(path)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("_metadata.file_name").as("f"))
+      .groupBy("f")
+      .agg((max("l_partkey") - min("l_partkey")).as("pspan"),
+        (max("l_suppkey") - min("l_suppkey")).as("sspan"))
+      .agg(avg("pspan").as("p"), avg("sspan").as("s"))
+      .head()
+    val r = li.agg(max("l_partkey") - min("l_partkey"),
+      max("l_suppkey") - min("l_suppkey")).head()
+    assert(spans.getDouble(0) < r.getLong(0) * 0.6,
+      s"partkey span ${spans.getDouble(0)} vs global ${r.getLong(0)}")
+    assert(spans.getDouble(1) < r.getLong(1) * 0.6,
+      s"suppkey span ${spans.getDouble(1)} vs global ${r.getLong(1)}")
+  }
+
   test("graft_hilbert2 SQL path matches the Column wrapper") {
     functions.Hilbert2.register(spark)
     val df = Seq((3L, 5L), (100L, 200L), (65535L, 65535L)).toDF("a", "b")
