@@ -30,10 +30,33 @@ object AsofJoin {
     * @param rightTime version-time column on `right`
     * @param payload   right-side columns to attach */
   def asofBackward(left: DataFrame, right: DataFrame, keyCol: String,
-      leftTime: String, rightTime: String,
-      payload: Seq[String]): DataFrame = {
+      leftTime: String, rightTime: String, payload: Seq[String],
+      tolerance: Option[Long] = None): DataFrame =
+    asofImpl(left, right, keyCol, leftTime, rightTime, payload,
+      forward = false, tolerance)
+
+  /** Forward as-of: attach the EARLIEST right row with time >= the
+    * left time (next-event semantics — "the purchase after this
+    * view"). Same union-merge machinery run in descending time order;
+    * ties (left.time == right.time) take the right row (>=). */
+  def asofForward(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTime: String, rightTime: String, payload: Seq[String],
+      tolerance: Option[Long] = None): DataFrame =
+    asofImpl(left, right, keyCol, leftTime, rightTime, payload,
+      forward = true, tolerance)
+
+  /** Union-merge as-of with optional match tolerance: the matched
+    * right TIME is carried beside the payload, and when `tolerance`
+    * is set, matches farther than it (backward: right < left - tol;
+    * forward: right > left + tol) null the payload — the standard
+    * bounded-staleness as-of (pandas merge_asof `tolerance`). One
+    * shuffle on the key either direction. */
+  private def asofImpl(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTime: String, rightTime: String, payload: Seq[String],
+      forward: Boolean, tolerance: Option[Long]): DataFrame = {
     val leftCols = left.columns.toSeq
-    // side 0 = right (sorts before left on equal time => <= semantics)
+    // side 0 = right: sorts before left on equal time in BOTH
+    // directions => inclusive (<= / >=) semantics
     val taggedRight = right.select(
       Seq(col(keyCol), col(rightTime).as("_t"), lit(0).as("_side")) ++
         payload.map(c => col(c).as(s"_p_$c")) ++
@@ -43,16 +66,26 @@ object AsofJoin {
       Seq(col(keyCol), col(leftTime).as("_t"), lit(1).as("_side")) ++
         payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"_p_$c")) ++
         leftCols.filterNot(_ == keyCol).map(col): _*)
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("_t").asc, col("_side").asc)
+    val order =
+      if (forward) Seq(col("_t").desc, col("_side").asc)
+      else Seq(col("_t").asc, col("_side").asc)
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val merged = taggedRight.unionByName(taggedLeft)
+      .withColumn("_rt", when(col("_side") === 0, col("_t")))
     val carried = payload.foldLeft(merged) { (df, c) =>
       df.withColumn(s"_p_$c", last(col(s"_p_$c"), ignoreNulls = true).over(w))
+    }.withColumn("_mt", last(col("_rt"), ignoreNulls = true).over(w))
+    val inTol = tolerance match {
+      case None => lit(true)
+      case Some(tol) =>
+        if (forward) col("_mt") <= col("_t") + tol
+        else col("_mt") >= col("_t") - tol
     }
     carried
       .filter(col("_side") === 1)
       .select(leftCols.map(col) ++
-        payload.map(c => col(s"_p_$c").as(c)): _*)
+        payload.map(c =>
+          when(inTol, col(s"_p_$c")).otherwise(lit(null)).as(c)): _*)
   }
 }

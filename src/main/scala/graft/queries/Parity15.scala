@@ -17,6 +17,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *    inverse of `x1_changelog_compact`: given the entity state at
   *    two cutoffs, emit the insert/update/delete changelog between
   *    them (what a lakehouse "table changes"/CDC feed computes).
+  *  - `asof_forward` / `asof_tolerance`: the remaining as-of join
+  *    directions — next-event (forward) enrichment and
+  *    bounded-staleness (tolerance) matching, both via the same
+  *    union-merge window machinery as `asof_join` and both
+  *    cross-checked against DuckDB's native ASOF JOIN.
   *  - `x8_compaction_plan`: small-file compaction planning — assign
   *    documents (in deterministic key order, per source partition) to
   *    target-size output files by running-prefix-sum bin packing, and
@@ -101,6 +106,53 @@ object Parity15 {
         .orderBy(col("user_id"))
     },
 
+    // ---- forward as-of: next purchase after each view --------------
+    // The funnel-enrich direction DuckDB's ASOF also supports (probe
+    // time <= reference time picks the EARLIEST at-or-after match):
+    // our union-merge machinery run in descending order. Right side
+    // deduplicated per (user, time) so ties are deterministic. Same
+    // one-keyed-shuffle cost as backward.
+    "asof_forward" -> { (s, d) =>
+      val e = eventsNs(s, d).select(col("event_id"), col("user_id"),
+        graft.ops.Sessionize.nsToUs(col("ts")).as("t_us"),
+        col("event_type"), col("value"))
+      val probe = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("t_us"))
+      val ref = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("t_us"))
+        .agg(max_by(struct(col("event_id"), col("value")), col("event_id"))
+          .as("_v"))
+        .select(col("user_id"), col("t_us"),
+          col("_v.event_id").as("p_event_id"),
+          col("_v.value").as("p_value"))
+      graft.ops.AsofJoin.asofForward(probe, ref, "user_id", "t_us", "t_us",
+          Seq("p_event_id", "p_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---- tolerance as-of: last click within 1 h before a purchase --
+    // Bounded-staleness attribution (pandas merge_asof `tolerance`):
+    // the most recent click attributes to the purchase only when it
+    // happened inside the hour; staler matches null out, which is the
+    // difference between "last touch" and "last RELEVANT touch".
+    "asof_tolerance" -> { (s, d) =>
+      val e = eventsNs(s, d).select(col("event_id"), col("user_id"),
+        graft.ops.Sessionize.nsToUs(col("ts")).as("t_us"),
+        col("event_type"), col("value"))
+      val probe = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t_us"))
+      val ref = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("t_us"))
+        .agg(max_by(struct(col("event_id"), col("value")), col("event_id"))
+          .as("_v"))
+        .select(col("user_id"), col("t_us"),
+          col("_v.event_id").as("c_event_id"),
+          col("_v.value").as("c_value"))
+      graft.ops.AsofJoin.asofBackward(probe, ref, "user_id", "t_us", "t_us",
+          Seq("c_event_id", "c_value"), tolerance = Some(3600000000L))
+        .orderBy(col("event_id"))
+    },
+
     // ---- compaction / OPTIMIZE planning ----------------------------
     // Per source partition, walk documents in doc_id order and cut a
     // new output file whenever the running byte total crosses the
@@ -171,6 +223,41 @@ object Parity15 {
                 WHEN value_new IS NULL THEN 'D'
                 WHEN value_old <> value_new THEN 'U' END) IS NOT NULL
          ORDER BY user_id""",
+    "asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+             event_type, value FROM events),
+         v AS (SELECT event_id, user_id, t_us FROM e
+           WHERE event_type = 'view'),
+         p_raw AS (SELECT user_id, t_us, event_id, value,
+             row_number() OVER (PARTITION BY user_id, t_us
+               ORDER BY event_id DESC) AS rn
+           FROM e WHERE event_type = 'purchase'),
+         p AS (SELECT user_id, t_us AS p_us, event_id AS p_event_id,
+             value AS p_value FROM p_raw WHERE rn = 1)
+         SELECT v.event_id, v.user_id, v.t_us, p.p_event_id, p.p_value
+         FROM v ASOF LEFT JOIN p
+           ON v.user_id = p.user_id AND v.t_us <= p.p_us
+         ORDER BY v.event_id""",
+    "asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+             event_type, value FROM events),
+         pu AS (SELECT event_id, user_id, t_us FROM e
+           WHERE event_type = 'purchase'),
+         c_raw AS (SELECT user_id, t_us, event_id, value,
+             row_number() OVER (PARTITION BY user_id, t_us
+               ORDER BY event_id DESC) AS rn
+           FROM e WHERE event_type = 'click'),
+         c AS (SELECT user_id, t_us AS c_us, event_id AS c_event_id,
+             value AS c_value FROM c_raw WHERE rn = 1),
+         j AS (SELECT pu.event_id, pu.user_id, pu.t_us,
+             c.c_us, c.c_event_id, c.c_value
+           FROM pu ASOF LEFT JOIN c
+             ON pu.user_id = c.user_id AND pu.t_us >= c.c_us)
+         SELECT event_id, user_id, t_us,
+           CASE WHEN c_us >= t_us - 3600000000 THEN c_event_id END
+             AS c_event_id,
+           CASE WHEN c_us >= t_us - 3600000000 THEN c_value END AS c_value
+         FROM j ORDER BY event_id""",
     "x8_compaction_plan" ->
       s"""WITH b AS (SELECT source, doc_id, n_chars,
              coalesce(sum(n_chars) OVER (PARTITION BY source
