@@ -77,7 +77,16 @@ object ScaleBench {
     // (encode is the linear stage; search cost is shortlist-bounded),
     // and the native session_window sessionizer (event replication
     // multiplies events-per-session, not session count)
-    "x3_ann_pq", "x5_session_window")
+    "x3_ann_pq", "x5_session_window",
+    // round-10 batch: CDC compaction + snapshot-state machinery
+    // (events-linear keyed windows), the fixed-size CMS (counter
+    // matrix must NOT grow with the corpus), OPTIMIZE planning
+    // (per-source prefix sum), and the forward as-of (union-merge
+    // window). x8_hilbert_curve is deliberately absent: its query
+    // filters to a fixed key range, so replication doesn't grow it —
+    // the layout path is measured by HilbertSpec instead.
+    "x1_changelog_compact", "x6_cms_est", "x8_compaction_plan",
+    "asof_forward")
   private val SkipAt100 = Set("x2_minhash_lsh")
 
   def main(args: Array[String]): Unit = {

@@ -32,6 +32,7 @@ object SparkEntry {
       graft.queries.Parity13.queries ++
       graft.queries.Parity14.queries ++
       graft.queries.Parity15.queries ++
+      graft.queries.Parity16.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -53,5 +54,6 @@ object SparkEntry {
       graft.queries.Parity13.oracles ++
       graft.queries.Parity14.oracles ++
       graft.queries.Parity15.oracles ++
+      graft.queries.Parity16.oracles ++
       graft.queries.ExtQueries.oracles
 }
