@@ -33,6 +33,7 @@ object SparkEntry {
       graft.queries.Parity14.queries ++
       graft.queries.Parity15.queries ++
       graft.queries.Parity16.queries ++
+      graft.queries.Parity17.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -55,5 +56,6 @@ object SparkEntry {
       graft.queries.Parity14.oracles ++
       graft.queries.Parity15.oracles ++
       graft.queries.Parity16.oracles ++
+      graft.queries.Parity17.oracles ++
       graft.queries.ExtQueries.oracles
 }

@@ -195,6 +195,25 @@ class PlanShapeSpec extends AnyFunSuite {
       "CMS counters must broadcast:\n" + p)
   }
 
+  test("x7_weighted_sample: top-k plans as TakeOrdered, not a global sort") {
+    // the E-S sample is map-only keys + a bounded top-k: a full sort
+    // (range exchange + Sort) here would be a 100 TB scan-sort
+    val p = planOf("x7_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "weighted sample must use the bounded top-k operator:\n" + p)
+  }
+
+  test("x6_source_drift: the marginals join as broadcast") {
+    // row marginal is |sources| rows, N is 1 row — corpus-scale work
+    // must stay in the (source, token) aggregate
+    val p = planOf("x6_source_drift")
+    assert("- BroadcastHashJoin ".r.findAllIn(p).size >= 1,
+      "drift marginals must broadcast:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), // the 1-row N cross join
+      "the N total must broadcast:\n" + p)
+  }
+
   test("x8_hilbert_curve: the kernel stays inside whole-stage codegen") {
     // AQE assigns codegen ids only in the final plan — execute first
     val df = SparkEntry.queries("x8_hilbert_curve")(spark, sf)
