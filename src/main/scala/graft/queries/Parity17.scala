@@ -50,6 +50,33 @@ object Parity17 {
         .orderBy(col("vec_id"))
     },
 
+    // ---- end-to-end embedding cluster dedup ------------------------
+    // The production semantic-dedup operator COMPOSED from the
+    // verified pieces: exact blocked cosine pairs (the x3_neardup
+    // machinery) -> connected components (the x2_cc machinery) ->
+    // keep-min-per-cluster with membership stats. Chains a~b~c
+    // collapse into one cluster even when a and c are not directly
+    // similar — the property one-round pairwise dedup misses. The
+    // cluster-stats frame is components-sized (<= n vectors, usually
+    // tiny) so the join-back broadcasts under AQE.
+    "x3_embed_cluster_dedup" -> { (s, d) =>
+      import graft.ops.{Connect, Similarity}
+      val pairs = Similarity.cosinePairsBlocked(embeddings(s, d),
+        tau = 0.3, blockCol = "label")
+      val comp = Connect.connectedComponents(pairs, "id_a", "id_b")
+      val base = embeddings(s, d).select(col("vec_id"))
+        .join(comp, col("vec_id") === col("id"), "left_outer")
+        .select(col("vec_id"),
+          coalesce(col("comp"), col("vec_id")).as("comp"))
+      val sz = base.groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("keeper"))
+      base.join(sz, Seq("comp"))
+        .select(col("vec_id"), col("comp"), col("n_members"),
+          when(col("vec_id") === col("keeper"), 1L).otherwise(0L)
+            .as("is_keeper"))
+        .orderBy(col("vec_id"))
+    },
+
     // ---- signed random projection (JL sign sketch) -----------------
     // qx_i = round-half-up(x_i * 1e6) micro-units (exact longs);
     // sign s_{j,i} = +-1 from bit 0 of md5("j:i"); y_j = sum_i qx_i *
@@ -93,6 +120,41 @@ object Parity17 {
              x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT)
              AS q_norm2
          FROM v ORDER BY vec_id""",
+    "x3_embed_cluster_dedup" ->
+      """WITH RECURSIVE ex AS (SELECT vec_id, label,
+             CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x,
+             generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+         n2 AS (SELECT vec_id, sum(x * x) AS n2 FROM ex GROUP BY vec_id),
+         dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             sum(a.x * b.x) AS d
+           FROM ex a JOIN ex b
+             ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+           GROUP BY a.vec_id, b.vec_id),
+         pairs AS (SELECT id_a, id_b FROM dots
+           JOIN n2 na ON dots.id_a = na.vec_id
+           JOIN n2 nb ON dots.id_b = nb.vec_id
+           WHERE CAST(CAST(d AS DOUBLE) /
+             (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+             AS DOUBLE) >= 0.3),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach(id, lbl) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+         comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+         base AS (SELECT e.vec_id, coalesce(c.comp, e.vec_id) AS comp
+           FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id),
+         sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_members,
+             min(vec_id) AS keeper
+           FROM base GROUP BY comp)
+         SELECT b.vec_id, b.comp, sz.n_members,
+           CAST(CASE WHEN b.vec_id = sz.keeper THEN 1 ELSE 0 END AS BIGINT)
+             AS is_keeper
+         FROM base b JOIN sz USING (comp)
+         ORDER BY b.vec_id""",
     "x3_random_proj" ->
       """WITH qx AS (SELECT vec_id, label,
              list_transform(embedding, x ->
