@@ -34,6 +34,13 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row.getSeq[String](1) == Seq("a b c", "b c b", "c b c", "b c d"))
       assert(row.getSeq[Long](3).length == 4)
 
+      // the curve kernels resolve through the injection too
+      val curves = s2.sql(
+        "SELECT graft_zorder2(3L, 5L) AS z, graft_hilbert2(3L, 5L) AS h")
+        .head()
+      assert(curves.getLong(0) == functions.ZOrder2.compute(3L, 5L))
+      assert(curves.getLong(1) == functions.Hilbert2.compute(3L, 5L))
+
       // the Column wrappers self-register on the ACTIVE session — the
       // no-extensions fallback path. Run it on s2 (active): the temp
       // registration shadows the injected one with identical semantics.
