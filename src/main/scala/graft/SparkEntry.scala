@@ -35,6 +35,7 @@ object SparkEntry {
       graft.queries.Parity16.queries ++
       graft.queries.Parity17.queries ++
       graft.queries.Parity18.queries ++
+      graft.queries.Parity19.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -59,5 +60,6 @@ object SparkEntry {
       graft.queries.Parity16.oracles ++
       graft.queries.Parity17.oracles ++
       graft.queries.Parity18.oracles ++
+      graft.queries.Parity19.oracles ++
       graft.queries.ExtQueries.oracles
 }
