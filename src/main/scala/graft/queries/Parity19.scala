@@ -142,21 +142,37 @@ object Parity19 {
         .agg(count(lit(1)).as("w"))
       val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
       val e2 = edges.join(outw, Seq("src"))
-      val nodes = edges.select(col("src").as("node")).distinct()
-      val nn = nodes.agg(count(lit(1)).as("nn"))
-      var rank = nodes.crossJoin(broadcast(nn))
-        .select(col("node"), col("nn"), expr(s"$PrT DIV nn").as("r"))
+      // lineage truncation (ops/Iter): the edge relation is scanned
+      // once, and each round's tiny rank vector is cut from the plan
+      // so iteration i+1 references iteration i's RESULT, not its
+      // whole history (an un-truncated loop re-derives the
+      // lineitem⋈orders join per round and the rank lineage doubles
+      // per iteration — measured 10.5 s vs ~1 s at sf0.1). At 100 TB
+      // the same loop runs with reliable checkpointing (the Connect
+      // posture); ranks stay co-partitioned with edges on the node
+      // key across rounds.
+      val e2t = graft.ops.Iter.truncate(e2, None)
+      val base = graft.ops.Iter.truncate(
+        edges.select(col("src").as("node")).distinct()
+          .crossJoin(broadcast(edges.select(col("src")).distinct()
+            .agg(count(lit(1)).as("nn")))), None)
+      var rank = base.select(col("node"), col("nn"),
+        expr(s"$PrT DIV nn").as("r"))
       for (_ <- 1 to PrIters) {
-        val contrib = rank.select(col("node").as("csrc"), col("r"))
-          .join(e2, col("csrc") === col("src"))
+        // the rank vector is |nodes|-sized (thousands of rows where
+        // edges are millions) — broadcast it so each round is a
+        // map-side join over the cached edges plus ONE shuffle (the
+        // per-dst contribution sum)
+        val contrib = broadcast(rank.select(col("node").as("csrc"), col("r")))
+          .join(e2t, col("csrc") === col("src"))
           .select(col("dst"),
             expr("(((r * 85) DIV 100) * w) DIV wout").as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
-        rank = rank.select(col("node"), col("nn"))
-          .join(contrib, col("node") === col("dst"), "left")
-          .select(col("node"), col("nn"),
-            (expr(s"(($PrT DIV nn) * 15) DIV 100") +
-              coalesce(col("cin"), lit(0L))).as("r"))
+        rank = graft.ops.Iter.truncate(
+          base.join(contrib, col("node") === col("dst"), "left")
+            .select(col("node"), col("nn"),
+              (expr(s"(($PrT DIV nn) * 15) DIV 100") +
+                coalesce(col("cin"), lit(0L))).as("r")), None)
       }
       rank.select(
           when(col("node") % 2 === 0, lit("customer"))
