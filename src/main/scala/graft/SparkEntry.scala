@@ -36,6 +36,7 @@ object SparkEntry {
       graft.queries.Parity17.queries ++
       graft.queries.Parity18.queries ++
       graft.queries.Parity19.queries ++
+      graft.queries.Parity20.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -61,5 +62,6 @@ object SparkEntry {
       graft.queries.Parity17.oracles ++
       graft.queries.Parity18.oracles ++
       graft.queries.Parity19.oracles ++
+      graft.queries.Parity20.oracles ++
       graft.queries.ExtQueries.oracles
 }
