@@ -86,7 +86,18 @@ object ScaleBench {
     // filters to a fixed key range, so replication doesn't grow it —
     // the layout path is measured by HilbertSpec instead.
     "x1_changelog_compact", "x6_cms_est", "x8_compaction_plan",
-    "asof_forward")
+    "asof_forward",
+    // round-10 batch 6/7: iterative graph rank (fixed 5 rounds, edge
+    // relation linear in the fact), the CMS JOIN estimator (both
+    // counter grids fixed-size), corpus LM scoring (the LM relation
+    // is vocab²-bounded — replication clones text, so only the
+    // doc-side bigram stream grows), and canonical-URL dedup
+    // (map-only parse + one keyed agg). x3_knn_graph is deliberately
+    // absent: replication multiplies LABEL-block sizes, so its pair
+    // stage grows quadratically as a replication artifact (real
+    // corpora grow the number of clusters, not every cluster — the
+    // SemDeDup posture; same reasoning as x2_minhash_lsh below).
+    "x9_pagerank", "x6_cms_join_est", "x4_lm_score", "x2_url_dedup")
   private val SkipAt100 = Set("x2_minhash_lsh")
 
   def main(args: Array[String]): Unit = {
@@ -122,7 +133,9 @@ object ScaleBench {
     // min of 2 runs per point damps JIT/GC noise
     def best(name: String, d: String): Double =
       math.min(time(name, d), time(name, d))
-    val rows = Subset.map { name =>
+    // optional comma-separated filter for local iteration
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+    val rows = Subset.filter(n => only.forall(_.contains(n))).map { name =>
       val t1 = best(name, tiers(0)._2)
       val t10 = best(name, tiers(1)._2)
       val t100 = if (SkipAt100(name)) -1.0 else best(name, tiers(2)._2)
@@ -134,217 +147,221 @@ object ScaleBench {
         f""""x100_sec":$t100%.3f,"r10":${t10 / t1}%.2f,"r100":$r}"""
     }.mkString("{", ",", "}")
     System.err.println(s"[scalebench] $json")
-    // CC round-count shape on a planted deep chain (diameter 127):
-    // min-label walks the diameter — one join+agg round per hop —
-    // while large-star/small-star contracts paths exponentially.
-    // At a billion-edge graph with long chains this is the difference
-    // between hundreds of shuffle rounds and ~ten.
-    locally {
-      import spark.implicits._
-      val chain = (1L until 128L).map(i => (i, i + 1)).toDF("s", "t")
-      def timed[A](f: => A): (A, Double) = {
-        val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
-      }
-      val ((mlN, mlRounds), mlSec) = timed {
-        val (df, r) = ops.Connect.minLabelRounds(chain, "s", "t", maxIter = 200)
-        (df.filter(col("comp") === 1L).count(), r)
-      }
-      val ((lsN, lsRounds), lsSec) = timed {
-        val (df, r) = ops.Connect.largeStarRounds(chain, "s", "t")
-        (df.filter(col("comp") === 1L).count(), r)
-      }
-      require(mlN == 128 && lsN == 128, s"CC labels wrong: $mlN vs $lsN")
-      System.err.println(
-        f"""[scalebench] {"cc_chain_nodes":128,"min_label_rounds":$mlRounds,""" +
-          f""""min_label_sec":$mlSec%.1f,"large_star_rounds":$lsRounds,""" +
-          f""""large_star_sec":$lsSec%.1f}""")
-    }
-
-    // KMV k-minima cut (x6_kmv_poly's heavy stage) at the 10x/100x
-    // tiers: the stock sort-window plan (InferWindowGroupLimit
-    // pre-filters each partition to k but still sorts and numbers)
-    // vs the bounded-heap TopKPerKeyExec (O(groups·k) live state,
-    // no partition sort). Hashes event_id — replica-offset, so the
-    // distinct input grows with the tier (user_id is shared across
-    // replicas and would collapse under distinct); the estimator
-    // shape is exactly the query's.
-    locally {
-      val k = 64
-      def kmvCut(dir: String, heap: Boolean): Unit = {
-        val hashed = spark.read.parquet(s"$dir/events.parquet")
-          .select(col("event_type"),
-            ops.TextOps.polyHash60(col("event_id").cast("string")).as("h"))
-          .distinct()
-        val cut =
-          if (heap) plans.TopKPerKey.topKPerKey(
-            hashed, Seq("event_type"), Seq(("h", false)), k)
-          else {
-            import org.apache.spark.sql.expressions.Window
-            val w = Window.partitionBy(col("event_type"))
-              .orderBy(col("h").asc)
-            hashed.withColumn("rn", row_number().over(w))
-              .filter(col("rn") <= k).drop("rn")
-          }
-        cut.groupBy(col("event_type"))
-          .agg(max(col("h")).as("hk"), count(lit(1)).as("n_min"))
-          .write.format("noop").mode("overwrite").save()
-      }
-      def best2(dir: String, heap: Boolean): Double = {
-        def once: Double = {
-          val t0 = System.nanoTime(); kmvCut(dir, heap)
-          (System.nanoTime() - t0) / 1e9
+    // the planted-fixture experiments below are skipped under the
+    // SPARK_GRAFT_SCALE_ONLY iteration filter
+    if (only.isEmpty) {
+      // CC round-count shape on a planted deep chain (diameter 127):
+      // min-label walks the diameter — one join+agg round per hop —
+      // while large-star/small-star contracts paths exponentially.
+      // At a billion-edge graph with long chains this is the difference
+      // between hundreds of shuffle rounds and ~ten.
+      locally {
+        import spark.implicits._
+        val chain = (1L until 128L).map(i => (i, i + 1)).toDF("s", "t")
+        def timed[A](f: => A): (A, Double) = {
+          val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
         }
-        math.min(once, once)
-      }
-      val kmv = Seq(10 -> "target/sf1", 100 -> "target/sf10").map {
-        case (c, dir) => (c, best2(dir, heap = false), best2(dir, heap = true))
-      }
-      val js = kmv.map { case (c, w, h) =>
-        f""""x$c":{"window_sec":$w%.2f,"heap_sec":$h%.2f,"ratio":${w / h}%.2f}"""
-      }.mkString(",")
-      System.err.println(s"""[scalebench] {"kmv_cut_k":$k,$js}""")
-    }
-
-    // Incremental near-dup: a FIXED ~1000-doc batch (the sf0.1 slice
-    // with doc_id%10 >= 8) probed against a PRE-MATERIALIZED corpus
-    // signature index (parquet, as persisted between daily runs), at
-    // 1x and 10x corpus size — vs recomputing the full pair join and
-    // filtering to batch-touching pairs. The claim under test is the
-    // SHAPE, not a constant: full-recompute cost grows with the
-    // corpus (it re-shingles and re-hashes everything), while the
-    // probe's growth is only the index scan + equi-join. At a 4:1
-    // corpus/batch ratio the probe does NOT win (measured 0.83x —
-    // parquet-read of shingle sets costs more than re-shingling 4k
-    // docs in-memory); the crossover needs the ratio a real ingest
-    // loop has. (10x top tier only: replication clones every doc and
-    // pair joins grow quadratically in clone multiplicity — same
-    // artifact as x2_minhash_lsh's SkipAt100.)
-    locally {
-      def timed(f: => Long): (Long, Double) = {
-        val t0 = System.nanoTime(); val n = f
-        (n, (System.nanoTime() - t0) / 1e9)
-      }
-      def best2(f: => Long): (Long, Double) = {
-        val a = timed(f); val b = timed(f)
-        (a._1, math.min(a._2, b._2))
-      }
-      val tiersJs = Seq(1 -> "target/sf01rw", 10 -> "target/sf1").map {
-        case (c, dir) =>
-          val docs = Tables.documents(spark, dir)
-          // batch: original-id docs only, so it is IDENTICAL at every
-          // tier; replicas (shifted ids) all land in the corpus side
-          val isBatch = col("doc_id") < Offset && col("doc_id") % 10 >= 8
-          val corpus = docs.filter(!isBatch)
-          val batch = docs.filter(isBatch)
-          val idxDir = s"target/mh_index_x$c"
-          if (!Files.exists(Paths.get(s"$idxDir/bands.parquet"))) {
-            val built = ops.Dedup.minhashIndex(corpus)
-            built.bands.write.mode("overwrite")
-              .parquet(s"$idxDir/bands.parquet")
-            built.sets.write.mode("overwrite")
-              .parquet(s"$idxDir/sets.parquet")
-          }
-          val idx = ops.Dedup.MinHashIndex(
-            spark.read.parquet(s"$idxDir/bands.parquet"),
-            spark.read.parquet(s"$idxDir/sets.parquet"))
-          val (nIncr, incrSec) = best2 {
-            ops.Dedup.minhashNearDupPairsIncremental(batch, idx).count()
-          }
-          val (nFull, fullSec) = best2 {
-            ops.Dedup.minhashNearDupPairs(docs)
-              .filter((col("id_a") < Offset && col("id_a") % 10 >= 8) ||
-                (col("id_b") < Offset && col("id_b") % 10 >= 8))
-              .count()
-          }
-          require(nIncr == nFull,
-            s"x$c: incremental pairs $nIncr != full restricted $nFull")
-          f""""x$c":{"pairs":$nIncr,"incr_sec":$incrSec%.2f,""" +
-            f""""full_sec":$fullSec%.2f,"speedup":${fullSec / incrSec}%.2f}"""
-      }.mkString(",")
-      System.err.println(s"""[scalebench] {"mh_incr":{$tiersJs}}""")
-    }
-
-    // Streaming-mode state evidence for the two transformWithState
-    // operators: a REAL multi-batch run (AvailableNow, one file per
-    // trigger, RocksDB provider) over the sf0.1 corpus split into 8
-    // arrival batches, recording per-batch input rows, trigger wall
-    // time, and total state-store rows. The claim under test: state
-    // rows grow linearly with arrivals (TTL/cap are the production
-    // bounds) while PER-BATCH time tracks the batch's own work — for
-    // dedup the batch's key count, for near-dup the batch's bucket
-    // collisions — not the accumulated corpus. The per-batch ms/row is
-    // also the measured per-key state-store overhead that motivated
-    // the occupancy prune in the x2_stream_neardup batch replay.
-    locally {
-      import org.apache.spark.sql.streaming.Trigger
-      val prevProvider =
-        spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val nB = 8
-        def stage(dir: String, df: DataFrame, splitCol: String): Unit =
-          if (!Files.exists(Paths.get(dir))) (0 until nB).foreach { i =>
-            df.filter(pmod(col(splitCol), lit(nB)) === i)
-              .coalesce(1).write.mode("append").parquet(dir)
-          }
-        def drive(dir: String, ckp: String,
-            mk: DataFrame => org.apache.spark.sql.Dataset[_]): String = {
-          val schema = spark.read.parquet(dir).schema
-          val stream = spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1).parquet(dir)
-          val q = mk(stream).writeStream.format("noop")
-            .option("checkpointLocation", ckp)
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
-          q.recentProgress.toSeq
-            .filter(_.numInputRows > 0)
-            .map { p =>
-              val st = p.stateOperators.headOption
-                .map(_.numRowsTotal).getOrElse(-1L)
-              s"""{"batch":${p.batchId},"rows":${p.numInputRows},""" +
-                s""""ms":${p.durationMs.get("triggerExecution")},""" +
-                s""""state_rows":$st}"""
-            }.mkString("[", ",", "]")
+        val ((mlN, mlRounds), mlSec) = timed {
+          val (df, r) = ops.Connect.minLabelRounds(chain, "s", "t", maxIter = 200)
+          (df.filter(col("comp") === 1L).count(), r)
         }
-        val docs = Tables.documents(spark, src)
-          .select(ops.TextOps.fingerprint(col("text")).as("key"),
-            col("doc_id").cast("long").as("doc_id"), col("text"))
-        stage("target/stream_docs", docs, "doc_id")
-        val dedupJs = drive("target/stream_docs", "target/stream_docs_ckp",
-          df => {
-            import spark.implicits._
-            streaming.StatefulDedup.dedup(
-              df.as[streaming.StatefulDedup.Doc], java.time.Duration.ZERO)
-          })
-        val (bands, _) = ops.Dedup.polyBandsAndSets(Tables.documents(spark, src))
-        stage("target/stream_bands",
-          bands.select(col("bk").as("key"), col("id").as("doc_id")), "doc_id")
-        val ndJs = drive("target/stream_bands", "target/stream_bands_ckp",
-          df => {
-            import spark.implicits._
-            streaming.StatefulNearDup.candidates(
-              df.as[streaming.StatefulNearDup.BandRow],
-              java.time.Duration.ZERO)
-          })
+        val ((lsN, lsRounds), lsSec) = timed {
+          val (df, r) = ops.Connect.largeStarRounds(chain, "s", "t")
+          (df.filter(col("comp") === 1L).count(), r)
+        }
+        require(mlN == 128 && lsN == 128, s"CC labels wrong: $mlN vs $lsN")
         System.err.println(
-          s"""[scalebench] {"stream_state":{"dedup":$dedupJs,"neardup":$ndJs}}""")
-      } finally {
-        prevProvider match {
-          case Some(p) => spark.conf
-            .set("spark.sql.streaming.stateStore.providerClass", p)
-          case None => spark.conf
-            .unset("spark.sql.streaming.stateStore.providerClass")
+          f"""[scalebench] {"cc_chain_nodes":128,"min_label_rounds":$mlRounds,""" +
+            f""""min_label_sec":$mlSec%.1f,"large_star_rounds":$lsRounds,""" +
+            f""""large_star_sec":$lsSec%.1f}""")
+      }
+
+      // KMV k-minima cut (x6_kmv_poly's heavy stage) at the 10x/100x
+      // tiers: the stock sort-window plan (InferWindowGroupLimit
+      // pre-filters each partition to k but still sorts and numbers)
+      // vs the bounded-heap TopKPerKeyExec (O(groups·k) live state,
+      // no partition sort). Hashes event_id — replica-offset, so the
+      // distinct input grows with the tier (user_id is shared across
+      // replicas and would collapse under distinct); the estimator
+      // shape is exactly the query's.
+      locally {
+        val k = 64
+        def kmvCut(dir: String, heap: Boolean): Unit = {
+          val hashed = spark.read.parquet(s"$dir/events.parquet")
+            .select(col("event_type"),
+              ops.TextOps.polyHash60(col("event_id").cast("string")).as("h"))
+            .distinct()
+          val cut =
+            if (heap) plans.TopKPerKey.topKPerKey(
+              hashed, Seq("event_type"), Seq(("h", false)), k)
+            else {
+              import org.apache.spark.sql.expressions.Window
+              val w = Window.partitionBy(col("event_type"))
+                .orderBy(col("h").asc)
+              hashed.withColumn("rn", row_number().over(w))
+                .filter(col("rn") <= k).drop("rn")
+            }
+          cut.groupBy(col("event_type"))
+            .agg(max(col("h")).as("hk"), count(lit(1)).as("n_min"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        def best2(dir: String, heap: Boolean): Double = {
+          def once: Double = {
+            val t0 = System.nanoTime(); kmvCut(dir, heap)
+            (System.nanoTime() - t0) / 1e9
+          }
+          math.min(once, once)
+        }
+        val kmv = Seq(10 -> "target/sf1", 100 -> "target/sf10").map {
+          case (c, dir) => (c, best2(dir, heap = false), best2(dir, heap = true))
+        }
+        val js = kmv.map { case (c, w, h) =>
+          f""""x$c":{"window_sec":$w%.2f,"heap_sec":$h%.2f,"ratio":${w / h}%.2f}"""
+        }.mkString(",")
+        System.err.println(s"""[scalebench] {"kmv_cut_k":$k,$js}""")
+      }
+
+      // Incremental near-dup: a FIXED ~1000-doc batch (the sf0.1 slice
+      // with doc_id%10 >= 8) probed against a PRE-MATERIALIZED corpus
+      // signature index (parquet, as persisted between daily runs), at
+      // 1x and 10x corpus size — vs recomputing the full pair join and
+      // filtering to batch-touching pairs. The claim under test is the
+      // SHAPE, not a constant: full-recompute cost grows with the
+      // corpus (it re-shingles and re-hashes everything), while the
+      // probe's growth is only the index scan + equi-join. At a 4:1
+      // corpus/batch ratio the probe does NOT win (measured 0.83x —
+      // parquet-read of shingle sets costs more than re-shingling 4k
+      // docs in-memory); the crossover needs the ratio a real ingest
+      // loop has. (10x top tier only: replication clones every doc and
+      // pair joins grow quadratically in clone multiplicity — same
+      // artifact as x2_minhash_lsh's SkipAt100.)
+      locally {
+        def timed(f: => Long): (Long, Double) = {
+          val t0 = System.nanoTime(); val n = f
+          (n, (System.nanoTime() - t0) / 1e9)
+        }
+        def best2(f: => Long): (Long, Double) = {
+          val a = timed(f); val b = timed(f)
+          (a._1, math.min(a._2, b._2))
+        }
+        val tiersJs = Seq(1 -> "target/sf01rw", 10 -> "target/sf1").map {
+          case (c, dir) =>
+            val docs = Tables.documents(spark, dir)
+            // batch: original-id docs only, so it is IDENTICAL at every
+            // tier; replicas (shifted ids) all land in the corpus side
+            val isBatch = col("doc_id") < Offset && col("doc_id") % 10 >= 8
+            val corpus = docs.filter(!isBatch)
+            val batch = docs.filter(isBatch)
+            val idxDir = s"target/mh_index_x$c"
+            if (!Files.exists(Paths.get(s"$idxDir/bands.parquet"))) {
+              val built = ops.Dedup.minhashIndex(corpus)
+              built.bands.write.mode("overwrite")
+                .parquet(s"$idxDir/bands.parquet")
+              built.sets.write.mode("overwrite")
+                .parquet(s"$idxDir/sets.parquet")
+            }
+            val idx = ops.Dedup.MinHashIndex(
+              spark.read.parquet(s"$idxDir/bands.parquet"),
+              spark.read.parquet(s"$idxDir/sets.parquet"))
+            val (nIncr, incrSec) = best2 {
+              ops.Dedup.minhashNearDupPairsIncremental(batch, idx).count()
+            }
+            val (nFull, fullSec) = best2 {
+              ops.Dedup.minhashNearDupPairs(docs)
+                .filter((col("id_a") < Offset && col("id_a") % 10 >= 8) ||
+                  (col("id_b") < Offset && col("id_b") % 10 >= 8))
+                .count()
+            }
+            require(nIncr == nFull,
+              s"x$c: incremental pairs $nIncr != full restricted $nFull")
+            f""""x$c":{"pairs":$nIncr,"incr_sec":$incrSec%.2f,""" +
+              f""""full_sec":$fullSec%.2f,"speedup":${fullSec / incrSec}%.2f}"""
+        }.mkString(",")
+        System.err.println(s"""[scalebench] {"mh_incr":{$tiersJs}}""")
+      }
+
+      // Streaming-mode state evidence for the two transformWithState
+      // operators: a REAL multi-batch run (AvailableNow, one file per
+      // trigger, RocksDB provider) over the sf0.1 corpus split into 8
+      // arrival batches, recording per-batch input rows, trigger wall
+      // time, and total state-store rows. The claim under test: state
+      // rows grow linearly with arrivals (TTL/cap are the production
+      // bounds) while PER-BATCH time tracks the batch's own work — for
+      // dedup the batch's key count, for near-dup the batch's bucket
+      // collisions — not the accumulated corpus. The per-batch ms/row is
+      // also the measured per-key state-store overhead that motivated
+      // the occupancy prune in the x2_stream_neardup batch replay.
+      locally {
+        import org.apache.spark.sql.streaming.Trigger
+        val prevProvider =
+          spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val nB = 8
+          def stage(dir: String, df: DataFrame, splitCol: String): Unit =
+            if (!Files.exists(Paths.get(dir))) (0 until nB).foreach { i =>
+              df.filter(pmod(col(splitCol), lit(nB)) === i)
+                .coalesce(1).write.mode("append").parquet(dir)
+            }
+          def drive(dir: String, ckp: String,
+              mk: DataFrame => org.apache.spark.sql.Dataset[_]): String = {
+            val schema = spark.read.parquet(dir).schema
+            val stream = spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(dir)
+            val q = mk(stream).writeStream.format("noop")
+              .option("checkpointLocation", ckp)
+              .trigger(Trigger.AvailableNow()).start()
+            q.awaitTermination()
+            q.recentProgress.toSeq
+              .filter(_.numInputRows > 0)
+              .map { p =>
+                val st = p.stateOperators.headOption
+                  .map(_.numRowsTotal).getOrElse(-1L)
+                s"""{"batch":${p.batchId},"rows":${p.numInputRows},""" +
+                  s""""ms":${p.durationMs.get("triggerExecution")},""" +
+                  s""""state_rows":$st}"""
+              }.mkString("[", ",", "]")
+          }
+          val docs = Tables.documents(spark, src)
+            .select(ops.TextOps.fingerprint(col("text")).as("key"),
+              col("doc_id").cast("long").as("doc_id"), col("text"))
+          stage("target/stream_docs", docs, "doc_id")
+          val dedupJs = drive("target/stream_docs", "target/stream_docs_ckp",
+            df => {
+              import spark.implicits._
+              streaming.StatefulDedup.dedup(
+                df.as[streaming.StatefulDedup.Doc], java.time.Duration.ZERO)
+            })
+          val (bands, _) = ops.Dedup.polyBandsAndSets(Tables.documents(spark, src))
+          stage("target/stream_bands",
+            bands.select(col("bk").as("key"), col("id").as("doc_id")), "doc_id")
+          val ndJs = drive("target/stream_bands", "target/stream_bands_ckp",
+            df => {
+              import spark.implicits._
+              streaming.StatefulNearDup.candidates(
+                df.as[streaming.StatefulNearDup.BandRow],
+                java.time.Duration.ZERO)
+            })
+          System.err.println(
+            s"""[scalebench] {"stream_state":{"dedup":$dedupJs,"neardup":$ndJs}}""")
+        } finally {
+          prevProvider match {
+            case Some(p) => spark.conf
+              .set("spark.sql.streaming.stateStore.providerClass", p)
+            case None => spark.conf
+              .unset("spark.sql.streaming.stateStore.providerClass")
+          }
         }
       }
-    }
 
-    val c100 = rows.filter(_._4 > 0)
-    println(f"""{"metric":"scaleup","x1_total":${rows.map(_._2).sum}%.2f,""" +
-      f""""x10_total":${rows.map(_._3).sum}%.2f,""" +
-      f""""x100_total":${c100.map(_._4).sum}%.2f,""" +
-      f""""r100_over_r10":${c100.map(_._4).sum / c100.map(_._3).sum}%.2f,""" +
-      s""""n_queries":${rows.size}}""")
+      val c100 = rows.filter(_._4 > 0)
+      println(f"""{"metric":"scaleup","x1_total":${rows.map(_._2).sum}%.2f,""" +
+        f""""x10_total":${rows.map(_._3).sum}%.2f,""" +
+        f""""x100_total":${c100.map(_._4).sum}%.2f,""" +
+        f""""r100_over_r10":${c100.map(_._4).sum / c100.map(_._3).sum}%.2f,""" +
+        s""""n_queries":${rows.size}}""")
+    }
     spark.stop()
   }
 }

@@ -37,6 +37,7 @@ object SparkEntry {
       graft.queries.Parity18.queries ++
       graft.queries.Parity19.queries ++
       graft.queries.Parity20.queries ++
+      graft.queries.Parity21.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -63,5 +64,6 @@ object SparkEntry {
       graft.queries.Parity18.oracles ++
       graft.queries.Parity19.oracles ++
       graft.queries.Parity20.oracles ++
+      graft.queries.Parity21.oracles ++
       graft.queries.ExtQueries.oracles
 }
