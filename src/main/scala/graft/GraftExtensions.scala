@@ -62,6 +62,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (e: Seq[Expression]) => functions.DotLongs(e.head, e(1))))
 
     ext.injectFunction((
+      FunctionIdentifier(functions.IntersectCountSorted.FuncName),
+      info(functions.IntersectCountSorted.FuncName,
+        "|A ∩ B| of two sorted duplicate-free array<long> columns"),
+      (e: Seq[Expression]) => functions.IntersectCountSorted(e.head, e(1))))
+
+    ext.injectFunction((
       FunctionIdentifier(functions.LshBucket.FuncName),
       info(functions.LshBucket.FuncName,
         "random-hyperplane LSH bucket id (nBits sign bits) of a float vector"),

@@ -40,6 +40,7 @@ object SparkEntry {
       graft.queries.Parity21.queries ++
       graft.queries.Parity22.queries ++
       graft.queries.Parity23.queries ++
+      graft.queries.Parity24.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -69,5 +70,6 @@ object SparkEntry {
       graft.queries.Parity21.oracles ++
       graft.queries.Parity22.oracles ++
       graft.queries.Parity23.oracles ++
+      graft.queries.Parity24.oracles ++
       graft.queries.ExtQueries.oracles
 }

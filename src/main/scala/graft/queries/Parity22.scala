@@ -120,8 +120,8 @@ object Parity22 {
           col("s") === col("an1"))
         .join(broadcast(adj.select(col("s").as("an2"), col("nbrs").as("n2"))),
           col("t") === col("an2"), "left")
-        .select(size(array_intersect(col("n1"),
-          coalesce(col("n2"), array().cast("array<bigint>")))).cast(LongType)
+        .select(graft.functions.IntersectCountSorted.intersect_count_sorted(
+          col("n1"), coalesce(col("n2"), array().cast("array<bigint>")))
           .as("c"))
         .agg(sum(col("c")).as("n_triangles"))
       pairs.agg(count(lit(1)).as("n_edges")).crossJoin(

@@ -41,6 +41,20 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(curves.getLong(0) == functions.ZOrder2.compute(3L, 5L))
       assert(curves.getLong(1) == functions.Hilbert2.compute(3L, 5L))
 
+      // sorted-merge intersect count: matches size(array_intersect)
+      // on sorted duplicate-free input (incl. empty and disjoint)
+      val ic = s2.sql(
+        """SELECT graft_intersect_count_sorted(array(1L,3L,5L,7L),
+                    array(3L,4L,5L,9L)) AS c1,
+                  graft_intersect_count_sorted(array(1L,2L),
+                    CAST(array() AS ARRAY<BIGINT>)) AS c2,
+                  graft_intersect_count_sorted(array(1L,2L),
+                    array(3L,4L)) AS c3,
+                  size(array_intersect(array(1L,3L,5L,7L),
+                    array(3L,4L,5L,9L))) AS ref""").head()
+      assert(ic.getLong(0) == 2L && ic.getLong(0) == ic.getInt(3).toLong)
+      assert(ic.getLong(1) == 0L && ic.getLong(2) == 0L)
+
       // the Column wrappers self-register on the ACTIVE session — the
       // no-extensions fallback path. Run it on s2 (active): the temp
       // registration shadows the injected one with identical semantics.
