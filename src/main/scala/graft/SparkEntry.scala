@@ -41,6 +41,7 @@ object SparkEntry {
       graft.queries.Parity22.queries ++
       graft.queries.Parity23.queries ++
       graft.queries.Parity24.queries ++
+      graft.queries.Parity25.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -71,5 +72,6 @@ object SparkEntry {
       graft.queries.Parity22.oracles ++
       graft.queries.Parity23.oracles ++
       graft.queries.Parity24.oracles ++
+      graft.queries.Parity25.oracles ++
       graft.queries.ExtQueries.oracles
 }
