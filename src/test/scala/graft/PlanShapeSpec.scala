@@ -224,4 +224,30 @@ class PlanShapeSpec extends AnyFunSuite {
     // via a Project outside codegen: the scan->project span is fused
     assert(!p.contains("BatchEvalPython"), p)
   }
+
+  test("x9_triangles: adjacency joins broadcast; the closure never shuffles wedges") {
+    val p = planOf("x9_triangles")
+    // degree + adjacency sides broadcast (the wedge/closure stage is
+    // map-side); a SortMergeJoin would mean the wedge stream shuffles
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "triangle closure must not shuffle the wedge stream:\n" + p)
+    // the native sorted-merge kernel is in the plan, not array_intersect
+    assert(p.contains("intersect_count_sorted"), p)
+  }
+
+  test("x1_time_travel: the cutoff predicate reaches the parquet scan") {
+    val p = planOf("x1_time_travel")
+    // ts is normalized in a projection, so the raw scan cannot take
+    // the nanos filter — but the filter must still sit scan-side
+    // BEFORE the window shuffle (one Exchange total: the key window)
+    val exchanges = "Exchange \\(\\d+\\)".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 Exchange, saw $exchanges:\n$p")
+  }
+
+  test("x6_tdigest: group digests aggregate partially before the exchange") {
+    val p = planOf("x6_tdigest")
+    assert(p.contains("partial_tdigest") || p.contains("partial_graft_tdigest"),
+      "t-digest must combine map-side (mergeable-sketch contract):\n" + p)
+  }
 }
