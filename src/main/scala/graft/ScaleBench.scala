@@ -97,7 +97,16 @@ object ScaleBench {
     // stage grows quadratically as a replication artifact (real
     // corpora grow the number of clusters, not every cluster — the
     // SemDeDup posture; same reasoning as x2_minhash_lsh below).
-    "x9_pagerank", "x6_cms_join_est", "x4_lm_score", "x2_url_dedup")
+    "x9_pagerank", "x6_cms_join_est", "x4_lm_score", "x2_url_dedup",
+    // round-10 batch 9/11: exact triangle count and k-core peel.
+    // Key-offset replication keeps each replica's co-purchase graph
+    // a DISJOINT component (same structure ×N), so both should scale
+    // linearly — which is exactly the orientation-bound claim worth
+    // measuring. x9_common_neighbors is deliberately absent: its
+    // candidate stage is (md5-sample)², so replication grows it
+    // quadratically unless the sample RATE shrinks with the corpus —
+    // the documented knob, not a plan property.
+    "x9_triangles", "x9_kcore")
   private val SkipAt100 = Set("x2_minhash_lsh")
 
   def main(args: Array[String]): Unit = {

@@ -42,6 +42,7 @@ object SparkEntry {
       graft.queries.Parity23.queries ++
       graft.queries.Parity24.queries ++
       graft.queries.Parity25.queries ++
+      graft.queries.Parity26.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -73,5 +74,6 @@ object SparkEntry {
       graft.queries.Parity23.oracles ++
       graft.queries.Parity24.oracles ++
       graft.queries.Parity25.oracles ++
+      graft.queries.Parity26.oracles ++
       graft.queries.ExtQueries.oracles
 }
