@@ -43,6 +43,7 @@ object SparkEntry {
       graft.queries.Parity24.queries ++
       graft.queries.Parity25.queries ++
       graft.queries.Parity26.queries ++
+      graft.queries.Parity27.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -75,5 +76,6 @@ object SparkEntry {
       graft.queries.Parity24.oracles ++
       graft.queries.Parity25.oracles ++
       graft.queries.Parity26.oracles ++
+      graft.queries.Parity27.oracles ++
       graft.queries.ExtQueries.oracles
 }
