@@ -44,6 +44,7 @@ object SparkEntry {
       graft.queries.Parity25.queries ++
       graft.queries.Parity26.queries ++
       graft.queries.Parity27.queries ++
+      graft.queries.Parity28.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -77,5 +78,6 @@ object SparkEntry {
       graft.queries.Parity25.oracles ++
       graft.queries.Parity26.oracles ++
       graft.queries.Parity27.oracles ++
+      graft.queries.Parity28.oracles ++
       graft.queries.ExtQueries.oracles
 }

@@ -492,4 +492,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed == List(Interval(7L, "login", 100L, 299L)))
     assert(ok.get == Current("logout", 300L, 300L, 2L))
   }
+
+  test("streaming t-digest across micro-batches: rank bound holds vs batch") {
+    // the mergeable-sketch contract END TO END in streaming: the
+    // TypedImperativeAggregate's serialize/deserialize/merge path runs
+    // through the state store across 4 micro-batches (maxFilesPerTrigger=1)
+    // and the final digest must satisfy the same rank-error bound the
+    // bounded oracle pins in batch mode
+    import org.apache.spark.sql.streaming.Trigger
+    val src = s"$fx/tdig_src"; val ckp = s"$fx/tdig_ckp"
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("value"))
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    val schema = ev.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.TDigest.tdigest(spark, col("value"), 100).as("dg"),
+        count(lit(1)).as("n"))
+    val name = s"tdig_${System.nanoTime()}"
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .option("checkpointLocation", ckp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val est = spark.table(name)
+      .select(col("event_type"), col("n"),
+        graft.functions.TDigest.tdigest_quantile(spark, col("dg"), 0.5)
+          .as("p50"))
+      .collect().map(r => r.getAs[String](0) ->
+        (r.getAs[Long](1), r.getAs[Double](2))).toMap
+    assert(est.size == 5)
+    val vals = ev.collect().groupBy(_.getString(0))
+      .map { case (k, rows) => k -> rows.map(_.getDouble(1)) }
+    est.foreach { case (et, (n, p50)) =>
+      val xs = vals(et)
+      assert(n.toInt == xs.length)
+      val rank = xs.count(_ <= p50).toDouble / xs.length
+      assert(math.abs(rank - 0.5) <= 0.03,
+        s"$et: streaming digest p50=$p50 rank=$rank")
+    }
+  }
 }
