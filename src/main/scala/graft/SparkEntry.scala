@@ -45,6 +45,7 @@ object SparkEntry {
       graft.queries.Parity26.queries ++
       graft.queries.Parity27.queries ++
       graft.queries.Parity28.queries ++
+      graft.queries.Parity29.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -79,5 +80,6 @@ object SparkEntry {
       graft.queries.Parity26.oracles ++
       graft.queries.Parity27.oracles ++
       graft.queries.Parity28.oracles ++
+      graft.queries.Parity29.oracles ++
       graft.queries.ExtQueries.oracles
 }
