@@ -46,6 +46,7 @@ object SparkEntry {
       graft.queries.Parity27.queries ++
       graft.queries.Parity28.queries ++
       graft.queries.Parity29.queries ++
+      graft.queries.Parity30.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -81,5 +82,6 @@ object SparkEntry {
       graft.queries.Parity27.oracles ++
       graft.queries.Parity28.oracles ++
       graft.queries.Parity29.oracles ++
+      graft.queries.Parity30.oracles ++
       graft.queries.ExtQueries.oracles
 }
