@@ -47,6 +47,7 @@ object SparkEntry {
       graft.queries.Parity28.queries ++
       graft.queries.Parity29.queries ++
       graft.queries.Parity30.queries ++
+      graft.queries.Parity31.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -83,5 +84,6 @@ object SparkEntry {
       graft.queries.Parity28.oracles ++
       graft.queries.Parity29.oracles ++
       graft.queries.Parity30.oracles ++
+      graft.queries.Parity31.oracles ++
       graft.queries.ExtQueries.oracles
 }
