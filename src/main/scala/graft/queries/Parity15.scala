@@ -260,13 +260,13 @@ object Parity15 {
          FROM j ORDER BY event_id""",
     "x8_compaction_plan" ->
       s"""WITH b AS (SELECT source, doc_id, n_chars,
-             coalesce(sum(n_chars) OVER (PARTITION BY source
+             CAST(coalesce(sum(n_chars) OVER (PARTITION BY source
                ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS before
+               AS BIGINT) AS before
            FROM documents),
          f AS (SELECT source, doc_id, n_chars,
-             before // $TargetBytes AS file_seq FROM b)
+             CAST(before // $TargetBytes AS BIGINT) AS file_seq FROM b)
          SELECT source, file_seq,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS bytes,

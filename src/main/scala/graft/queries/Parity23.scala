@@ -201,10 +201,11 @@ object Parity23 {
            UNION ALL
            SELECT mx AS pos, CAST(-1 AS BIGINT) AS delta FROM files),
          sweep AS (
-           SELECT sum(delta) OVER (ORDER BY pos, delta DESC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
+           SELECT CAST(sum(delta) OVER (ORDER BY pos, delta DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS depth
            FROM bounds)
-         SELECT (SELECT max(depth) FROM sweep) AS max_depth,
+         SELECT CAST((SELECT max(depth) FROM sweep) AS BIGINT) AS max_depth,
                 (SELECT count(*) FROM files) AS n_files"""
   )
 }
