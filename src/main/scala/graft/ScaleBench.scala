@@ -102,11 +102,12 @@ object ScaleBench {
     // Key-offset replication keeps each replica's co-purchase graph
     // a DISJOINT component (same structure ×N), so both should scale
     // linearly — which is exactly the orientation-bound claim worth
-    // measuring. x9_common_neighbors is deliberately absent: its
-    // candidate stage is (md5-sample)², so replication grows it
-    // quadratically unless the sample RATE shrinks with the corpus —
-    // the documented knob, not a plan property.
-    "x9_triangles", "x9_kcore")
+    // measuring. x9_common_neighbors joined the subset in round 11:
+    // the wedge equi-join formulation is Σ deg_s(w)² -bounded, and
+    // disjoint replication adds wedges linearly — the old
+    // (md5-sample)² crossJoin grew quadratically at a fixed sample
+    // rate and was deliberately absent.
+    "x9_triangles", "x9_kcore", "x9_common_neighbors")
   private val SkipAt100 = Set("x2_minhash_lsh")
 
   def main(args: Array[String]): Unit = {
@@ -183,6 +184,91 @@ object ScaleBench {
           f"""[scalebench] {"cc_chain_nodes":128,"min_label_rounds":$mlRounds,""" +
             f""""min_label_sec":$mlSec%.1f,"large_star_rounds":$lsRounds,""" +
             f""""large_star_sec":$lsSec%.1f}""")
+      }
+
+      // kNN graph: exact label-blocked all-pairs vs the IVF-list ANN
+      // build at growing corpus size. Replication multiplies LABEL
+      // block sizes, so the exact graph's pair stage grows
+      // quadratically (the reason x3_knn_graph sits outside Subset);
+      // the ANN build keeps candidates at n · nProbe · (n / nLists)
+      // and grows nLists ∝ √n (8 at 2k vectors → 25 at 20k → 80 at
+      // 200k), the standard IVF sizing — expected growth n^1.5 per
+      // decade (~31.6x), sub-quadratic. Exact runs 1x/10x only
+      // (single pass — at 10x it is already the quadratic lesson);
+      // ANN runs 1x/10x/100x min-of-2.
+      locally {
+        def knnExact(dir: String): Double = {
+          val t0 = System.nanoTime()
+          SparkEntry.queries("x3_knn_graph")(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        def knnAnn(dir: String, nLists: Int): Double = {
+          def once: Double = {
+            val t0 = System.nanoTime()
+            val emb = Tables.embeddings(spark, dir)
+            val cents = ops.Similarity.kmeansCentroids(emb, k = nLists,
+              iters = 3)
+            ops.Similarity.ivfKnnGraph(emb, k = 3, nLists = nLists,
+                nProbe = 6, centroids = Some(cents))
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          math.min(once, once)
+        }
+        val ex1 = knnExact("target/sf01rw")
+        val ex10 = knnExact("target/sf1")
+        val an1 = knnAnn("target/sf01rw", 8)
+        val an10 = knnAnn("target/sf1", 25)
+        val an100 = knnAnn("target/sf10", 80)
+        System.err.println(
+          f"""[scalebench] {"knn_graph":{"exact_x1":$ex1%.2f,""" +
+            f""""exact_x10":$ex10%.2f,"exact_r10":${ex10 / ex1}%.2f,""" +
+            f""""ann_x1":$an1%.2f,"ann_x10":$an10%.2f,""" +
+            f""""ann_x100":$an100%.2f,"ann_r10":${an10 / an1}%.2f,""" +
+            f""""ann_r100":${an100 / an10}%.2f}}""")
+      }
+
+      // k-core arms at the 10x/100x tiers: the broadcast-hint peel
+      // (alive set shipped to every executor, 2 semi-joins × rounds)
+      // vs the message-form peel (ops/Connect.kcorePeelMsg — per-round
+      // shuffle volume node-bounded, no broadcast) off plain parquet
+      // and off a node-bucketed table (the adjacency side never
+      // shuffles at all). The broadcast arm should win while the
+      // alive set is comfortably broadcastable — the point of the
+      // measurement is the SLOPE of each arm and where they cross;
+      // SCALE.md records it. Edge derivation (the basket explode) is
+      // prepped to parquet untimed — it is identical work for every
+      // arm; the bucketed write is untimed layout investment.
+      locally {
+        import graft.queries.Parity24
+        def noopSave(df: DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        def best2(f: => Unit): Double = {
+          def once: Double = {
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }
+          math.min(once, once)
+        }
+        val js = Seq(10 -> "target/sf1", 100 -> "target/sf10").map {
+          case (c, dir) =>
+            val ep = s"target/kc_edges_x$c"
+            if (!Files.exists(Paths.get(ep)))
+              Parity24.edges(spark, dir).write.mode("overwrite").parquet(ep)
+            val pairs = spark.read.parquet(ep)
+            val adj = pairs.select(col("u").as("node"), col("v").as("nbr"))
+              .unionAll(pairs.select(col("v").as("node"), col("u").as("nbr")))
+            val tbl = s"kc_adj_x$c"
+            sources.Sinks.writeBucketed(adj, tbl, "node", 32)
+            val bcast = best2(noopSave(Parity24.kcorePeel(pairs, 80, 6)))
+            val msgPlain = best2(noopSave(ops.Connect.kcorePeelMsg(adj, 80, 6)))
+            val msgBuck = best2(noopSave(ops.Connect.kcorePeelMsg(
+              spark.table(tbl).select(col("node"), col("nbr")), 80, 6)))
+            f""""x$c":{"broadcast_sec":$bcast%.2f,""" +
+              f""""msg_plain_sec":$msgPlain%.2f,""" +
+              f""""msg_bucketed_sec":$msgBuck%.2f}"""
+        }.mkString(",")
+        System.err.println(s"""[scalebench] {"kcore_arms":{$js}}""")
       }
 
       // KMV k-minima cut (x6_kmv_poly's heavy stage) at the 10x/100x

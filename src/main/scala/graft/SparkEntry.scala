@@ -48,6 +48,7 @@ object SparkEntry {
       graft.queries.Parity29.queries ++
       graft.queries.Parity30.queries ++
       graft.queries.Parity31.queries ++
+      graft.queries.Parity32.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -85,5 +86,6 @@ object SparkEntry {
       graft.queries.Parity29.oracles ++
       graft.queries.Parity30.oracles ++
       graft.queries.Parity31.oracles ++
+      graft.queries.Parity32.oracles ++
       graft.queries.ExtQueries.oracles
 }

@@ -177,4 +177,56 @@ object Connect extends Logging {
       .select(col("id"), coalesce(col("cmp"), col("id")).as("comp"))
     (out, iter)
   }
+
+  /** Message-form k-core peel — the BEYOND-BROADCAST arm of
+    * `Parity24.kcorePeel` (same output contract: surviving (node, dg)
+    * after `rounds` synchronous peel rounds at threshold `k`).
+    *
+    * `adj` is the BOTH-DIRECTIONS adjacency (node, nbr) — one row per
+    * edge endpoint. Each round:
+    *   1. alive senders emit 1 to every neighbour: a left-semi join of
+    *      the adjacency against the alive set on `node`;
+    *   2. degree = count of messages per receiver: groupBy(nbr) with
+    *      map-side partial aggregation, so the exchange carries at
+    *      most (distinct receivers per partition) rows;
+    *   3. receivers restrict to the alive set, survivors are
+    *      degree >= k.
+    *
+    * Why this shape scales where the broadcast peel stops: per-round
+    * SHUFFLE volume is node-bounded everywhere — the alive set (into
+    * the semi-join), the partial degree counts, and the alive∩degree
+    * join — while the edge-sized relation is only ever SCANNED. With
+    * the adjacency stored as a table bucketed on `node`
+    * ([[graft.sources.Sinks.writeBucketed]]), step 1's semi-join
+    * leaves the adjacency side entirely unshuffled (the alive set
+    * hashes into the bucket layout), so NO per-round cost is
+    * edge-sized network traffic — the layout investment every daily
+    * k-core/PageRank loop amortizes. The broadcast peel instead ships
+    * the alive set to every executor each round: node-count-sized × 2
+    * semi-joins × rounds, which dies when the alive set outgrows
+    * executor memory (billions of nodes); this arm has no such cliff.
+    * ScaleBench measures both at the 10x/100x tiers; SCALE.md records
+    * the crossover.
+    *
+    * Like the broadcast peel, rounds are lineage-truncated; `adj` is
+    * re-scanned each round (a bucketed parquet scan — the cheap side
+    * of the trade at any scale). */
+  def kcorePeelMsg(adj: DataFrame, k: Int, rounds: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    var alive: DataFrame = null // null = all nodes alive (round 1)
+    var lastDeg: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val msgs =
+        if (alive == null) adj
+        else adj.join(alive, Seq("node"), "left_semi")
+      val deg = msgs.groupBy(col("nbr")).agg(count(lit(1)).as("dg"))
+        .select(col("nbr").as("node"), col("dg"))
+      lastDeg =
+        if (alive == null) deg
+        else deg.join(alive, Seq("node"), "left_semi")
+      alive = Iter.truncate(
+        lastDeg.filter(col("dg") >= k).select(col("node")), checkpointDir)
+    }
+    lastDeg.filter(col("dg") >= k).select(col("node"), col("dg"))
+  }
 }

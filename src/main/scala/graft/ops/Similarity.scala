@@ -346,6 +346,69 @@ object Similarity {
         col("rk").cast(IntegerType).as("rk"))
   }
 
+  /** IVF k-nearest-neighbor GRAPH: EVERY vector is a probe, so unlike
+    * [[ivfTopK]] the probe side cannot broadcast — both sides of the
+    * candidate join are corpus-sized, and the join is a plain shuffle
+    * equi-join on the list id. Each vector is (a) assigned to its
+    * nearest list (broadcast-centroid argmax, map-side hash agg) and
+    * (b) given its `nProbe` nearest lists as a probe (rank window
+    * partitioned by id — one keyed shuffle); candidates are the
+    * vectors in any probed list, ranked by exact cosine with a
+    * per-probe top-k window.
+    *
+    * Scale: candidate pairs are n · nProbe · (n / nLists) — keep
+    * nLists ∝ √n (the standard IVF sizing) and the graph build is
+    * O(n^1.5 · nProbe / c), sub-quadratic, vs the Θ(Σ block²) of
+    * exact label-blocked all-pairs ([[cosinePairsBlocked]], the
+    * x3_knn_graph oracle form). Everything shuffles on cent_id /
+    * probe_id only; the full vectors travel once as quantized longs.
+    * Recall floor vs the exact graph is pinned in RecallSpec and the
+    * x3_knn_graph_ann harness row (bounded oracle over a
+    * deterministic probe sample). */
+  def ivfKnnGraph(emb: DataFrame, k: Int = 10, nLists: Int = 16,
+      nProbe: Int = 4, centroids: Option[DataFrame] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centSrc = centroids.getOrElse(
+      emb.orderBy(col(idCol).asc).limit(nLists)
+        .select(col(idCol).as("cent_id"), col(vecCol).as("centroid")))
+    val cents = broadcast(centSrc
+      .select(col("cent_id"), quantize(col("centroid")).as("cq"))
+      .withColumn("cn2", dotScaled(col("cq"), col("cq"))))
+    val base = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
+      .withColumn("n2", dotScaled(col("q"), col("q")))
+    val scoredLists = base.crossJoin(cents)
+      .withColumn("cent_sim",
+        cosineFromScaled(dotScaled(col("q"), col("cq")), col("n2"), col("cn2")))
+    // index side: argmax list per vector (map-side combinable hash agg)
+    val assigned = scoredLists
+      .groupBy(col("id"))
+      .agg(max(struct(col("cent_sim"), (-col("cent_id")).as("nci"),
+        col("q"), col("n2"))).as("m"))
+      .select(col("id"), col("m.q").as("q"), col("m.n2").as("n2"),
+        (-col("m.nci")).as("cent_id"))
+    // probe side: top-nProbe lists per vector (keyed rank window —
+    // NOT broadcast; this is the difference from ivfTopK)
+    val probeW = Window.partitionBy(col("id"))
+      .orderBy(col("cent_sim").desc, col("cent_id").asc)
+    val probeLists = scoredLists
+      .withColumn("prk", row_number().over(probeW))
+      .filter(col("prk") <= nProbe)
+      .select(col("id").as("probe_id"), col("q").as("pq"),
+        col("n2").as("pn2"), col("cent_id"))
+    val rankW = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine_sim").desc, col("id").asc)
+    assigned.join(probeLists, Seq("cent_id"))
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id"),
+        cosineFromScaled(dotScaled(col("q"), col("pq")),
+          col("n2"), col("pn2")).as("cosine_sim"))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("id"), col("cosine_sim"),
+        col("rk").cast(IntegerType).as("rk"))
+  }
+
   /** Explode a (quantized or raw) vector column into `m` contiguous
     * subvector rows: struct(sub, subv). Static unroll — the slice
     * positions are literals, so the explode is codegen'd. */
@@ -437,8 +500,20 @@ object Similarity {
     * partition-order independent. */
   def pqTopK(emb: DataFrame, probes: DataFrame, dim: Int,
       codebooks: DataFrame, m: Int = 4, k: Int = 10, shortlist: Int = 50,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqSearch(pqEncode(emb, dim, codebooks, m, idCol, vecCol), codebooks,
+      emb, probes, dim, m, k, shortlist, idCol, vecCol)
+
+  /** PQ index build: nearest codebook centroid per (vector, subspace)
+    * → m small codes per vector. This is the ONE corpus-sized pass of
+    * the PQ pipeline; persist its output (n·m rows of three ints —
+    * the classic PQ memory win) next to the codebooks and every later
+    * probe batch pays only [[pqSearch]]'s probe-side cost, exactly
+    * like the minhash signature index
+    * ([[graft.ops.Dedup.minhashIndex]]). */
+  def pqEncode(emb: DataFrame, dim: Int, codebooks: DataFrame,
+      m: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     // a codebook trained with a different m would silently slice the
     // vectors wrong — the subspace ids are the cheap cross-check
@@ -448,8 +523,7 @@ object Similarity {
     val cb = broadcast(codebooks
       .select(col("sub"), col("cent_id"), quantize(col("centroid")).as("cq"))
       .withColumn("cn2", dotScaled(col("cq"), col("cq"))))
-    // encode: nearest centroid per (vector, subspace) -> m codes
-    val enc = emb
+    emb
       .select(col(idCol).as("id"), subSlices(col(vecCol), dim, m).as("s"))
       .select(col("id"), col("s.sub").as("sub"),
         quantize(col("s.subv")).as("q"))
@@ -459,6 +533,26 @@ object Similarity {
       .groupBy(col("id"), col("sub"))
       .agg(max(struct(col("negd"), (-col("cent_id")).as("nci"))).as("m"))
       .select(col("id"), col("sub"), (-col("m.nci")).as("code"))
+  }
+
+  /** Steady-state PQ search over a PRE-ENCODED index (`codes`: the
+    * (id, sub, code) frame [[pqEncode]] emits, typically read back
+    * from parquet): per-probe LUT of exact partial dots, ADC scoring
+    * via the slim (sub, code) equi-join + hash agg, exact-cosine
+    * rerank of the `shortlist`. `emb` is consulted ONLY for the
+    * shortlist rerank (and the probe vectors) — the full-vector scan
+    * column-prunes to (id, vec), and the candidate set it joins
+    * against is shortlist-bounded. */
+  def pqSearch(codes: DataFrame, codebooks: DataFrame, emb: DataFrame,
+      probes: DataFrame, dim: Int, m: Int = 4, k: Int = 10,
+      shortlist: Int = 50, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val cb = broadcast(codebooks
+      .select(col("sub"), col("cent_id"), quantize(col("centroid")).as("cq"))
+      .withColumn("cn2", dotScaled(col("cq"), col("cq"))))
+    val enc = codes
     // per-probe LUT: exact partial dots against every codebook entry
     val lut = broadcast(probes
       .select(col(idCol).as("probe_id"), subSlices(col(vecCol), dim, m).as("s"))

@@ -32,11 +32,11 @@ import org.apache.spark.sql.types.LongType
   * (the whole point — no global sort for percentiles at 100 TB);
   * group digests are KB-sized arrays. KL is two keyed aggregates +
   * one vocab×source join (vocab-sized, partitionable). Common
-  * neighbors bounds the candidate space by sampling node pairs
-  * (sample² pairs, each one O(avg-degree) sorted intersection against
-  * a broadcast adjacency); full-graph link prediction would instead
-  * enumerate wedges — the same orientation-bounded stream as
-  * x9_triangles.
+  * neighbors enumerates WEDGES through shared neighbors (the same
+  * orientation-bounded stream as x9_triangles) restricted to sampled
+  * endpoints, so candidate pairs are Σ deg² -bounded and grow
+  * linearly with disjoint graph growth — see the query comment for
+  * the hub-cap (d_max) skew knob.
   */
 object Parity25 {
   type Q = (SparkSession, String) => DataFrame
@@ -104,31 +104,43 @@ object Parity25 {
           round(sum(col("p") * log2(col("p") / col("q"))), 8).as("kl"))
     },
     // ---- link prediction ------------------------------------------
+    // Shared-neighbor equi-join formulation (round-11): explode the
+    // SAMPLED adjacency (only rows whose endpoint is a sampled node),
+    // self-join on the shared neighbor w, group by the (u, v) pair —
+    // so only pairs with cn >= 1 ever materialize and the candidate
+    // stream is Σ_w deg_s(w)² -bounded (deg_s = w's SAMPLED degree),
+    // not |sample|²: disjoint growth (more nodes, same density) adds
+    // wedges linearly, where the old samp.crossJoin(samp) grew
+    // quadratically at a fixed sample rate (ScaleBench measures the
+    // ratio). At 100 TB the remaining skew knob is the wedge CENTER:
+    // a hub w with deg_s(w) ~ 10^5 alone contributes 10^10 wedge rows,
+    // so production runs cap centers at d_max (drop wedges through
+    // hubs above it — standard link-prediction practice: a shared
+    // mega-hub neighbor carries ~no signal, and the cap only ever
+    // UNDERcounts cn through those hubs). The harness query runs
+    // uncapped so the DuckDB oracle stays exact.
     "x9_common_neighbors" -> { (s, d) =>
       val pairs = Parity24.edges(s, d)
       val adjAll = pairs.select(col("u").as("node"), col("v").as("nb"))
         .unionAll(pairs.select(col("v").as("node"), col("u").as("nb")))
-      val adj = adjAll.groupBy(col("node"))
-        .agg(array_sort(collect_list(col("nb"))).as("nbrs"),
-          count(lit(1)).as("dg"))
-      val samp = adj.filter(
+      val deg = adjAll.groupBy(col("node")).agg(count(lit(1)).as("dg"))
+      val sampDeg = deg.filter(
         substring(md5(col("node").cast("string")), 1, 2) <= "0f")
-      // score BEFORE the anti-join so the wide adjacency arrays are
-      // dropped map-side (anti-joining first would shuffle them);
-      // the slim (u,v,cn) stream then anti-joins the broadcast edges
-      val scored = samp.select(col("node").as("u"), col("nbrs").as("nu"),
-          col("dg").as("du"))
-        .crossJoin(samp.select(col("node").as("v"), col("nbrs").as("nv"),
-          col("dg").as("dv")))
+      // adjacency restricted to sampled endpoints (node-count-sized
+      // sample list — broadcast semi-join keeps the restrict map-side)
+      val sadj = adjAll.join(broadcast(sampDeg.select(col("node"))),
+        Seq("node"), "left_semi")
+      val wedges = sadj.select(col("node").as("u"), col("nb"))
+        .join(sadj.select(col("node").as("v"), col("nb")), Seq("nb"))
         .filter(col("u") < col("v"))
-        .select(col("u"), col("v"),
-          graft.functions.IntersectCountSorted.intersect_count_sorted(
-            col("nu"), col("nv")).as("cn"),
-          col("du"), col("dv"))
-        .filter(col("cn") >= 1)
-      scored
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+      wedges
         // non-adjacent pairs only (true link-prediction candidates)
         .join(broadcast(pairs), Seq("u", "v"), "left_anti")
+        .join(broadcast(sampDeg.select(col("node").as("u"),
+          col("dg").as("du"))), Seq("u"))
+        .join(broadcast(sampDeg.select(col("node").as("v"),
+          col("dg").as("dv"))), Seq("v"))
         .select(col("u"), col("v"), col("cn"),
           round(col("cn").cast("double") /
             (col("du") + col("dv") - col("cn")).cast("double"), 10)

@@ -32,6 +32,33 @@ class Parity24Spec extends AnyFunSuite {
     assert(out.count() == 0L, "a path has no 2-core")
   }
 
+  test("kcorePeelMsg: message-form peel == broadcast peel " +
+      "(planted graphs + sf0.001 corpus)") {
+    def msgForm(es: Seq[(Long, Long)], k: Int, rounds: Int) = {
+      val pairs = edgeDf(es)
+      val adj = pairs.select(col("u").as("node"), col("v").as("nbr"))
+        .unionAll(pairs.select(col("v").as("node"), col("u").as("nbr")))
+      graft.ops.Connect.kcorePeelMsg(adj, k, rounds)
+        .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("dg")).toMap
+    }
+    val clique = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    assert(msgForm(clique, 3, 6) ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(msgForm(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), 2, 6).isEmpty,
+      "a path has no 2-core")
+    // real corpus: identical survivors and degrees to the broadcast arm
+    val sf = "/root/testdata/sf0.001"
+    val pairs = graft.queries.Parity24.edges(spark, sf)
+    val adj = pairs.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(pairs.select(col("v").as("node"), col("u").as("nbr")))
+    val bc = graft.queries.Parity24.kcorePeel(pairs, 80, 6)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("dg")).toMap
+    val msg = graft.ops.Connect.kcorePeelMsg(adj, 80, 6)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("dg")).toMap
+    assert(msg == bc, s"msg-form (${msg.size}) != broadcast (${bc.size})")
+  }
+
   test("x9_kcore: sf0.001 output is a fixpoint (one more round = no change)") {
     val sf = "/root/testdata/sf0.001"
     val r6 = graft.queries.Parity24.queries("x9_kcore")(spark, sf)

@@ -164,4 +164,24 @@ class RecallSpec extends AnyFunSuite {
     assert(trained >= seeded - 1e-9,
       "k-means training must not lose recall vs naive seeding")
   }
+
+  test("x3_knn_graph_ann: FULL-graph recall@3 vs exact graph >= 0.8 " +
+      "at sf0.01 (harness params)") {
+    val emb = Tables.embeddings(spark, sf)
+    // truth: every vector's exact global top-3 (not label-blocked —
+    // the ANN graph searches the whole corpus)
+    val truth = Similarity.exactTopK(emb, emb, k = 3)
+      .select("probe_id", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val cents = Similarity.kmeansCentroids(emb, k = 8, iters = 3)
+    val got = Similarity.ivfKnnGraph(emb, k = 3, nLists = 8, nProbe = 6,
+        centroids = Some(cents))
+      .select("probe_id", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(got.size == truth.size,
+      s"ANN graph covers ${got.size} vectors, exact graph ${truth.size}")
+    val recall = recallAtK(got, truth, 3)
+    info(f"ANN kNN graph full recall@3 = $recall%.3f over ${truth.size} vectors")
+    assert(recall >= 0.8, f"graph recall@3 $recall%.3f < 0.8")
+  }
 }
