@@ -175,6 +175,8 @@ case class TDigestMergeAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  private val compressAt = 16 * delta // accumulated-centroid high-water mark
+
   override def createAggregationBuffer(): ArrayBuffer[Double] =
     new ArrayBuffer[Double]
 
@@ -187,7 +189,13 @@ case class TDigestMergeAgg(
       var i = 0
       val n = arr.numElements()
       while (i < n) { buf += arr.getDouble(i); i += 1 }
-      TDigestOps.compress(buf, delta)
+      // accumulate incoming centroids and compress only past the
+      // high-water mark (mirroring TDigestAgg) — an O(n log n) sort
+      // per input digest would make unioning many small digests
+      // quadratic in total centroid count; eval/serialize still
+      // compress once at the end
+      if (buf.length >= 2 * compressAt) TDigestOps.compress(buf, delta)
+      else buf
     }
   }
 

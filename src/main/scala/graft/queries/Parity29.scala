@@ -51,7 +51,14 @@ object Parity29 {
           filter(col("mg"), e => e.getField("item") === col("tok"))
             .as("hit"), col("n"))
         .select(col("tok"), col("exact_cnt"),
-          (size(col("hit")) === 1).as("in_sketch"),
+          // Misra-Gries guarantees presence only for items with
+          // frequency > n/(k+1) — a top-3 token at or under that
+          // threshold may legitimately be evicted, so the presence
+          // assertion is guarded by the same bound the sketch
+          // promises (vacuously true below it); err_in_bound stays
+          // the unconditional check
+          ((size(col("hit")) === 1) ||
+            (col("exact_cnt") <= col("n") / (MgK + 1))).as("in_sketch"),
           (abs(coalesce(element_at(col("hit"), 1).getField("cnt"), lit(0L)) -
             col("exact_cnt")) <= col("n") / (MgK + 1)).as("err_in_bound"))
     },
