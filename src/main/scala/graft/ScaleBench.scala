@@ -145,7 +145,17 @@ object ScaleBench {
       math.min(time(name, d), time(name, d))
     // optional comma-separated filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
-    val rows = Subset.filter(n => only.forall(_.contains(n))).map { name =>
+    // optional planted-block filter: SPARK_GRAFT_SCALE_BLOCKS=
+    // knn_graph,kcore_arms runs just those blocks (and, unless
+    // SPARK_GRAFT_SCALE_ONLY is also set, skips the Subset rows)
+    val blocks =
+      sys.env.get("SPARK_GRAFT_SCALE_BLOCKS").map(_.split(",").toSet)
+    def blockOn(name: String): Boolean =
+      blocks.map(_.contains(name)).getOrElse(only.isEmpty)
+    val rowNames =
+      if (blocks.nonEmpty && only.isEmpty) Seq.empty[String]
+      else Subset.filter(n => only.forall(_.contains(n)))
+    val rows = rowNames.map { name =>
       val t1 = best(name, tiers(0)._2)
       val t10 = best(name, tiers(1)._2)
       val t100 = if (SkipAt100(name)) -1.0 else best(name, tiers(2)._2)
@@ -158,14 +168,15 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     System.err.println(s"[scalebench] $json")
     // the planted-fixture experiments below are skipped under the
-    // SPARK_GRAFT_SCALE_ONLY iteration filter
-    if (only.isEmpty) {
+    // SPARK_GRAFT_SCALE_ONLY iteration filter (unless requested via
+    // SPARK_GRAFT_SCALE_BLOCKS)
+    if (only.isEmpty || blocks.nonEmpty) {
       // CC round-count shape on a planted deep chain (diameter 127):
       // min-label walks the diameter — one join+agg round per hop —
       // while large-star/small-star contracts paths exponentially.
       // At a billion-edge graph with long chains this is the difference
       // between hundreds of shuffle rounds and ~ten.
-      locally {
+      if (blockOn("cc_chain")) locally {
         import spark.implicits._
         val chain = (1L until 128L).map(i => (i, i + 1)).toDF("s", "t")
         def timed[A](f: => A): (A, Double) = {
@@ -196,7 +207,7 @@ object ScaleBench {
       // decade (~31.6x), sub-quadratic. Exact runs 1x/10x only
       // (single pass — at 10x it is already the quadratic lesson);
       // ANN runs 1x/10x/100x min-of-2.
-      locally {
+      if (blockOn("knn_graph")) locally {
         def knnExact(dir: String): Double = {
           val t0 = System.nanoTime()
           SparkEntry.queries("x3_knn_graph")(spark, dir)
@@ -240,7 +251,7 @@ object ScaleBench {
       // SCALE.md records it. Edge derivation (the basket explode) is
       // prepped to parquet untimed — it is identical work for every
       // arm; the bucketed write is untimed layout investment.
-      locally {
+      if (blockOn("kcore_arms")) locally {
         import graft.queries.Parity24
         def noopSave(df: DataFrame): Unit =
           df.write.format("noop").mode("overwrite").save()
@@ -279,7 +290,7 @@ object ScaleBench {
       // distinct input grows with the tier (user_id is shared across
       // replicas and would collapse under distinct); the estimator
       // shape is exactly the query's.
-      locally {
+      if (blockOn("kmv_cut")) locally {
         val k = 64
         def kmvCut(dir: String, heap: Boolean): Unit = {
           val hashed = spark.read.parquet(s"$dir/events.parquet")
@@ -330,7 +341,7 @@ object ScaleBench {
       // loop has. (10x top tier only: replication clones every doc and
       // pair joins grow quadratically in clone multiplicity — same
       // artifact as x2_minhash_lsh's SkipAt100.)
-      locally {
+      if (blockOn("mh_incr")) locally {
         def timed(f: => Long): (Long, Double) = {
           val t0 = System.nanoTime(); val n = f
           (n, (System.nanoTime() - t0) / 1e9)
@@ -386,7 +397,7 @@ object ScaleBench {
       // collisions — not the accumulated corpus. The per-batch ms/row is
       // also the measured per-key state-store overhead that motivated
       // the occupancy prune in the x2_stream_neardup batch replay.
-      locally {
+      if (blockOn("stream_state")) locally {
         import org.apache.spark.sql.streaming.Trigger
         val prevProvider =
           spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
@@ -451,7 +462,7 @@ object ScaleBench {
       }
 
       val c100 = rows.filter(_._4 > 0)
-      println(f"""{"metric":"scaleup","x1_total":${rows.map(_._2).sum}%.2f,""" +
+      if (rows.nonEmpty) println(f"""{"metric":"scaleup","x1_total":${rows.map(_._2).sum}%.2f,""" +
         f""""x10_total":${rows.map(_._3).sum}%.2f,""" +
         f""""x100_total":${c100.map(_._4).sum}%.2f,""" +
         f""""r100_over_r10":${c100.map(_._4).sum / c100.map(_._3).sum}%.2f,""" +

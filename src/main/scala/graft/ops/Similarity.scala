@@ -396,15 +396,23 @@ object Similarity {
       .filter(col("prk") <= nProbe)
       .select(col("id").as("probe_id"), col("q").as("pq"),
         col("n2").as("pn2"), col("cent_id"))
-    val rankW = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine_sim").desc, col("id").asc)
-    assigned.join(probeLists, Seq("cent_id"))
+    // candidate stream is n · nProbe · listSize scored pairs — far
+    // larger than the n·k survivors. Two-phase bounded-heap top-k
+    // (graft.plans.TopKPerKey) caps the exchange at k rows per
+    // (probe, map partition); the rank window then runs over the
+    // n·k-sized result, never the candidate stream. Cosines are
+    // exact-integer-derived, so the two-phase reduction is
+    // deterministic (total order via the id tie-break).
+    val scored = assigned.join(probeLists, Seq("cent_id"))
       .filter(col("id") =!= col("probe_id"))
       .select(col("probe_id"), col("id"),
         cosineFromScaled(dotScaled(col("q"), col("pq")),
           col("n2"), col("pn2")).as("cosine_sim"))
-      .withColumn("rk", row_number().over(rankW))
-      .filter(col("rk") <= k)
+    val top = graft.plans.TopKPerKey.topKPerKeyTwoPhase(scored,
+      Seq("probe_id"), Seq(("cosine_sim", true), ("id", false)), k)
+    val rankW = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine_sim").desc, col("id").asc)
+    top.withColumn("rk", row_number().over(rankW))
       .select(col("probe_id"), col("id"), col("cosine_sim"),
         col("rk").cast(IntegerType).as("rk"))
   }

@@ -39,12 +39,59 @@ case class TopKPerKeyExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
 
-  override protected def doExecute(): RDD[InternalRow] = {
-    val childOutput = child.output
-    val keyExprs = keys
-    val sortOrder = order
-    val kk = k
-    child.execute().mapPartitions({ it =>
+  override protected def doExecute(): RDD[InternalRow] =
+    TopKPerKey.heapPass(child.execute(), child.output, keys, order, k)
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
+    copy(child = c)
+}
+
+/** Map-side PARTIAL top-k: the same bounded-heap pass with NO
+  * required distribution, run BEFORE any key exchange. Each input
+  * partition independently keeps at most k rows per key, so a
+  * following [[TopKPerKeyNode]] (or rank window) shuffles at most
+  * k · (partitions a key appears in) rows per key instead of the
+  * full candidate stream — the classic two-phase top-k combiner
+  * (correct because a row outside its partition's per-key top-k can
+  * never be in the global top-k). */
+case class TopKPerKeyPartialNode(
+    keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(
+      c: LogicalPlan): TopKPerKeyPartialNode = copy(child = c)
+}
+
+case class TopKPerKeyPartialExec(
+    keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override protected def doExecute(): RDD[InternalRow] =
+    TopKPerKey.heapPass(child.execute(), child.output, keys, order, k)
+
+  override protected def withNewChildInternal(
+      c: SparkPlan): TopKPerKeyPartialExec = copy(child = c)
+}
+
+object TopKStrategy extends org.apache.spark.sql.classic.Strategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case TopKPerKeyPartialNode(keys, order, k, child) =>
+      TopKPerKeyPartialExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerKey {
+  /** Shared bounded-heap pass: at most k rows per key per input
+    * partition, O(n log k), O(keys·k) memory. */
+  private[plans] def heapPass(rdd: RDD[InternalRow],
+      childOutput: Seq[Attribute], keyExprs: Seq[Expression],
+      sortOrder: Seq[SortOrder], kk: Int): RDD[InternalRow] =
+    rdd.mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord = new InterpretedOrdering(sortOrder, childOutput)
       // heap head = worst kept row (reverse of the target ordering)
@@ -73,28 +120,10 @@ case class TopKPerKeyExec(
       heaps.values().asScala.iterator
         .flatMap(_.iterator().asScala)
     }, preservesPartitioning = true)
-  }
 
-  override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
-    copy(child = c)
-}
-
-object TopKStrategy extends org.apache.spark.sql.classic.Strategy {
-  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
-    case _ => Nil
-  }
-}
-
-object TopKPerKey {
-  /** Public API: top-k rows per key, ranked lexicographically by
-    * `orderKeys` — (columnName, descending) pairs; include a
-    * tie-breaker column for determinism. SortOrders are built from
-    * plan attributes directly (Column-derived SortOrder nodes carry
-    * non-serializable column-node origins). */
-  def topKPerKey(df: DataFrame, keyCols: Seq[String],
-      orderKeys: Seq[(String, Boolean)], k: Int): DataFrame = {
+  private def planFor(df: DataFrame, keyCols: Seq[String],
+      orderKeys: Seq[(String, Boolean)])
+      : (LogicalPlan, Seq[Expression], Seq[SortOrder]) = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies =
@@ -110,7 +139,32 @@ object TopKPerKey {
         if (desc) org.apache.spark.sql.catalyst.expressions.Descending
         else Ascending)
     }
-    org.apache.spark.sql.graft.Bridge.ofRows(spark,
+    (plan, keyExprs, sortOrder)
+  }
+
+  /** Public API: top-k rows per key, ranked lexicographically by
+    * `orderKeys` — (columnName, descending) pairs; include a
+    * tie-breaker column for determinism. SortOrders are built from
+    * plan attributes directly (Column-derived SortOrder nodes carry
+    * non-serializable column-node origins). */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String],
+      orderKeys: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val (plan, keyExprs, sortOrder) = planFor(df, keyCols, orderKeys)
+    org.apache.spark.sql.graft.Bridge.ofRows(df.sparkSession,
       TopKPerKeyNode(keyExprs, sortOrder, k, plan))
+  }
+
+  /** Two-phase top-k: a map-side partial pass (no exchange; caps the
+    * stream at k rows per key per partition) feeding the exact keyed
+    * pass (one exchange over the capped stream). Use when the
+    * candidate stream is much larger than keys·k — e.g. ANN candidate
+    * generation, where the join emits O(n · listSize) scored pairs
+    * but only keys·k survive. */
+  def topKPerKeyTwoPhase(df: DataFrame, keyCols: Seq[String],
+      orderKeys: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val (plan, keyExprs, sortOrder) = planFor(df, keyCols, orderKeys)
+    val partial = org.apache.spark.sql.graft.Bridge.ofRows(df.sparkSession,
+      TopKPerKeyPartialNode(keyExprs, sortOrder, k, plan))
+    topKPerKey(partial, keyCols, orderKeys, k)
   }
 }

@@ -35,6 +35,27 @@ class TopKSpec extends AnyFunSuite {
     assert(custom.count() == nation.count())
   }
 
+  test("two-phase top-k == window formulation; partial pass caps " +
+      "pre-exchange rows") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+      .repartition(7) // several map partitions so the partial pass matters
+    val custom = TopKPerKey.topKPerKeyTwoPhase(orders, Seq("o_custkey"),
+      Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+    val builtin = windowTopK(orders, "o_custkey",
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+    assert(custom.count() == builtin.count())
+    assert(custom.exceptAll(builtin).count() == 0)
+    assert(builtin.exceptAll(custom).count() == 0)
+    // both heap passes present (partial BELOW the key exchange),
+    // still no sort/window
+    val plan = custom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyPartial"))
+    assert(plan.replace("TopKPerKeyPartial", "").contains("TopKPerKey"))
+    assert(plan.indexOf("TopKPerKeyPartial") > plan.indexOf("Exchange hash"),
+      "partial pass must sit below the key exchange")
+    assert(!plan.contains("WindowExec") && !plan.toLowerCase.contains("sortexec"))
+  }
+
   test("plan contains the custom exec and a single exchange") {
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
     val custom = TopKPerKey.topKPerKey(orders, Seq("o_custkey"),
