@@ -229,12 +229,18 @@ object ScaleBench {
         }
         val ex1 = knnExact("target/sf01rw")
         val ex10 = knnExact("target/sf1")
+        // the quadratic only BITES at the 100x tier: at 10x the 20 M
+        // blocked pairs are still one dense compute burst (~1 G long
+        // mult-adds over 32 cores), so x1/x10 sit at the job floor —
+        // the 100x point (2 G pairs) is where the slopes separate
+        val ex100 = knnExact("target/sf10")
         val an1 = knnAnn("target/sf01rw", 8)
         val an10 = knnAnn("target/sf1", 25)
         val an100 = knnAnn("target/sf10", 80)
         System.err.println(
           f"""[scalebench] {"knn_graph":{"exact_x1":$ex1%.2f,""" +
-            f""""exact_x10":$ex10%.2f,"exact_r10":${ex10 / ex1}%.2f,""" +
+            f""""exact_x10":$ex10%.2f,"exact_x100":$ex100%.2f,""" +
+            f""""exact_r100":${ex100 / ex10}%.2f,""" +
             f""""ann_x1":$an1%.2f,"ann_x10":$an10%.2f,""" +
             f""""ann_x100":$an100%.2f,"ann_r10":${an10 / an1}%.2f,""" +
             f""""ann_r100":${an100 / an10}%.2f}}""")

@@ -134,9 +134,20 @@ object Parity25 {
         .join(sadj.select(col("node").as("v"), col("nb")), Seq("nb"))
         .filter(col("u") < col("v"))
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+      // the adjacency anti-join only has to remove SAMPLED-endpoint
+      // edges (wedge pairs are sampled by construction), so restrict
+      // the edge list to both-endpoints-sampled first — sample²-
+      // bounded and broadcastable at any corpus size, where the full
+      // edge list is not (a broadcast(pairs) hint here collected the
+      // 100×-tier edge list to the driver and died on maxResultSize)
+      val sampledEdges = pairs
+        .join(broadcast(sampDeg.select(col("node").as("u"))),
+          Seq("u"), "left_semi")
+        .join(broadcast(sampDeg.select(col("node").as("v"))),
+          Seq("v"), "left_semi")
       wedges
         // non-adjacent pairs only (true link-prediction candidates)
-        .join(broadcast(pairs), Seq("u", "v"), "left_anti")
+        .join(broadcast(sampledEdges), Seq("u", "v"), "left_anti")
         .join(broadcast(sampDeg.select(col("node").as("u"),
           col("dg").as("du"))), Seq("u"))
         .join(broadcast(sampDeg.select(col("node").as("v"),
