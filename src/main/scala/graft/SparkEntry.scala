@@ -50,6 +50,7 @@ object SparkEntry {
       graft.queries.Parity31.queries ++
       graft.queries.Parity32.queries ++
       graft.queries.Parity33.queries ++
+      graft.queries.Parity34.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -89,5 +90,6 @@ object SparkEntry {
       graft.queries.Parity31.oracles ++
       graft.queries.Parity32.oracles ++
       graft.queries.Parity33.oracles ++
+      graft.queries.Parity34.oracles ++
       graft.queries.ExtQueries.oracles
 }
