@@ -107,7 +107,15 @@ object ScaleBench {
     // disjoint replication adds wedges linearly — the old
     // (md5-sample)² crossJoin grew quadratically at a fixed sample
     // rate and was deliberately absent.
-    "x9_triangles", "x9_kcore", "x9_common_neighbors")
+    "x9_triangles", "x9_kcore", "x9_common_neighbors",
+    // round-11 batch 2/3: the HLL registers and the per-file blooms
+    // are fixed-size metadata by construction (64 rows; files×words)
+    // — the claim worth measuring is that only the SCAN grows; the
+    // retention triangle's output is (cohorts × offsets)-bounded
+    // while its distinct relation grows with events. x2_lsh_scurve is
+    // deliberately absent: it rides the same all-pairs join as
+    // x2_minhash_lsh and inherits its clone-replication artifact.
+    "x6_hll_poly", "x5_retention_cohorts", "x8_bloom_prune")
   private val SkipAt100 = Set("x2_minhash_lsh")
 
   def main(args: Array[String]): Unit = {

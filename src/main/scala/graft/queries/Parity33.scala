@@ -44,24 +44,10 @@ import org.apache.spark.sql.functions._
 object Parity33 {
   type Q = (SparkSession, String) => DataFrame
 
-  private val HllM = 64
-  /** 54-bit suffix width: polyHash60 is 60 bits, top 6 pick the
-    * register. */
-  private val SufBits = 54
+  private val HllM = graft.ops.Hll.M
+  private val SufBits = graft.ops.Hll.SufBits
   private val NsPerDay = 86400L * 1000000000L
   private val Lags = Seq(1, 2, 3)
-
-  /** Mirrored HLL estimate chain from the exact scaled register sum
-    * `s` (= Σ 2^(55−M_j) as BIGINT) and zero-register count `v`:
-    * raw = alpha_m · m² · 2^55 / s, linear counting below 2.5m. */
-  private def hllEst(s: Column, v: Column): Column = {
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(HllM.toDouble))
-    val raw = alpha * lit(HllM.toDouble) * lit(HllM.toDouble) *
-      pow(lit(2.0), lit((SufBits + 1).toDouble)) / s.cast("double")
-    when(raw <= lit(2.5 * HllM) && v > 0,
-      lit(HllM.toDouble) * log(lit(HllM.toDouble) / v.cast("double")))
-      .otherwise(raw)
-  }
 
   val queries: Map[String, Q] = Map(
     // ---- oracle-replayable HyperLogLog -----------------------------
@@ -70,29 +56,13 @@ object Parity33 {
     // branch, the event-id set (≫ 2.5m) in the raw alpha·m²/S branch.
     "x6_hll_poly" -> { (s, d) =>
       def hll(vals: DataFrame, scope: String): DataFrame = {
-        val hashed = vals.select(TextOps.polyHash60(col("sval")).as("h"))
-          .select(shiftright(col("h"), SufBits).as("j"),
-            col("h").bitwiseAND(lit((1L << SufBits) - 1)).as("suf"))
-          // rho = leading zeros within the 54-bit suffix + 1
-          //     = 55 - bitlength(suf); all-zero suffix -> 55
-          .select(col("j"),
-            when(col("suf") === 0L, lit(SufBits + 1))
-              .otherwise(lit(SufBits + 1) - length(bin(col("suf"))))
-              .as("rho"))
-        val regs = hashed.groupBy(col("j")).agg(max(col("rho")).as("m"))
-        // dense 0..m-1 register grid: untouched registers carry M = 0
-        val grid = s.range(HllM).select(col("id").as("j"))
-        val full = grid.join(regs, Seq("j"), "left")
-          .select(coalesce(col("m"), lit(0L)).as("m"))
-        val folded = full.agg(
-          sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
-            s"CAST(${SufBits + 1} - m AS INT))")).as("s_scaled"),
-          sum(when(col("m") === 0L, 1L).otherwise(0L)).as("v_zero"))
+        val est = graft.ops.Hll.estimate(s,
+          graft.ops.Hll.registers(vals))
         val exact = vals.agg(countDistinct(col("sval")).as("n_exact"))
-        folded.crossJoin(exact)
+        est.crossJoin(exact)
           .select(lit(scope).as("scope"), lit(HllM.toLong).as("m"),
             col("n_exact"), col("v_zero"), col("s_scaled"),
-            round(hllEst(col("s_scaled"), col("v_zero")), 6).as("est"))
+            round(col("est"), 6).as("est"))
       }
       val toks = documents(s, d)
         .select(explode(TextOps.tokens(lower(col("text")))).as("sval"))

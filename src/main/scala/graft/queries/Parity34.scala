@@ -48,7 +48,8 @@ object Parity34 {
 
   /** File model shared with x8_zonemap_prune / x8_overlap_depth. */
   private val FileKeys = 1024L
-  /** Probe stride: every 211th part key (10 probes at sf0.01). */
+  /** Probe stride + cap: the 10 smallest part keys at every 211th —
+    * a fixed probe BATCH at any corpus size. */
   private val ProbeMod = 211L
   /** Bloom geometry: 144 sparse 63-bit words = 9072 slots, k = 2. */
   private val BloomWords = 144
@@ -84,8 +85,14 @@ object Parity34 {
           (col("p") % 63).cast("int").as("bit"))
         .groupBy(col("file_id"), col("word"))
         .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
+      // the probe set is a FIXED batch (the 10 smallest matching
+      // keys), not corpus-proportional: a planner answers per probe,
+      // and letting probes scale with the corpus made the verdict
+      // grid itself quadratic (files × probes both growing — measured
+      // 200 s at the 100× tier from 139 M output rows alone)
       val probePos = part(s, d)
         .filter(col("p_partkey") % ProbeMod === 0)
+        .orderBy(col("p_partkey")).limit(10)
         .select(col("p_partkey").as("probe_key"),
           posexplode(positions(col("p_partkey"))).as(Seq("k_idx", "p")))
         .select(col("probe_key"), col("k_idx"),
@@ -149,7 +156,8 @@ object Parity34 {
            FROM pos GROUP BY file_id, p // 63),
          probes AS (SELECT p_partkey AS probe_key,
              ${hx15("CAST(p_partkey AS VARCHAR)")} AS h
-           FROM part WHERE p_partkey % $ProbeMod = 0),
+           FROM part WHERE p_partkey % $ProbeMod = 0
+           ORDER BY p_partkey LIMIT 10),
          ppos AS (SELECT probe_key, k_idx,
              CASE WHEN k_idx = 0 THEN h % $m ELSE (h // 2048) % $m END AS p
            FROM probes CROSS JOIN (SELECT unnest([0, 1]) AS k_idx)),

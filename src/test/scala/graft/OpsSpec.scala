@@ -544,4 +544,32 @@ class OpsSpec extends AnyFunSuite {
         s"$t: est $e vs exact $x (3-sigma KMV bound)")
     }
   }
+
+  test("Hll: per-source register sets merge to the whole-corpus sketch " +
+      "(persist-then-merge contract); estimate inside the error band") {
+    import graft.ops.Hll
+    val d = "/root/testdata/sf0.001"
+    val toks = Tables.documents(spark, d)
+      .select(col("source"),
+        explode(graft.ops.TextOps.tokens(lower(col("text")))).as("sval"))
+    val sources = toks.select("source").distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(sources.size >= 2, "need a real split to test the merge")
+    val perSource = sources.map(src =>
+      Hll.registers(toks.filter(col("source") === src).select("sval")))
+    val merged = Hll.merge(perSource)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val global = Hll.registers(toks.select("sval"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == global,
+      s"merged registers (${merged.size}) != global (${global.size})")
+    // the estimate over a >> 2.5m set stays inside 3 * 1.04/sqrt(m)
+    val ids = Tables.events(spark, d)
+      .select(col("event_id").cast("string").as("sval"))
+    val est = Hll.estimate(spark, Hll.registers(ids))
+      .collect()(0).getAs[Double]("est")
+    val exact = ids.distinct().count().toDouble
+    assert(math.abs(est - exact) / exact <= 3 * 1.04 / math.sqrt(Hll.M),
+      s"HLL est $est vs exact $exact outside the 3-sigma band")
+  }
 }

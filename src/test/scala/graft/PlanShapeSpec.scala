@@ -250,4 +250,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_tdigest") || p.contains("partial_graft_tdigest"),
       "t-digest must combine map-side (mergeable-sketch contract):\n" + p)
   }
+
+  test("x3_knn_graph_ann: candidate reduction is the two-phase bounded " +
+      "heap, partial below the probe exchange") {
+    val p = planOf("x3_knn_graph_ann")
+    assert(p.contains("TopKPerKeyPartial"),
+      "ANN graph must cap candidates map-side before the exchange:\n" + p)
+    assert(p.replace("TopKPerKeyPartial", "").contains("TopKPerKey"),
+      "the exact keyed top-k pass must follow the partial:\n" + p)
+  }
+
+  test("x6_hll_poly: register maxima aggregate partially (mergeable-" +
+      "sketch contract) and the register grid never exceeds m rows") {
+    val p = planOf("x6_hll_poly")
+    // groupBy(j).max(rho) must combine map-side: two HashAggregates
+    // around an Exchange, the sketch-merge shape
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && p.indexOf("HashAggregate", firstAgg + 1) >= 0,
+      "register maxima must partial-aggregate:\n" + p)
+  }
+
+  test("x8_bloom_prune: probe side broadcasts; the bloom build is a " +
+      "keyed bit_or aggregate, never a join per probe") {
+    val p = planOf("x8_bloom_prune")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "probe positions are metadata-sized and must broadcast:\n" + p)
+    assert(p.contains("bit_or"), p)
+  }
 }
