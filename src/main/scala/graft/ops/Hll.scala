@@ -52,6 +52,44 @@ object Hll {
   def merge(regs: Seq[DataFrame]): DataFrame =
     regs.reduce(_ unionAll _).groupBy(col("j")).agg(max(col("m")).as("m"))
 
+  /** Per-group sparse register sets — (groupCols..., j, m), ≤ 64 rows
+    * per group. The persisted per-partition form of the sketch: one
+    * row group per source/day, merged downstream by [[mergeBy]]. */
+  def registersBy(vals: DataFrame, by: Seq[String],
+      valCol: String = "sval"): DataFrame =
+    vals.select(by.map(col) :+ TextOps.polyHash60(col(valCol)).as("h"): _*)
+      .select(by.map(col) ++ Seq(
+        shiftright(col("h"), SufBits).as("j"),
+        col("h").bitwiseAND(lit((1L << SufBits) - 1)).as("suf")): _*)
+      .select(by.map(col) ++ Seq(col("j"),
+        when(col("suf") === 0L, lit(SufBits + 1))
+          .otherwise(lit(SufBits + 1) - length(bin(col("suf"))))
+          .cast("long").as("rho")): _*)
+      .groupBy(by.map(col) :+ col("j"): _*).agg(max(col("rho")).as("m"))
+
+  /** Collapse grouped register sets to the union sketch — the merge
+    * side of the persist-then-merge contract, as one keyed max. */
+  def mergeBy(regs: DataFrame): DataFrame =
+    regs.groupBy(col("j")).agg(max(col("m")).as("m"))
+
+  /** Per-group (groupCols..., v_zero, s_scaled, est) from grouped
+    * register sets: densify each group over the 0..m−1 grid, fold,
+    * estimate. The grid join is (groups × 64)-sized metadata. */
+  def estimateBy(spark: SparkSession, regs: DataFrame,
+      by: Seq[String]): DataFrame = {
+    val grid = regs.select(by.map(col): _*).distinct()
+      .crossJoin(spark.range(M).select(col("id").as("j")))
+    grid.join(regs, by :+ "j", "left")
+      .select(by.map(col) :+ coalesce(col("m"), lit(0L)).as("m"): _*)
+      .groupBy(by.map(col): _*)
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(${SufBits + 1} - m AS INT))")).as("s_scaled"),
+        sum(when(col("m") === 0L, 1L).otherwise(0L)).as("v_zero"))
+      .select(by.map(col) ++ Seq(col("v_zero"), col("s_scaled"),
+        estimateCol(col("s_scaled"), col("v_zero")).as("est")): _*)
+  }
+
   /** Mirrored estimate chain from the exact scaled register sum and
     * zero-register count: raw = alpha_m · m² · 2^55 / S with the
     * standard V>0 linear-counting branch below 2.5m. */
