@@ -292,7 +292,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("stream-stream interval join matches the batch join") {
     import org.apache.spark.sql.streaming.Trigger
-    val srcDir = s"$fx/ssj_src"
+    val srcDir = s"$fx/ssj_src_${System.nanoTime()}"
     Files.createDirectories(Paths.get(srcDir))
     val tgt = Paths.get(s"$srcDir/events.parquet")
     if (!Files.exists(tgt))
@@ -533,5 +533,52 @@ class StreamingSpec extends AnyFunSuite {
       assert(math.abs(rank - 0.5) <= 0.03,
         s"$et: streaming digest p50=$p50 rank=$rank")
     }
+  }
+
+  test("stream-stream attribution join == batch join (inner); outer " +
+      "emits matched rows identically") {
+    import graft.streaming.StreamJoin
+    val srcDir = s"$fx/ssj_src_${System.nanoTime()}"
+    Files.createDirectories(Paths.get(srcDir))
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$srcDir/events.parquet"))
+    val schema = spark.read.parquet(srcDir).schema
+    def streams() = {
+      val st = Tables.withTsNs(
+        spark.readStream.schema(schema).parquet(srcDir))
+      (st.filter(col("event_type") === "click"),
+        st.filter(col("event_type") === "view"))
+    }
+    def run(outer: Boolean): org.apache.spark.sql.DataFrame = {
+      val (c, i) = streams()
+      val name = s"ssj_${if (outer) "o" else "i"}_${System.nanoTime()}"
+      val q = StreamJoin.attribute(c, i, outer = outer)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    }
+    val ev = Tables.eventsNs(spark, "/root/testdata/sf0.001")
+    val batch = StreamJoin.attribute(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "view"))
+    val streamedInner = run(outer = false)
+    assert(streamedInner.count() > 0)
+    assert(streamedInner.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamedInner).count() == 0,
+      "inner stream-stream join must emit exactly the batch matches")
+    // leftOuter: matched rows must be identical; null rows (if the
+    // final watermark released any) must be clicks truly unmatched in
+    // batch — never a spurious null for a matched click
+    val streamedOuter = run(outer = true)
+    val matched = streamedOuter.filter(col("imp_id").isNotNull)
+    assert(matched.exceptAll(batch).count() == 0)
+    val nullClicks = streamedOuter.filter(col("imp_id").isNull)
+      .select("click_id")
+    val batchMatchedClicks = batch.select("click_id").distinct()
+    assert(nullClicks.join(batchMatchedClicks, Seq("click_id"),
+      "left_semi").count() == 0,
+      "no outer-null row for a click that has an in-window impression")
   }
 }
