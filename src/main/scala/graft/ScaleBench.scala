@@ -115,7 +115,14 @@ object ScaleBench {
     // while its distinct relation grows with events. x2_lsh_scurve is
     // deliberately absent: it rides the same all-pairs join as
     // x2_minhash_lsh and inherits its clone-replication artifact.
-    "x6_hll_poly", "x5_retention_cohorts", "x8_bloom_prune")
+    "x6_hll_poly", "x5_retention_cohorts", "x8_bloom_prune",
+    // round-11 batch 4/5: LPA is pagerank-shaped (per-round broadcast
+    // label vector + one keyed vote shuffle — linear expectation);
+    // link prediction rides the Σ deg²-bounded wedge stream (disjoint
+    // replication adds wedges linearly, same claim as
+    // x9_common_neighbors); the skew audit is one map-side-combined
+    // grouped count per candidate — pure scan+agg scaling.
+    "x9_label_prop", "x9_link_predict", "x8_skew_audit")
   private val SkipAt100 = Set("x2_minhash_lsh")
 
   def main(args: Array[String]): Unit = {
