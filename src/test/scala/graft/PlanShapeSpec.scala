@@ -277,4 +277,37 @@ class PlanShapeSpec extends AnyFunSuite {
       "probe positions are metadata-sized and must broadcast:\n" + p)
     assert(p.contains("bit_or"), p)
   }
+
+  test("x9_label_prop: per-round argmax is a hash aggregate, never a " +
+      "window sort over the vote relation") {
+    val p = planOf("x9_label_prop")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
+      "LPA argmax must not plan a window sort (the 37x-at-100x " +
+        "regression this replaced):\n" + p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("x4_pmi_cooc: unigram and bigram counts partial-aggregate " +
+      "below their exchanges") {
+    val p = planOf("x4_pmi_cooc")
+    val first = p.indexOf("partial_count")
+    assert(first >= 0 && p.indexOf("partial_count", first + 1) >= 0,
+      "both count aggregates must combine map-side:\n" + p)
+  }
+
+  test("x3_mips: probes broadcast; the corpus side never shuffles " +
+      "for the scoring join") {
+    val p = planOf("x3_mips")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "probe set is k rows and must broadcast:\n" + p)
+  }
+
+  test("x1_forget_plan: the file verdict is one keyed aggregate with " +
+      "map-side combine; the totals side broadcasts back") {
+    val p = planOf("x1_forget_plan")
+    val first = p.indexOf("partial_count")
+    assert(first >= 0, "per-file counts must partial-aggregate:\n" + p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
 }
