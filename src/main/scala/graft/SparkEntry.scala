@@ -56,6 +56,7 @@ object SparkEntry {
       graft.queries.Parity37.queries ++
       graft.queries.Parity38.queries ++
       graft.queries.Parity39.queries ++
+      graft.queries.Parity40.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,5 +102,6 @@ object SparkEntry {
       graft.queries.Parity37.oracles ++
       graft.queries.Parity38.oracles ++
       graft.queries.Parity39.oracles ++
+      graft.queries.Parity40.oracles ++
       graft.queries.ExtQueries.oracles
 }
