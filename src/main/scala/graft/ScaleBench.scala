@@ -122,7 +122,14 @@ object ScaleBench {
     // replication adds wedges linearly, same claim as
     // x9_common_neighbors); the skew audit is one map-side-combined
     // grouped count per candidate — pure scan+agg scaling.
-    "x9_label_prop", "x9_link_predict", "x8_skew_audit")
+    "x9_label_prop", "x9_link_predict", "x8_skew_audit",
+    // round-11 batch 8/9: HITS is pagerank-shaped (broadcast score
+    // vector + keyed sum per half-step — linear expectation); the
+    // trimmed mean is ONE rank window inside the type partitioning
+    // (does the per-type sort survive 100×?); the bootstrap's claim
+    // is that cost tracks the DAY AGGREGATE, not the event stream —
+    // the resample grid is B·days metadata at any corpus size.
+    "x9_hits", "x6_trimmed_mean", "x6_bootstrap_ci")
   private val SkipAt100 = Set("x2_minhash_lsh")
 
   def main(args: Array[String]): Unit = {

@@ -57,6 +57,7 @@ object SparkEntry {
       graft.queries.Parity38.queries ++
       graft.queries.Parity39.queries ++
       graft.queries.Parity40.queries ++
+      graft.queries.Parity41.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -103,5 +104,6 @@ object SparkEntry {
       graft.queries.Parity38.oracles ++
       graft.queries.Parity39.oracles ++
       graft.queries.Parity40.oracles ++
+      graft.queries.Parity41.oracles ++
       graft.queries.ExtQueries.oracles
 }
