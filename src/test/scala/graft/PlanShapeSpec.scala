@@ -310,4 +310,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(first >= 0, "per-file counts must partial-aggregate:\n" + p)
     assert(p.contains("BroadcastExchange"), p)
   }
+
+  test("runtime bloom-filter join: Catalyst injects might_contain on " +
+      "the probe side of a selective fact-fact join when enabled") {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // creation side must stay UNDER this cap; application side must
+      // EXCEED the scan threshold - thresholds point opposite ways
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "512mb",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1b",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) =>
+      k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      // selective dim side (1 order in 50) joined to the fact: the
+      // runtime filter should build a bloom on the filtered side and
+      // probe it below the fact scan - row-group skipping at 100 TB
+      // the selective predicate must sit on a NON-join column, or
+      // constraint propagation clones it onto the fact side and the
+      // rule sees no benefit to inject
+      val orders = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val li = Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val p = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter_agg"),
+        "runtime bloom filter must inject into the probe side:\n" + p)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

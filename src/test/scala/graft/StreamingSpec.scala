@@ -581,4 +581,32 @@ class StreamingSpec extends AnyFunSuite {
       "left_semi").count() == 0,
       "no outer-null row for a click that has an in-window impression")
   }
+
+  test("dropDuplicatesWithinWatermark: replays inside the watermark " +
+      "window collapse; state is time-bounded by contract") {
+    // the Spark 4 API for at-least-once sources: exact dedup keyed on
+    // content, but state retention bounded by the watermark instead
+    // of growing forever (the unbounded dropDuplicates failure mode
+    // at 100 TB stream length)
+    val src = s"$fx/wmdedup_src_${System.nanoTime()}"
+    write(s"$src/a.jsonl",
+      """{"key":"k1","ets":"2024-01-01T10:00:00.000Z","v":1}
+{"key":"k1","ets":"2024-01-01T10:00:30.000Z","v":2}
+{"key":"k2","ets":"2024-01-01T10:01:00.000Z","v":3}
+""")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "key STRING, ets TIMESTAMP, v INT")
+    val deduped = spark.readStream.schema(schema).json(src)
+      .withWatermark("ets", "10 minutes")
+      .dropDuplicatesWithinWatermark("key")
+    val name = s"wmdedup_${System.nanoTime()}"
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table(name)
+    assert(rows.count() == 2, "k1's 30-second replay must collapse")
+    assert(rows.filter(col("key") === "k1").count() == 1)
+  }
 }
