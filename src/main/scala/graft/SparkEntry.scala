@@ -58,6 +58,7 @@ object SparkEntry {
       graft.queries.Parity39.queries ++
       graft.queries.Parity40.queries ++
       graft.queries.Parity41.queries ++
+      graft.queries.Parity42.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -105,5 +106,6 @@ object SparkEntry {
       graft.queries.Parity39.oracles ++
       graft.queries.Parity40.oracles ++
       graft.queries.Parity41.oracles ++
+      graft.queries.Parity42.oracles ++
       graft.queries.ExtQueries.oracles
 }
