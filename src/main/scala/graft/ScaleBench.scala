@@ -129,7 +129,12 @@ object ScaleBench {
     // (does the per-type sort survive 100×?); the bootstrap's claim
     // is that cost tracks the DAY AGGREGATE, not the event stream —
     // the resample grid is B·days metadata at any corpus size.
-    "x9_hits", "x6_trimmed_mean", "x6_bootstrap_ci")
+    "x9_hits", "x6_trimmed_mean", "x6_bootstrap_ci",
+    // round-11 batch 10: the KM claim is the retention-triangle one —
+    // the (user, day) distinct relation is entity-grid-bounded, so
+    // event replication only grows the scan+distinct, and every
+    // window after runs on streak-count rows.
+    "x5_kaplan_meier")
   private val SkipAt100 = Set("x2_minhash_lsh")
 
   def main(args: Array[String]): Unit = {
