@@ -59,6 +59,7 @@ object SparkEntry {
       graft.queries.Parity40.queries ++
       graft.queries.Parity41.queries ++
       graft.queries.Parity42.queries ++
+      graft.queries.Parity43.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -107,5 +108,6 @@ object SparkEntry {
       graft.queries.Parity40.oracles ++
       graft.queries.Parity41.oracles ++
       graft.queries.Parity42.oracles ++
+      graft.queries.Parity43.oracles ++
       graft.queries.ExtQueries.oracles
 }
