@@ -609,4 +609,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.count() == 2, "k1's 30-second replay must collapse")
     assert(rows.filter(col("key") === "k1").count() == 1)
   }
+
+  test("streaming HLL: update-mode register maxima over a stream " +
+      "equal the batch sketch (mergeable-by-construction)") {
+    // the register max is associative/commutative/idempotent, so the
+    // SAME groupBy(j).max(rho) plan runs as an incremental streaming
+    // aggregate — per-batch state is <= 64 rows regardless of stream
+    // length, the sketch property in streaming form
+    val srcDir = s"$fx/hll_src_${System.nanoTime()}"
+    Files.createDirectories(Paths.get(srcDir))
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$srcDir/events.parquet"))
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+      .select(col("event_id").cast("string").as("sval"))
+    val regs = graft.ops.Hll.registers(stream)
+    val name = s"hll_${System.nanoTime()}"
+    val q = regs.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table(name).collect()
+      .map(r => r.getAs[Long]("j") -> r.getAs[Long]("m")).toMap
+    val batch = graft.ops.Hll.registers(
+      Tables.events(spark, "/root/testdata/sf0.001")
+        .select(col("event_id").cast("string").as("sval")))
+      .collect().map(r => r.getAs[Long]("j") -> r.getAs[Long]("m")).toMap
+    assert(streamed == batch, "streamed registers must equal batch")
+    assert(streamed.size <= 64, "state is register-bounded")
+  }
 }
