@@ -21,9 +21,11 @@ import org.apache.spark.sql.types._
   * the image id, [[decodeStats]] decodes the actual bytes back, and a
   * SQL oracle recomputes the same statistics from the arithmetic
   * alone — the compare proves the encode → PNG → decode → pool
-  * pipeline bit-exact. Audio/video remain opaque (no JDK codec);
-  * non-decodable payloads fall back to a deterministic byte-fold
-  * feature so the plumbing still flows.
+  * pipeline bit-exact. Audio decodes for real too: PCM WAV is pure
+  * header+samples, parsed with the JDK alone (see the audio section
+  * below). Video remains opaque (no JDK codec); non-decodable
+  * payloads fall back to a deterministic byte-fold feature so the
+  * plumbing still flows.
   *
   * Every decode runs inside `mapPartitions` — the Scala analog of
   * `mapInPandas` — so per-partition codec setup (`ImageIO` cache
@@ -307,5 +309,119 @@ object Multimodal {
         }
       }
       .toDF("media_id", "frame_idx", "frame_bytes")
+  }
+
+  // ---- audio: real PCM WAV encode/decode (pure JDK) ---------------
+  // WAV is the one audio container a JVM parses with no codec
+  // library: RIFF header + little-endian PCM samples. This upgrades
+  // the audio path from the opaque byte-fold fallback to a REAL
+  // decode -> feature pipeline, same contract as the PNG path: the
+  // oracle recomputes the features from the synthesis formula alone,
+  // so agreement proves encode -> WAV bytes -> header parse ->
+  // sample decode -> aggregate bit-exact.
+
+  /** Number of synthetic samples for media id (64..127). */
+  @inline def synthAudioLen(id: Long): Int = (64 + id % 64).toInt
+
+  /** Synthetic 16-bit sample i of media id, in [-1024, 1023]. */
+  @inline def synthSample(id: Long, i: Int): Int =
+    (((id * 31 + i.toLong * 17) % 2048) - 1024).toInt
+
+  private val WavSampleRate = 8000
+
+  /** Minimal 16-bit mono PCM WAV encoder (RIFF/fmt/data). */
+  def encodeWavPcm16(samples: Array[Int], sampleRate: Int = WavSampleRate)
+      : Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                    // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)  // byte rate
+      .putShort(2).putShort(16)                   // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(v => bb.putShort(v.toShort))
+    bb.array()
+  }
+
+  /** Parse a 16-bit mono PCM WAV payload; None on any header
+    * mismatch (the corrupt-audio filter). */
+  def decodeWavPcm16(bytes: Array[Byte]): Option[(Int, Array[Int])] = {
+    if (bytes.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val riff = new Array[Byte](4); bb.get(riff); bb.getInt()
+    val wave = new Array[Byte](4); bb.get(wave)
+    val fmt = new Array[Byte](4); bb.get(fmt)
+    if (new String(riff, "US-ASCII") != "RIFF" ||
+      new String(wave, "US-ASCII") != "WAVE" ||
+      new String(fmt, "US-ASCII") != "fmt ") return None
+    val fmtLen = bb.getInt()
+    val audioFormat = bb.getShort(); val channels = bb.getShort()
+    val sampleRate = bb.getInt(); bb.getInt(); bb.getShort()
+    val bits = bb.getShort()
+    if (fmtLen != 16 || audioFormat != 1 || channels != 1 || bits != 16)
+      return None
+    val dataTag = new Array[Byte](4); bb.get(dataTag)
+    if (new String(dataTag, "US-ASCII") != "data") return None
+    val dataLen = bb.getInt()
+    if (dataLen < 0 || dataLen % 2 != 0 || bb.remaining() < dataLen)
+      return None
+    val out = new Array[Int](dataLen / 2)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getShort().toInt; i += 1 }
+    Some((sampleRate, out))
+  }
+
+  /** Exact integer audio statistics: duration from the parsed
+    * header, sum of |s|, energy, zero crossings — all BIGINT. */
+  final case class AudioStats(media_id: Long, n_samples: Long,
+      duration_ms: Long, sum_abs: Long, energy: Long, zero_cross: Long)
+
+  /** Media rows carrying real WAV payloads synthesized per id. */
+  def synthAudio(spark: SparkSession, ids: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = synthAudioLen(id)
+          val samples = Array.tabulate(n)(i => synthSample(id, i))
+          (id, "audio", "audio/wav", encodeWavPcm16(samples),
+            n.toLong * 1000L / WavSampleRate)
+        }
+      }
+      .toDF("media_id", "modality", "mime", "payload", "duration_ms")
+      .withColumn("width", lit(null).cast(IntegerType))
+      .withColumn("height", lit(null).cast(IntegerType))
+      .select("media_id", "modality", "mime", "payload", "width",
+        "height", "duration_ms")
+  }
+
+  /** Real WAV decode -> exact integer audio features; non-decodable
+    * payloads drop (the corrupt-audio filter). */
+  def decodeAudioStats(spark: SparkSession, media: DataFrame)
+      : Dataset[AudioStats] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          decodeWavPcm16(payload).map { case (sr, ss) =>
+            var sumAbs = 0L; var energy = 0L; var zc = 0L
+            var i = 0
+            while (i < ss.length) {
+              val v = ss(i).toLong
+              sumAbs += math.abs(v); energy += v * v
+              if (i > 0 && ((ss(i - 1) < 0) != (ss(i) < 0))) zc += 1
+              i += 1
+            }
+            AudioStats(id, ss.length.toLong,
+              ss.length.toLong * 1000L / sr, sumAbs, energy, zc)
+          }
+        }
+      }
   }
 }
