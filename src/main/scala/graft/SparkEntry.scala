@@ -61,6 +61,7 @@ object SparkEntry {
       graft.queries.Parity42.queries ++
       graft.queries.Parity43.queries ++
       graft.queries.Parity44.queries ++
+      graft.queries.Parity45.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -111,5 +112,6 @@ object SparkEntry {
       graft.queries.Parity42.oracles ++
       graft.queries.Parity43.oracles ++
       graft.queries.Parity44.oracles ++
+      graft.queries.Parity45.oracles ++
       graft.queries.ExtQueries.oracles
 }

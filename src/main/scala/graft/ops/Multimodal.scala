@@ -424,4 +424,112 @@ object Multimodal {
         }
       }
   }
+
+  // ---- video: frame container + real per-frame decode -------------
+  // No JVM codec reads real video, so the CONTAINER is synthetic —
+  // "GVID" magic, frame count, then length-prefixed PNG frames — but
+  // every frame is a REAL PNG decoded by ImageIO, and the scene-cut
+  // detection downstream is pure relational algebra over the decoded
+  // per-frame features. The pipeline shape (demux -> frame decode ->
+  // per-frame features -> temporal diff) is exactly a production
+  // shot-boundary job; only the demux format is a stand-in.
+
+  /** frames per synthetic video (4..7). */
+  @inline def synthFrameCount(id: Long): Int = (4 + id % 4).toInt
+
+  /** frame index where the planted scene cut happens — always
+    * interior (1..nf-1), so every video has exactly one cut. */
+  @inline def synthCutAt(id: Long): Int =
+    (1 + id % (synthFrameCount(id) - 1)).toInt
+
+  /** fixed frame dims for the video path. */
+  val VideoW = 8; val VideoH = 6
+
+  /** pixel of frame j: static per scene, +50 (mod 256) after the
+    * planted cut — so inter-frame luminance diff is 0 inside a scene
+    * and non-zero exactly at the cut. */
+  @inline def synthVideoPixel(id: Long, j: Int, x: Int, y: Int): Int = {
+    val shift = if (j >= synthCutAt(id)) 50 else 0
+    (((id * 31 + x * 7 + y * 13) % 256 + shift) % 256).toInt
+  }
+
+  /** Encode the synthetic video container for one id. */
+  def encodeVideo(id: Long): Array[Byte] = {
+    val frames = (0 until synthFrameCount(id)).map { j =>
+      encodeGrayPng(VideoW, VideoH, (x, y) => synthVideoPixel(id, j, x, y))
+    }
+    val bb = java.nio.ByteBuffer.allocate(
+      8 + frames.map(_.length + 4).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GVID".getBytes("US-ASCII")).putInt(frames.length)
+    frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+    bb.array()
+  }
+
+  /** Demux the container; None on bad magic/lengths. */
+  def demuxVideo(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (bytes.length < 8) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4); bb.get(magic)
+    if (new String(magic, "US-ASCII") != "GVID") return None
+    val n = bb.getInt()
+    if (n < 0 || n > 1024) return None
+    val out = Seq.newBuilder[Array[Byte]]
+    var i = 0
+    while (i < n) {
+      if (bb.remaining() < 4) return None
+      val len = bb.getInt()
+      if (len < 0 || bb.remaining() < len) return None
+      val f = new Array[Byte](len); bb.get(f); out += f
+      i += 1
+    }
+    Some(out.result())
+  }
+
+  final case class FrameStats(media_id: Long, frame_idx: Int,
+      lum_sum: Long)
+
+  /** Media rows carrying the synthetic video containers. */
+  def synthVideos(spark: SparkSession, ids: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions(it => it.map(id => (id, "video", "video/x-gvid",
+        encodeVideo(id))))
+      .toDF("media_id", "modality", "mime", "payload")
+  }
+
+  /** Demux + REAL per-frame PNG decode -> exact per-frame luminance
+    * rows; the temporal analysis downstream is relational. */
+  def decodeFrameStats(spark: SparkSession, media: DataFrame)
+      : Dataset[FrameStats] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.flatMap { case (id, payload) =>
+          demuxVideo(payload).toSeq.flatMap { frames =>
+            frames.zipWithIndex.flatMap { case (f, j) =>
+              decodeImage(f).map { img =>
+                // raster samples, NOT getRGB: getRGB applies the
+                // gray->sRGB transfer curve and inflates values
+                val raster = img.getRaster
+                var lum = 0L
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    lum += raster.getSample(x, y, 0); x += 1
+                  }
+                  y += 1
+                }
+                FrameStats(id, j, lum)
+              }
+            }
+          }
+        }
+      }
+  }
 }
