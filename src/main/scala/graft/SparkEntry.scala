@@ -62,6 +62,7 @@ object SparkEntry {
       graft.queries.Parity43.queries ++
       graft.queries.Parity44.queries ++
       graft.queries.Parity45.queries ++
+      graft.queries.Parity46.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -113,5 +114,6 @@ object SparkEntry {
       graft.queries.Parity43.oracles ++
       graft.queries.Parity44.oracles ++
       graft.queries.Parity45.oracles ++
+      graft.queries.Parity46.oracles ++
       graft.queries.ExtQueries.oracles
 }
