@@ -134,7 +134,14 @@ object ScaleBench {
     // the (user, day) distinct relation is entity-grid-bounded, so
     // event replication only grows the scan+distinct, and every
     // window after runs on streak-count rows.
-    "x5_kaplan_meier")
+    "x5_kaplan_meier",
+    // round-11 batch 12: the radius join is OUTPUT-bound by geometry
+    // — replication grows density in a fixed domain, so true pairs
+    // grow ~quadratically and the honest claim is that candidate
+    // work tracks the OUTPUT (grid cells bound candidates to
+    // Σ 9·occupancy²), not n² of all points. A fixed-density corpus
+    // (domain growing with the data) would be linear.
+    "j13_grid_radius")
   private val SkipAt100 = Set("x2_minhash_lsh")
 
   def main(args: Array[String]): Unit = {
