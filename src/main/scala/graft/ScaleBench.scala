@@ -142,7 +142,14 @@ object ScaleBench {
     // Σ 9·occupancy²), not n² of all points. A fixed-density corpus
     // (domain growing with the data) would be linear.
     "j13_grid_radius")
-  private val SkipAt100 = Set("x2_minhash_lsh")
+  private val SkipAt100 = Set("x2_minhash_lsh",
+    // same densification artifact as the LSH row: key-offset
+    // replication multiplies POINT DENSITY in the fixed grid domain,
+    // so true radius pairs grow ~quadratically (real spatial corpora
+    // grow the domain with the data). The 100x tier ground to ~2G
+    // candidate pairs + a 30M-pair global sort and was cut; the
+    // 1x/10x readings carry the claim.
+    "j13_grid_radius")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
