@@ -345,4 +345,13 @@ class PlanShapeSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("j13_grid_radius: candidates come from a cell EQUI-join — no " +
+      "cartesian product anywhere in the plan") {
+    val p = planOf("j13_grid_radius")
+    assert(!p.contains("CartesianProduct"),
+      "the grid must turn the radius join into an equi-join:\n" + p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
 }
