@@ -354,4 +354,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
       || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("x1_surrogate_keys: the rank window is partition-local and " +
+      "the offset path combines map-side before its metadata gather") {
+    val p = planOf("x1_surrogate_keys")
+    // the naive formulation is row_number() OVER (ORDER BY k): ONE
+    // Window over Exchange SinglePartition carrying every data row.
+    // The scalable plan ranks within pid partitions; the only
+    // single-partition work is the <= RangeParts-row offset window,
+    // whose input is a map-side-combined count aggregate (metadata)
+    assert(p.matches("(?s).*row_number\\(\\) windowspecdefinition\\(pid.*"),
+      "the data-side rank must partition by pid:\n" + p)
+    assert(p.contains("partial_count"),
+      "per-partition counts must combine map-side before the " +
+        "offset gather:\n" + p)
+  }
 }
