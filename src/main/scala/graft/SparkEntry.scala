@@ -65,6 +65,7 @@ object SparkEntry {
       graft.queries.Parity46.queries ++
       graft.queries.Parity47.queries ++
       graft.queries.Parity48.queries ++
+      graft.queries.Parity49.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -119,5 +120,6 @@ object SparkEntry {
       graft.queries.Parity46.oracles ++
       graft.queries.Parity47.oracles ++
       graft.queries.Parity48.oracles ++
+      graft.queries.Parity49.oracles ++
       graft.queries.ExtQueries.oracles
 }
