@@ -66,6 +66,7 @@ object SparkEntry {
       graft.queries.Parity47.queries ++
       graft.queries.Parity48.queries ++
       graft.queries.Parity49.queries ++
+      graft.queries.Parity50.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -121,5 +122,6 @@ object SparkEntry {
       graft.queries.Parity47.oracles ++
       graft.queries.Parity48.oracles ++
       graft.queries.Parity49.oracles ++
+      graft.queries.Parity50.oracles ++
       graft.queries.ExtQueries.oracles
 }
