@@ -67,6 +67,7 @@ object SparkEntry {
       graft.queries.Parity48.queries ++
       graft.queries.Parity49.queries ++
       graft.queries.Parity50.queries ++
+      graft.queries.Parity51.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -123,5 +124,6 @@ object SparkEntry {
       graft.queries.Parity48.oracles ++
       graft.queries.Parity49.oracles ++
       graft.queries.Parity50.oracles ++
+      graft.queries.Parity51.oracles ++
       graft.queries.ExtQueries.oracles
 }
