@@ -509,10 +509,15 @@ object ScaleBench {
       }
 
       val c100 = rows.filter(_._4 > 0)
+      // a filter selecting only SkipAt100 rows leaves c100 empty —
+      // emit null, not 0.0/0.0 = NaN (unquoted NaN is invalid JSON)
+      val x100Js =
+        if (c100.isEmpty) """"x100_total":null,"r100_over_r10":null,"""
+        else f""""x100_total":${c100.map(_._4).sum}%.2f,""" +
+          f""""r100_over_r10":${c100.map(_._4).sum / c100.map(_._3).sum}%.2f,"""
       if (rows.nonEmpty) println(f"""{"metric":"scaleup","x1_total":${rows.map(_._2).sum}%.2f,""" +
         f""""x10_total":${rows.map(_._3).sum}%.2f,""" +
-        f""""x100_total":${c100.map(_._4).sum}%.2f,""" +
-        f""""r100_over_r10":${c100.map(_._4).sum / c100.map(_._3).sum}%.2f,""" +
+        x100Js +
         s""""n_queries":${rows.size}}""")
     }
     spark.stop()

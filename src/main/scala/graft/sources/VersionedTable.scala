@@ -12,34 +12,55 @@ import org.apache.spark.sql.functions._
   *
   * Layout:
   * {{{
-  *   path/_log/v00000001.json   one JSON commit entry per version
-  *   path/data/<uuid>/...       immutable parquet file groups
+  *   path/_log/v00000001.json     one JSON commit entry per version
+  *   path/_log/chk-v00000010.json consolidated live-set checkpoint
+  *   path/data/<uuid>/...         immutable parquet file groups
   * }}}
   *
   * Protocol (the Delta idea, minimum viable form):
   *  - a commit = write the data files to a fresh uuid dir (invisible
-  *    until referenced), then CREATE `_log/v{n+1}.json` with
-  *    overwrite=false. The filesystem's atomic create is the
-  *    arbiter: two writers racing on the same expected version both
-  *    stage data, but exactly ONE log create succeeds — the loser
-  *    gets [[CommitConflictException]] and must re-read + retry
-  *    (optimistic concurrency, spec-pinned).
+  *    until referenced), then publish `_log/v{n+1}.json` with an
+  *    ATOMIC create-if-absent. Two writers racing on the same
+  *    expected version both stage data, but exactly ONE publish
+  *    succeeds — the loser gets [[CommitConflictException]] and must
+  *    re-read + retry (optimistic concurrency, spec-pinned).
+  *    Atomicity of the arbiter is filesystem-specific: HDFS `create`
+  *    is namenode-atomic, but Hadoop's LOCAL filesystem implements
+  *    overwrite=false as a non-atomic exists()-then-create — so on
+  *    local paths the entry is fully written to a temp file and
+  *    published via a hard link (`Files.createLink`, O_EXCL at the
+  *    syscall level, content complete at publish time). Object-store
+  *    deployments substitute an If-None-Match precondition — same
+  *    contract, same code shape.
   *  - readers list `_log`, take entries ≤ the requested version, and
   *    union the live file groups: `replace = true` entries reset the
   *    live set (overwrite/merge rewrites), `false` entries append.
+  *    Every `checkpointInterval` commits the winner also writes a
+  *    consolidated live-set checkpoint, so a read opens
+  *    O(commits since checkpoint) log entries, not O(commits) — the
+  *    Delta `_last_checkpoint` move, without which a long-lived table
+  *    pays one tiny-file open per historical commit per read.
   *  - MERGE (upsert) = read current snapshot, key-anti-join + union
   *    with the updates, commit as a replace at expectedVersion —
   *    serializable because the commit fails if anyone else moved the
   *    table first.
+  *  - [[vacuum]] deletes data groups referenced by NO log entry (the
+  *    orphans left by writers that crashed between staging and
+  *    publish, or that hit a non-conflict IO error). Groups referenced
+  *    by ANY version — including replaced ones — are never touched,
+  *    so time travel stays intact; a `minAgeMs` guard keeps a
+  *    concurrent writer's freshly staged (not yet published) group
+  *    safe, the same retention fence Delta's VACUUM uses.
+  *  - [[optimize]] is OPTIMIZE/compaction THROUGH the protocol: read
+  *    the current snapshot, rewrite it at `targetBytes`-sized files,
+  *    commit as a replace — losing a race surfaces as the same
+  *    CommitConflictException any writer handles.
   *
   * Scale posture: the log is one tiny JSON per commit (metadata);
   * data file groups are immutable parquet written with the normal
   * partitioned/bucketed writers, so reads keep every pushdown/
   * pruning property. MERGE rewrites only through the same keyed
-  * anti-join the ledger path uses — one shuffle on the merge key. At
-  * a real deployment the atomic-create arbiter is the object-store
-  * precondition (If-None-Match) or a log service — same contract,
-  * same code shape.
+  * anti-join the ledger path uses — one shuffle on the merge key.
   */
 object VersionedTable {
 
@@ -48,10 +69,16 @@ object VersionedTable {
       s"commit v$version already exists: concurrent writer won; " +
         "re-read and retry")
 
+  /** Consolidate the live set into a checkpoint every N commits. */
+  val CheckpointInterval = 10
+
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def logDir(path: String) = s"$path/_log"
+
+  private case class Entry(version: Long, groups: Seq[String],
+      replace: Boolean)
 
   /** Latest committed version, or 0 when the table is empty. */
   def currentVersion(spark: SparkSession, path: String): Long = {
@@ -64,11 +91,56 @@ object VersionedTable {
       .foldLeft(0L)(math.max)
   }
 
+  private def readJson(f: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private def jsonField(raw: String, k: String): String =
+    raw.split(s""""$k":""")(1).split("[,}\\]]")(0).trim
+
+  /** Atomic create-if-absent publish of `payload` at `entry`. Returns
+    * false on a lost race (the entry already exists); rethrows
+    * non-conflict IO failures unchanged so a disk-full/permission
+    * error is never misreported as a commit conflict. */
+  private def publishExclusive(f: org.apache.hadoop.fs.FileSystem,
+      entry: Path, payload: Array[Byte]): Boolean = f match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      // Hadoop's local create(overwrite=false) is exists()-then-create
+      // (no O_EXCL) — two truly concurrent writers can BOTH succeed
+      // and the second silently truncates the first. Publish via a
+      // hard link instead: content is fully written before the link,
+      // and link(2) is atomic-exclusive at the syscall level.
+      import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+      val dst = Paths.get(entry.toUri.getPath)
+      val tmp = dst.resolveSibling(
+        s".tmp-${java.util.UUID.randomUUID()}-${entry.getName}")
+      Files.write(tmp, payload)
+      try { Files.createLink(dst, tmp); true }
+      catch { case _: FileAlreadyExistsException => false }
+      finally Files.deleteIfExists(tmp)
+    case _ =>
+      // HDFS: namenode-atomic create; object stores substitute an
+      // If-None-Match precondition behind the same call shape.
+      val out = try f.create(entry, false) catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          return false
+        case _: java.io.IOException if f.exists(entry) => return false
+      }
+      try out.write(payload) finally out.close()
+      true
+  }
+
   /** Atomically publish `df` as version `expectedVersion + 1`.
     * `replace = true` makes this commit the new live set (overwrite
     * semantics); `false` appends to it. Throws
     * [[CommitConflictException]] when another writer committed the
-    * same version first. Returns the committed version. */
+    * same version first (the staged data group is cleaned up); any
+    * OTHER IO failure propagates unchanged and leaves the staged
+    * group as an orphan for [[vacuum]]. Returns the committed
+    * version. */
   def commit(spark: SparkSession, path: String, df: DataFrame,
       expectedVersion: Long, replace: Boolean = false): Long = {
     val next = expectedVersion + 1
@@ -79,44 +151,71 @@ object VersionedTable {
     val entry = new Path(logDir(path), f"v$next%08d.json")
     val payload =
       s"""{"version":$next,"group":"$group","replace":$replace}"""
-    // overwrite=false IS the optimistic-concurrency arbiter
-    val out = try f.create(entry, false) catch {
-      case _: java.io.IOException =>
-        f.delete(new Path(s"$path/data/$group"), true)
-        throw new CommitConflictException(next)
+    if (!publishExclusive(f, entry, payload.getBytes("UTF-8"))) {
+      f.delete(new Path(s"$path/data/$group"), true)
+      throw new CommitConflictException(next)
     }
-    try out.write(payload.getBytes("UTF-8")) finally out.close()
+    // the winner of a checkpoint-boundary version consolidates the
+    // live set — derived, idempotent metadata (only one writer ever
+    // holds version `next`, so overwrite is race-free)
+    if (next % CheckpointInterval == 0) {
+      val live = liveGroups(spark, path, Some(next))
+      val chk = new Path(logDir(path), f"chk-v$next%08d.json")
+      val body = live.map(g => s""""$g"""").mkString(
+        s"""{"version":$next,"live":[""", ",", "]}")
+      val out = f.create(chk, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
     next
+  }
+
+  /** The ordered live file groups at `asOfVersion` (None = latest),
+    * starting from the newest checkpoint ≤ the requested version so
+    * the number of per-commit files OPENED is bounded by
+    * [[CheckpointInterval]], not table age. */
+  private def liveGroups(spark: SparkSession, path: String,
+      asOfVersion: Option[Long]): Seq[String] = {
+    val f = fs(spark, logDir(path))
+    val d = new Path(logDir(path))
+    if (!f.exists(d)) return Seq.empty
+    val names = f.listStatus(d).map(_.getPath.getName).toSeq
+    val chk = names
+      .filter(n => n.startsWith("chk-v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("chk-v").stripSuffix(".json").toLong)
+      .filter(v => asOfVersion.forall(v <= _))
+      .sorted.lastOption
+    val base: Seq[String] = chk match {
+      case Some(v) =>
+        val raw = readJson(f, new Path(d, f"chk-v$v%08d.json"))
+        val body = raw.split("\\[")(1).split("\\]")(0).trim
+        if (body.isEmpty) Seq.empty
+        else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      case None => Seq.empty
+    }
+    val from = chk.getOrElse(0L)
+    val entries = names
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .filter(v => v > from && asOfVersion.forall(v <= _))
+      .sorted
+      .map { v =>
+        val raw = readJson(f, new Path(d, f"v$v%08d.json"))
+        Entry(v, Seq(jsonField(raw, "group").replaceAll("\"", "")),
+          jsonField(raw, "replace").toBoolean)
+      }
+    entries.foldLeft(base) {
+      case (_, Entry(_, gs, true)) => gs
+      case (acc, Entry(_, gs, false)) => acc ++ gs
+    }
   }
 
   /** Read the table as of `asOfVersion` (None = latest). Returns
     * None when no version exists yet. */
   def read(spark: SparkSession, path: String,
       asOfVersion: Option[Long] = None): Option[DataFrame] = {
-    val f = fs(spark, logDir(path))
-    val d = new Path(logDir(path))
-    if (!f.exists(d)) return None
-    val entries = f.listStatus(d).map(_.getPath).toSeq
-      .filter(p => p.getName.startsWith("v") && p.getName.endsWith(".json"))
-      .map { p =>
-        val in = f.open(p)
-        val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        def field(k: String) =
-          raw.split(s""""$k":""")(1).split("[,}]")(0).trim
-        (field("version").toLong,
-          field("group").replaceAll("\"", ""),
-          field("replace").toBoolean)
-      }
-      .filter { case (v, _, _) => asOfVersion.forall(v <= _) }
-      .sortBy(_._1)
-    if (entries.isEmpty) return None
-    // replace resets the live set; append extends it
-    val live = entries.foldLeft(Seq.empty[String]) {
-      case (acc, (_, g, true)) => Seq(g)
-      case (acc, (_, g, false)) => acc :+ g
-    }
-    Some(live.map(g => spark.read.parquet(s"$path/data/$g"))
+    val live = liveGroups(spark, path, asOfVersion)
+    if (live.isEmpty) None
+    else Some(live.map(g => spark.read.parquet(s"$path/data/$g"))
       .reduce(_ unionByName _))
   }
 
@@ -134,5 +233,60 @@ object VersionedTable {
       case None => updates
     }
     commit(spark, path, merged, v, replace = true)
+  }
+
+  /** Delete data groups referenced by NO log entry — the orphans a
+    * crashed or IO-failed writer leaves between staging and publish.
+    * Groups referenced by ANY version (including replaced ones) are
+    * never deleted, so every historical read keeps working. Groups
+    * younger than `minAgeMs` are kept: a concurrent writer stages its
+    * group BEFORE publishing the log entry, and without the age fence
+    * vacuum would destroy its in-flight commit (the same retention
+    * guard production VACUUM uses). Returns the deleted group names. */
+  def vacuum(spark: SparkSession, path: String,
+      minAgeMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val f = fs(spark, path)
+    val dataDir = new Path(s"$path/data")
+    if (!f.exists(dataDir)) return Seq.empty
+    val d = new Path(logDir(path))
+    val referenced: Set[String] =
+      if (!f.exists(d)) Set.empty
+      else f.listStatus(d).map(_.getPath).toSeq
+        .filter(p => p.getName.startsWith("v") && p.getName.endsWith(".json"))
+        .map(p => jsonField(readJson(f, p), "group").replaceAll("\"", ""))
+        .toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    f.listStatus(dataDir).toSeq
+      .filter(st => st.isDirectory &&
+        !referenced.contains(st.getPath.getName) &&
+        st.getModificationTime <= cutoff)
+      .map { st => f.delete(st.getPath, true); st.getPath.getName }
+  }
+
+  /** OPTIMIZE: rewrite the current snapshot into files sized near
+    * `targetBytes` (measured from the live groups' on-disk bytes, the
+    * same plan rule as [[Sinks.compact]]) and commit it as a replace
+    * THROUGH the commit protocol — concurrent writers see it as one
+    * more version, and a lost race surfaces as the usual
+    * [[CommitConflictException]]. The replaced groups stay on disk
+    * for time travel until a future retention policy drops their log
+    * entries. Returns (committedVersion, plannedFiles); (0, 0) on an
+    * empty table. */
+  def optimize(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): (Long, Long) = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val v = currentVersion(spark, path)
+    val live = liveGroups(spark, path, Some(v))
+    if (live.isEmpty) return (0L, 0L)
+    val f = fs(spark, path)
+    val bytes = live.map { g =>
+      f.getContentSummary(new Path(s"$path/data/$g")).getLength
+    }.sum
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val snapshot = live.map(g => spark.read.parquet(s"$path/data/$g"))
+      .reduce(_ unionByName _)
+    val committed =
+      commit(spark, path, snapshot.repartition(nFiles), v, replace = true)
+    (committed, nFiles.toLong)
   }
 }

@@ -28,6 +28,17 @@ import org.apache.spark.sql.functions._
   */
 object StreamJoin {
 
+  /** `window`/`delay` must be a simple `<n> <unit>` SQL interval —
+    * validated up front so a malformed caller value fails fast with a
+    * clear message instead of an opaque analysis-time parse error
+    * (the strings are spliced into an `expr`, so the whitelist is
+    * also the injection fence). */
+  private val IntervalPat =
+    "(?i)^\\d{1,9}\\s+(second|minute|hour|day)s?$".r
+  private def checkInterval(name: String, v: String): Unit =
+    require(IntervalPat.matches(v.trim),
+      s"$name must look like '<n> seconds|minutes|hours|days', got: '$v'")
+
   /** `clicks`/`impressions`: frames (streaming or batch) with
     * `event_id`, `user_id` and an `ts` event-time column in
     * NANOSECONDS (the Tables.eventsNs convention). `window` and
@@ -35,6 +46,8 @@ object StreamJoin {
   def attribute(clicks: DataFrame, impressions: DataFrame,
       window: String = "1 hour", delay: String = "10 minutes",
       outer: Boolean = false): DataFrame = {
+    checkInterval("window", window)
+    checkInterval("delay", delay)
     val c = clicks.select(col("event_id").as("click_id"), col("user_id"),
         timestamp_micros(expr("ts DIV 1000")).as("c_ts"))
       .withWatermark("c_ts", delay)

@@ -580,6 +580,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(nullClicks.join(batchMatchedClicks, Seq("click_id"),
       "left_semi").count() == 0,
       "no outer-null row for a click that has an in-window impression")
+    // malformed interval params fail FAST with a clear message (the
+    // strings are spliced into an expr — the whitelist is also the
+    // injection fence), not at analysis time with a parse error
+    for (bad <- Seq("1 fortnight", "1; DROP TABLE x", "", "hour 1")) {
+      val e = intercept[IllegalArgumentException] {
+        StreamJoin.attribute(ev, ev, window = bad)
+      }
+      assert(e.getMessage.contains("window must look like"))
+    }
+    intercept[IllegalArgumentException] {
+      StreamJoin.attribute(ev, ev, delay = "later")
+    }
+    // case/plural variants of legal intervals pass validation
+    StreamJoin.attribute(ev, ev, window = "2 HOURS", delay = "30 second")
   }
 
   test("dropDuplicatesWithinWatermark: replays inside the watermark " +

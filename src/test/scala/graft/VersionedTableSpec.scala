@@ -66,4 +66,84 @@ class VersionedTableSpec extends AnyFunSuite {
       VersionedTable.currentVersion(spark, p))
     assert(snapshot(p)(3L) == "retried")
   }
+
+  test("checkpointed read: a long log reads identically across the " +
+      "checkpoint boundary, and time travel before it still works") {
+    val p = tmp()
+    var v = 0L
+    // 23 commits -> checkpoints at v10 and v20; a replace at v15
+    // exercises the reset INSIDE the post-checkpoint tail
+    (1 to 23).foreach { i =>
+      v = VersionedTable.commit(spark, p, df(i.toLong -> s"r$i"), v,
+        replace = i == 15)
+    }
+    val chk = new java.io.File(s"$p/_log").listFiles()
+      .map(_.getName).filter(_.startsWith("chk-v")).sorted
+    assert(chk.toSeq == Seq("chk-v00000010.json", "chk-v00000020.json"))
+    // latest = replace at 15 plus appends 16..23
+    assert(snapshot(p) == (15 to 23).map(i => i.toLong -> s"r$i").toMap)
+    // as-of INSIDE a checkpoint span, and before the first checkpoint
+    assert(snapshot(p, Some(17L)) ==
+      (15 to 17).map(i => i.toLong -> s"r$i").toMap)
+    assert(snapshot(p, Some(7L)) ==
+      (1 to 7).map(i => i.toLong -> s"r$i").toMap)
+    // exactly at a checkpoint version
+    assert(snapshot(p, Some(20L)) ==
+      (15 to 20).map(i => i.toLong -> s"r$i").toMap)
+  }
+
+  test("vacuum deletes only UNREFERENCED groups (orphans), never " +
+      "anything any version references, and honors the age fence") {
+    val p = tmp()
+    val v1 = VersionedTable.commit(spark, p, df(1L -> "a"), 0L)
+    val v2 = VersionedTable.commit(spark, p, df(2L -> "b"), v1,
+      replace = true) // v1's group is replaced but still time-travelable
+    // plant an orphan: a staged group with no log entry (a writer that
+    // died between staging and publish)
+    df(9L -> "orphan").write.parquet(s"$p/data/orphan-group")
+    val freshFence = VersionedTable.vacuum(spark, p) // default 24h fence
+    assert(freshFence.isEmpty, "age fence must protect fresh groups")
+    val deleted = VersionedTable.vacuum(spark, p, minAgeMs = 0L)
+    assert(deleted == Seq("orphan-group"))
+    // every referenced group survived: latest AND pre-replace reads
+    assert(snapshot(p) == Map(2L -> "b"))
+    assert(snapshot(p, Some(v1)) == Map(1L -> "a"))
+    assert(VersionedTable.vacuum(spark, p, minAgeMs = 0L).isEmpty)
+    assert(VersionedTable.currentVersion(spark, p) == v2)
+  }
+
+  test("optimize rewrites the snapshot through the commit protocol: " +
+      "same rows, one more version, pre-optimize still readable") {
+    val p = tmp()
+    var v = 0L
+    (1 to 4).foreach { i =>
+      v = VersionedTable.commit(spark, p, df(i.toLong -> s"r$i"), v)
+    }
+    val before = snapshot(p)
+    val (ov, nFiles) = VersionedTable.optimize(spark, p)
+    assert(ov == v + 1 && nFiles == 1L,
+      "4 tiny groups compact to 1 planned file, one new version")
+    assert(snapshot(p) == before, "OPTIMIZE must not change the data")
+    assert(snapshot(p, Some(v)) == before, "pre-optimize version intact")
+    // the rewrite is one group: a read at head opens a single group dir
+    val dataDirs = new java.io.File(s"$p/data").listFiles().count(_.isDirectory)
+    assert(dataDirs == 5, "4 original groups + 1 compacted (time travel)")
+    assert(VersionedTable.optimize(spark, "/nonexistent-vt") == ((0L, 0L)))
+  }
+
+  test("publish arbiter is content-complete: a pre-existing entry " +
+      "file (simulated winner) conflicts and cleans the staged group") {
+    val p = tmp()
+    val v1 = VersionedTable.commit(spark, p, df(1L -> "a"), 0L)
+    // simulate a concurrent winner that already published v2
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$p/_log/v00000002.json"),
+      """{"version":2,"group":"zzz-not-a-real-group","replace":false}"""
+        .getBytes("UTF-8"))
+    intercept[VersionedTable.CommitConflictException] {
+      VersionedTable.commit(spark, p, df(2L -> "loser"), v1)
+    }
+    // loser's staged group was cleaned: only v1's group remains
+    assert(new java.io.File(s"$p/data").listFiles().count(_.isDirectory) == 1)
+  }
 }
