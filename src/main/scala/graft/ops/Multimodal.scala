@@ -425,14 +425,19 @@ object Multimodal {
       }
   }
 
-  // ---- video: frame container + real per-frame decode -------------
-  // No JVM codec reads real video, so the CONTAINER is synthetic —
-  // "GVID" magic, frame count, then length-prefixed PNG frames — but
-  // every frame is a REAL PNG decoded by ImageIO, and the scene-cut
-  // detection downstream is pure relational algebra over the decoded
-  // per-frame features. The pipeline shape (demux -> frame decode ->
-  // per-frame features -> temporal diff) is exactly a production
-  // shot-boundary job; only the demux format is a stand-in.
+  // ---- video: RIFF/AVI demux + real per-frame decode ---------------
+  // The container is a REAL standard one: Motion-PNG-in-AVI (RIFF —
+  // the same chunk grammar as the WAV parser above). The writer emits
+  // a spec-shaped AVI (hdrl with avih/strh/strf headers, a movi LIST
+  // of '00dc' frame chunks with RIFF even-padding, an idx1 index),
+  // and the demuxer is a generic RIFF chunk walker that validates the
+  // RIFF/'AVI ' magic and extracts the movi list's frame chunks — it
+  // reads any MJPEG/MPNG-style AVI whose frames ImageIO can decode,
+  // not just its own output. Frames here are PNG (fourcc 'MPNG') so
+  // the decode stays lossless and the luminance oracle exact; a
+  // camera MJPEG file differs only in the frame codec. The pipeline
+  // shape (demux -> frame decode -> per-frame features -> temporal
+  // diff) is exactly a production shot-boundary job.
 
   /** frames per synthetic video (4..7). */
   @inline def synthFrameCount(id: Long): Int = (4 + id % 4).toInt
@@ -453,39 +458,115 @@ object Multimodal {
     (((id * 31 + x * 7 + y * 13) % 256 + shift) % 256).toInt
   }
 
-  /** Encode the synthetic video container for one id. */
+  /** Write a minimal spec-shaped AVI around pre-encoded video frames:
+    * RIFF('AVI ') → LIST('hdrl'){avih, LIST('strl'){strh,strf}} →
+    * LIST('movi'){'00dc' × frames, even-padded} → 'idx1'. `fourcc` is
+    * the frame codec tag ('MPNG' for PNG frames, 'MJPG' for JPEG). */
+  def encodeAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+      fps: Int = 10, fourccTag: String = "MPNG"): Array[Byte] = {
+    require(fps > 0 && fourccTag.length == 4)
+    def even(n: Int) = n + (n & 1)
+    val maxFrame = frames.foldLeft(0)((m, f) => math.max(m, f.length))
+    val strlLen = 4 + (8 + 56) + (8 + 40)
+    val hdrlLen = 4 + (8 + 56) + (8 + strlLen)
+    val moviLen = 4 + frames.map(f => 8 + even(f.length)).sum
+    val idxLen = 16 * frames.length
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen) + (8 + idxLen)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    fcc("RIFF"); bb.putInt(riffLen); fcc("AVI ")
+    fcc("LIST"); bb.putInt(hdrlLen); fcc("hdrl")
+    fcc("avih"); bb.putInt(56)                       // MainAVIHeader
+    bb.putInt(1000000 / fps).putInt(0).putInt(0)
+      .putInt(0x10)                                  // AVIF_HASINDEX
+      .putInt(frames.length).putInt(0).putInt(1).putInt(maxFrame)
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)       // dwReserved[4]
+    fcc("LIST"); bb.putInt(strlLen); fcc("strl")
+    fcc("strh"); bb.putInt(56)                       // AVIStreamHeader
+    fcc("vids"); fcc(fourccTag); bb.putInt(0)
+    bb.putShort(0).putShort(0)                       // priority, language
+      .putInt(0)                                     // initial frames
+      .putInt(1).putInt(fps)                         // scale, rate
+      .putInt(0).putInt(frames.length)               // start, length
+      .putInt(maxFrame).putInt(-1).putInt(0)         // buf, quality, sample
+      .putShort(0).putShort(0)                       // rcFrame
+      .putShort(w.toShort).putShort(h.toShort)
+    fcc("strf"); bb.putInt(40)                       // BITMAPINFOHEADER
+    bb.putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(8)                       // planes, bits
+    fcc(fourccTag)                                   // biCompression
+    bb.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    fcc("LIST"); bb.putInt(moviLen); fcc("movi")
+    frames.foreach { f =>
+      fcc("00dc"); bb.putInt(f.length); bb.put(f)
+      if ((f.length & 1) == 1) bb.put(0.toByte)      // RIFF even padding
+    }
+    fcc("idx1"); bb.putInt(idxLen)
+    var off = 4                                      // from 'movi' fourcc
+    frames.foreach { f =>
+      fcc("00dc"); bb.putInt(0x10); bb.putInt(off); bb.putInt(f.length)
+      off += 8 + even(f.length)
+    }
+    bb.array()
+  }
+
+  /** Generic RIFF/AVI demux: validate RIFF + 'AVI ' magic, walk the
+    * top-level chunk sequence, and return the video frame chunks
+    * ('00dc'/'00db') of the movi LIST in stream order, honoring RIFF
+    * even-padding. None on any malformed header/length — the
+    * corrupt-video filter. Works on any single-video-stream AVI, not
+    * just [[encodeAvi]] output. */
+  def demuxAvi(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (bytes.length < 12) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    if (fcc() != "RIFF") return None
+    val riffLen = bb.getInt()
+    if (riffLen < 4 || riffLen > bytes.length - 8) return None
+    if (fcc() != "AVI ") return None
+    val out = Seq.newBuilder[Array[Byte]]
+    var sawMovi = false
+    while (bb.remaining() >= 8) {
+      val id = fcc()
+      val len = bb.getInt()
+      if (len < 0 || len > bb.remaining()) return None
+      val next = bb.position() + len + (len & 1)
+      if (id == "LIST" && len >= 4 && fcc() == "movi") {
+        sawMovi = true
+        val end = next - (len & 1)
+        while (bb.position() + 8 <= end) {
+          val cid = fcc()
+          val clen = bb.getInt()
+          if (clen < 0 || bb.position() + clen > end) return None
+          if (cid == "00dc" || cid == "00db") {
+            val f = new Array[Byte](clen); bb.get(f); out += f
+          } else bb.position(bb.position() + clen)
+          if ((clen & 1) == 1 && bb.position() < end)
+            bb.position(bb.position() + 1)
+        }
+      }
+      if (next > bytes.length) return None
+      bb.position(next)
+    }
+    if (sawMovi) Some(out.result()) else None
+  }
+
+  /** Encode the synthetic Motion-PNG AVI for one id. */
   def encodeVideo(id: Long): Array[Byte] = {
     val frames = (0 until synthFrameCount(id)).map { j =>
       encodeGrayPng(VideoW, VideoH, (x, y) => synthVideoPixel(id, j, x, y))
     }
-    val bb = java.nio.ByteBuffer.allocate(
-      8 + frames.map(_.length + 4).sum)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("GVID".getBytes("US-ASCII")).putInt(frames.length)
-    frames.foreach { f => bb.putInt(f.length); bb.put(f) }
-    bb.array()
+    encodeAvi(frames, VideoW, VideoH)
   }
 
-  /** Demux the container; None on bad magic/lengths. */
-  def demuxVideo(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
-    if (bytes.length < 8) return None
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val magic = new Array[Byte](4); bb.get(magic)
-    if (new String(magic, "US-ASCII") != "GVID") return None
-    val n = bb.getInt()
-    if (n < 0 || n > 1024) return None
-    val out = Seq.newBuilder[Array[Byte]]
-    var i = 0
-    while (i < n) {
-      if (bb.remaining() < 4) return None
-      val len = bb.getInt()
-      if (len < 0 || bb.remaining() < len) return None
-      val f = new Array[Byte](len); bb.get(f); out += f
-      i += 1
-    }
-    Some(out.result())
-  }
+  /** Demux the AVI container; None on bad magic/lengths. */
+  def demuxVideo(bytes: Array[Byte]): Option[Seq[Array[Byte]]] =
+    demuxAvi(bytes)
 
   final case class FrameStats(media_id: Long, frame_idx: Int,
       lum_sum: Long)
@@ -495,7 +576,7 @@ object Multimodal {
       idCol: String = "doc_id"): DataFrame = {
     import spark.implicits._
     ids.select(col(idCol).cast(LongType)).as[Long]
-      .mapPartitions(it => it.map(id => (id, "video", "video/x-gvid",
+      .mapPartitions(it => it.map(id => (id, "video", "video/x-msvideo",
         encodeVideo(id))))
       .toDF("media_id", "modality", "mime", "payload")
   }

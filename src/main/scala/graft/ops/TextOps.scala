@@ -186,15 +186,20 @@ object TextOps {
     * (ties broken by fixed language order; default "en"). Pure column
     * arithmetic — a real model would plug in the same shape.
     * [Not oracle-expressible — checked by ScalaTest.] */
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "is", "with"),
-    "fr" -> Seq("le", "la", "les", "et", "est"),
-    "es" -> Seq("el", "los", "las", "es", "y"),
-    "de" -> Seq("der", "die", "das", "und", "ist"),
-    "zh" -> Seq() // marked by CJK characters instead
-  )
+  private val langMarkers: Seq[(String, Seq[String])] =
+    graft.functions.TextLang.markers // single source of truth
 
+  /** Native one-pass language ID (graft.functions.TextLang) — the
+    * codegen'd scan that replaced the interpreted `aggregate` lambda
+    * on the hot path (x4_kappa 3.7 s → map-bound; same semantics,
+    * OpsSpec pins native == [[langIdHof]] on the real corpus). */
   def langId(text: Column): Column =
+    graft.functions.TextLang.lang_id(text)
+
+  /** Built-in-functions formulation of [[langId]] (same semantics) —
+    * kept as the bit-compatibility cross-check, same pattern as
+    * `shinglesHof` next to the native ShingleSet. */
+  def langIdHof(text: Column): Column =
     langIdFromTokens(text, tokens(lower(text)))
 
   private val wordLangs = langMarkers.filter(_._2.nonEmpty)

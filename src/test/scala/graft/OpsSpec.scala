@@ -214,6 +214,29 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "fr", 2L -> "es", 3L -> "de", 4L -> "en", 5L -> "en"))
   }
 
+  test("native langId == HOF formulation on the real corpus AND on " +
+      "adversarial edges (CJK, ties, mixed case, weird whitespace)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val diff = docs.select(
+        TextOps.langId(col("text")).as("native"),
+        TextOps.langIdHof(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0, s"$diff corpus docs classified differently")
+    val edges = docsDf(Seq(
+      (1L, "汉字 in the middle of the text 汉字汉", "zh"),
+      (2L, "le the", "tie"),                 // 1 fr vs 1 en -> en first
+      (3L, "", "empty"),
+      (4L, "THE AND OF", "upper"),
+      (5L, "a\tb\nthe\r\nund und", "ws"),
+      (6L, "y", "single"),
+      (7L, "   ", "blank")))
+    val e = edges.select(col("doc_id"),
+        TextOps.langId(col("text")).as("native"),
+        TextOps.langIdHof(col("text")).as("hof")).collect()
+    e.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"edge doc ${r.getLong(0)}: native=${r.getString(1)} hof=${r.getString(2)}"))
+  }
+
   test("ann LSH candidates rank by exact cosine and overlap brute force") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val ann = Similarity.annTopK(emb, emb.filter(col("vec_id") === 0), dim = 64,

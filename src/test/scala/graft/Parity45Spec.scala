@@ -10,7 +10,7 @@ class Parity45Spec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import graft.ops.Multimodal
 
-  test("video container round-trip: demux returns the exact frame " +
+  test("AVI container round-trip: demux returns the exact frame " +
       "payloads; corrupt containers are rejected") {
     val bytes = Multimodal.encodeVideo(7L)
     val Some(frames) = Multimodal.demuxVideo(bytes)
@@ -18,8 +18,49 @@ class Parity45Spec extends AnyFunSuite {
     frames.foreach(f => assert(Multimodal.decodeImage(f).isDefined,
       "every demuxed frame must be a decodable PNG"))
     val bad = bytes.clone(); bad(0) = 'X'.toByte
-    assert(Multimodal.demuxVideo(bad).isEmpty)
+    assert(Multimodal.demuxVideo(bad).isEmpty, "bad RIFF magic")
+    val notAvi = bytes.clone()
+    notAvi(8) = 'W'.toByte // RIFF form type != 'AVI '
+    assert(Multimodal.demuxVideo(notAvi).isEmpty)
     assert(Multimodal.demuxVideo(Array[Byte](1, 2)).isEmpty)
+    assert(Multimodal.demuxVideo(bytes.take(40)).isEmpty,
+      "truncated mid-header")
+  }
+
+  test("the AVI writer is spec-shaped RIFF: magic, hdrl headers, " +
+      "even-padded 00dc chunks, idx1 — and the demuxer is a generic " +
+      "walker that survives foreign chunks and odd frame lengths") {
+    val bytes = Multimodal.encodeVideo(7L)
+    def fourcc(off: Int) = new String(bytes.slice(off, off + 4), "US-ASCII")
+    def le32(off: Int) =
+      java.nio.ByteBuffer.wrap(bytes, off, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(fourcc(0) == "RIFF" && fourcc(8) == "AVI ")
+    assert(le32(4) == bytes.length - 8, "RIFF size covers the file")
+    assert(fourcc(12) == "LIST" && fourcc(20) == "hdrl")
+    assert(fourcc(24) == "avih" && le32(28) == 56)
+    // a REAL odd-length frame forces the even-padding path; a foreign
+    // 'JUNK' chunk between hdrl and movi must be skipped, not choked on
+    val odd = Array.tabulate[Byte](33)(i => (i * 7).toByte)
+    val evenF = Array.tabulate[Byte](20)(i => (i * 3).toByte)
+    val avi = Multimodal.encodeAvi(Seq(odd, evenF), 8, 6)
+    val Some(back) = Multimodal.demuxAvi(avi)
+    assert(back.length == 2 &&
+      back(0).toSeq == odd.toSeq && back(1).toSeq == evenF.toSeq,
+      "payloads survive round-trip bit-exact incl. the odd-length one")
+    // splice a JUNK chunk right after the hdrl LIST (offset 12 + 8 +
+    // hdrl size), shifting movi — the generic walker must skip it
+    val hdrlEnd = 12 + 8 + le32(16)
+    val junk = "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ Array[Byte](9, 9, 9, 9)
+    val spliced = bytes.take(hdrlEnd) ++ junk ++ bytes.drop(hdrlEnd)
+    // fix the RIFF size for the inserted bytes
+    val bb = java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    val Some(viaJunk) = Multimodal.demuxAvi(spliced)
+    assert(viaJunk.length == Multimodal.synthFrameCount(7L),
+      "foreign top-level chunks are skipped by the RIFF walk")
   }
 
   test("mm_scene_cuts: every video has EXACTLY one cut, at the " +
