@@ -141,8 +141,24 @@ object ScaleBench {
     // work tracks the OUTPUT (grid cells bound candidates to
     // Σ 9·occupancy²), not n² of all points. A fixed-density corpus
     // (domain growing with the data) would be linear.
-    "j13_grid_radius")
+    "j13_grid_radius",
+    // round-12 batch: the four round-11 latecomers. delivery_gaps'
+    // calendar spine is TIME-RANGE-sized (replication multiplies
+    // density, not span, so the anti-join's right side is fixed and
+    // only the scan + distinct grow — and gaps can only close);
+    // embed_drift's output is (labels × dims)-bounded while its
+    // decimal component sums grow with the scan. cluster_split and
+    // sample_curve ride the near-dup pair join, so they inherit
+    // x2_minhash_lsh's clone-replication artifact (every doc gets
+    // C(copies,2) true clone pairs) and run the 1x/10x tiers only.
+    "x5_delivery_gaps", "x3_embed_drift", "x7_cluster_split",
+    "x2_sample_curve")
   private val SkipAt100 = Set("x2_minhash_lsh",
+    // near-dup pair machinery: clone multiplicity makes candidate
+    // pairs quadratic in copies — a replication artifact, same as
+    // x2_minhash_lsh (real corpora add documents, not 100 clones of
+    // every document). 1x/10x carry the claim.
+    "x7_cluster_split", "x2_sample_curve",
     // same densification artifact as the LSH row: key-offset
     // replication multiplies POINT DENSITY in the fixed grid domain,
     // so true radius pairs grow ~quadratically (real spatial corpora
@@ -506,6 +522,145 @@ object ScaleBench {
               .unset("spark.sql.streaming.stateStore.providerClass")
           }
         }
+      }
+
+      // Materialized-adjacency arm for the x9 graph family: all 12
+      // graph queries re-derive co-purchase edges from lineitem per
+      // query (the basket explode + distinct). This block measures
+      // the staging decision a 100 TB graph ETL makes: the one-time
+      // cost of materializing the edge table to parquet vs the
+      // per-query saving of reading it instead of re-deriving —
+      // crossover_queries = materialize_sec / (derived − mat) is the
+      // number of graph queries after which the staged table pays for
+      // itself. kcorePeel (6 rounds) is the representative consumer;
+      // the bucketed-layout variant of the same decision is measured
+      // by kcore_arms above.
+      if (blockOn("adj_arm")) locally {
+        import graft.queries.Parity24
+        def noopSave(df: DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        def best2(f: => Unit): Double = {
+          def once: Double = {
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }
+          math.min(once, once)
+        }
+        val js = Seq(10 -> "target/sf1", 100 -> "target/sf10").map {
+          case (c, dir) =>
+            val ep = s"target/adj_edges_x$c"
+            val t0 = System.nanoTime()
+            Parity24.edges(spark, dir).write.mode("overwrite").parquet(ep)
+            val matSec = (System.nanoTime() - t0) / 1e9
+            val derived = best2(noopSave(
+              Parity24.kcorePeel(Parity24.edges(spark, dir), 80, 6)))
+            // plain parquet arm: every peel round re-plans from the
+            // parquet relation, so the 120 M-edge scan is paid per
+            // round — the apples-to-apples arm for an ITERATIVE
+            // consumer reads once and lineage-truncates, exactly what
+            // the derived path's edges() already does internally
+            val mat = best2(noopSave(
+              Parity24.kcorePeel(spark.read.parquet(ep), 80, 6)))
+            val matCached = best2(noopSave(Parity24.kcorePeel(
+              graft.ops.Iter.truncate(spark.read.parquet(ep), None),
+              80, 6)))
+            val saving = derived - math.min(mat, matCached)
+            val cross =
+              if (saving > 0) f"${matSec / saving}%.1f" else "null"
+            f""""x$c":{"materialize_sec":$matSec%.2f,""" +
+              f""""derived_query_sec":$derived%.2f,""" +
+              f""""mat_query_sec":$mat%.2f,""" +
+              f""""mat_cached_query_sec":$matCached%.2f,""" +
+              f""""crossover_queries":$cross}"""
+        }.mkString(",")
+        System.err.println(s"""[scalebench] {"adj_arm":{$js}}""")
+      }
+
+      // Versioned-table MERGE cost vs table size: commit the events
+      // fact (100 k -> 1 M -> 10 M rows across tiers) as a table, then
+      // MERGE a FIXED ~10 k-row update batch (original-id events only,
+      // so the batch is identical at every tier). The honest claim
+      // under test: full MERGE is a copy-on-write SNAPSHOT REWRITE
+      // (anti-join + replace commit), so its cost grows with the
+      // TABLE, not the batch — the measured slope is the argument for
+      // the stats-pruned form (vtable_prune below). optimize() is
+      // timed at the same sizes (same rewrite shape + the commit).
+      if (blockOn("vtable_merge")) locally {
+        import graft.sources.VersionedTable
+        val js = Seq(1 -> "target/sf01rw", 10 -> "target/sf1",
+          100 -> "target/sf10").map { case (c, dir) =>
+          val p = s"target/vt_ev_x$c"
+          val fsp = new org.apache.hadoop.fs.Path(p)
+          val fs = fsp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(fsp)) fs.delete(fsp, true)
+          val ev = spark.read.parquet(s"$dir/events.parquet")
+          val t0 = System.nanoTime()
+          VersionedTable.commit(spark, p, ev, 0L)
+          val buildSec = (System.nanoTime() - t0) / 1e9
+          val updates = ev
+            .filter(col("event_id") < Offset && col("event_id") % 10 === 7)
+            .withColumn("event_type", concat(lit("v2_"), col("event_type")))
+          val t1 = System.nanoTime()
+          VersionedTable.merge(spark, p, updates, "event_id")
+          val mergeSec = (System.nanoTime() - t1) / 1e9
+          val t2 = System.nanoTime()
+          VersionedTable.optimize(spark, p)
+          val optSec = (System.nanoTime() - t2) / 1e9
+          val nRows = VersionedTable.read(spark, p).get.count()
+          f""""x$c":{"rows":$nRows,"build_sec":$buildSec%.2f,""" +
+            f""""merge_sec":$mergeSec%.2f,"optimize_sec":$optSec%.2f}"""
+        }.mkString(",")
+        System.err.println(s"""[scalebench] {"vtable_merge":{$js}}""")
+      }
+
+      // Stats-pruned vs full-rewrite MERGE on a KEY-CLUSTERED table:
+      // each replica band of events is committed as its own group
+      // with event_id [min,max] stats (the layout a range-partitioned
+      // ingest produces — at 100x that is 100 groups × 100 k rows and
+      // the v10/v20/... checkpoints consolidate the stats), then a
+      // fixed ~10 k-row update batch confined to band 0 is merged
+      // both ways. The claim under test: full merge rewrites the
+      // TABLE (cost grows with the tier) while pruned merge rewrites
+      // the ONE overlapping group (cost flat) — the Delta-style
+      // file-skipping argument, measured.
+      if (blockOn("vtable_prune")) locally {
+        import graft.sources.VersionedTable
+        val js = Seq(10 -> "target/sf1", 100 -> "target/sf10").map {
+          case (c, dir) =>
+            val ev = spark.read.parquet(s"$dir/events.parquet")
+            def build(p: String): Unit = {
+              val fsp = new org.apache.hadoop.fs.Path(p)
+              val fsx = fsp.getFileSystem(
+                spark.sparkContext.hadoopConfiguration)
+              if (fsx.exists(fsp)) fsx.delete(fsp, true)
+              var v = 0L
+              (0 until c).foreach { i =>
+                v = VersionedTable.commit(spark, p,
+                  ev.filter(col("event_id") >= i * Offset &&
+                    col("event_id") < (i + 1) * Offset),
+                  v, statsCol = Some("event_id"))
+              }
+            }
+            val updates = ev
+              .filter(col("event_id") < Offset && col("event_id") % 10 === 7)
+              .withColumn("event_type", concat(lit("v2_"), col("event_type")))
+            val pF = s"target/vtp_full_x$c"
+            val pP = s"target/vtp_pruned_x$c"
+            build(pF); build(pP)
+            val t0 = System.nanoTime()
+            VersionedTable.merge(spark, pF, updates, "event_id")
+            val fullSec = (System.nanoTime() - t0) / 1e9
+            val t1 = System.nanoTime()
+            val (_, rewritten) =
+              VersionedTable.mergePruned(spark, pP, updates, "event_id")
+            val prunedSec = (System.nanoTime() - t1) / 1e9
+            val nF = VersionedTable.read(spark, pF).get.count()
+            val nP = VersionedTable.read(spark, pP).get.count()
+            require(nF == nP, s"pruned rows $nP != full $nF")
+            f""""x$c":{"groups":$c,"rewritten":$rewritten,""" +
+              f""""full_sec":$fullSec%.2f,"pruned_sec":$prunedSec%.2f,""" +
+              f""""speedup":${fullSec / prunedSec}%.2f}"""
+        }.mkString(",")
+        System.err.println(s"""[scalebench] {"vtable_prune":{$js}}""")
       }
 
       val c100 = rows.filter(_._4 > 0)

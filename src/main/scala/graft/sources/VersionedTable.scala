@@ -32,25 +32,30 @@ import org.apache.spark.sql.functions._
   *    syscall level, content complete at publish time). Object-store
   *    deployments substitute an If-None-Match precondition — same
   *    contract, same code shape.
-  *  - readers list `_log`, take entries ≤ the requested version, and
-  *    union the live file groups: `replace = true` entries reset the
-  *    live set (overwrite/merge rewrites), `false` entries append.
-  *    Every `checkpointInterval` commits the winner also writes a
-  *    consolidated live-set checkpoint, so a read opens
-  *    O(commits since checkpoint) log entries, not O(commits) — the
-  *    Delta `_last_checkpoint` move, without which a long-lived table
-  *    pays one tiny-file open per historical commit per read.
-  *  - MERGE (upsert) = read current snapshot, key-anti-join + union
-  *    with the updates, commit as a replace at expectedVersion —
-  *    serializable because the commit fails if anyone else moved the
-  *    table first.
+  *  - a log entry references one or more groups and may carry
+  *    per-group [min,max] KEY STATS (the Delta file-stats idea):
+  *    `replace = true` entries reset the live set, `false` entries
+  *    append. Readers fold entries ≤ the requested version. Every
+  *    `checkpointInterval` commits the winner writes a consolidated
+  *    live-set checkpoint (stats included), so a read opens
+  *    O(commits since checkpoint) log entries, not O(commits).
+  *  - MERGE (upsert) comes in two forms. [[merge]] rewrites the full
+  *    snapshot (anti-join + replace) — always correct, cost grows
+  *    with the TABLE (the measured vtable_merge slope in SCALE.md).
+  *    [[mergePruned]] is the production form: only groups whose key
+  *    stats OVERLAP the update batch's key range are rewritten; the
+  *    rest are carried BY REFERENCE into the new version. On a
+  *    key-clustered table (each ingest commit covering a key range —
+  *    the layout `writeZOrdered`/partitioned ingest produces) the
+  *    rewrite touches O(batch-affected) groups, not O(table). Groups
+  *    without stats are conservatively rewritten; results are
+  *    spec-pinned equal to [[merge]].
   *  - [[vacuum]] deletes data groups referenced by NO log entry (the
   *    orphans left by writers that crashed between staging and
-  *    publish, or that hit a non-conflict IO error). Groups referenced
-  *    by ANY version — including replaced ones — are never touched,
-  *    so time travel stays intact; a `minAgeMs` guard keeps a
-  *    concurrent writer's freshly staged (not yet published) group
-  *    safe, the same retention fence Delta's VACUUM uses.
+  *    publish). Groups referenced by ANY version — including replaced
+  *    ones — are never touched, so time travel stays intact; a
+  *    `minAgeMs` fence keeps a concurrent writer's freshly staged
+  *    (not yet published) group safe.
   *  - [[optimize]] is OPTIMIZE/compaction THROUGH the protocol: read
   *    the current snapshot, rewrite it at `targetBytes`-sized files,
   *    commit as a replace — losing a race surfaces as the same
@@ -59,8 +64,8 @@ import org.apache.spark.sql.functions._
   * Scale posture: the log is one tiny JSON per commit (metadata);
   * data file groups are immutable parquet written with the normal
   * partitioned/bucketed writers, so reads keep every pushdown/
-  * pruning property. MERGE rewrites only through the same keyed
-  * anti-join the ledger path uses — one shuffle on the merge key.
+  * pruning property. Pruned MERGE shuffles only the touched groups
+  * on the merge key.
   */
 object VersionedTable {
 
@@ -77,8 +82,48 @@ object VersionedTable {
 
   private def logDir(path: String) = s"$path/_log"
 
-  private case class Entry(version: Long, groups: Seq[String],
+  /** A live file group: name + optional [min,max] stats of the
+    * table's clustering/merge key. */
+  final case class Group(name: String, lo: Option[Long], hi: Option[Long])
+
+  private case class Entry(version: Long, groups: Seq[Group],
       replace: Boolean)
+
+  // ---- tiny JSON (de)serializers for the fixed log shapes ----------
+
+  private def groupsJson(gs: Seq[Group]): String = {
+    val names = gs.map(g => s""""${g.name}"""").mkString("[", ",", "]")
+    val lo = gs.map(_.lo.map(_.toString).getOrElse("null"))
+      .mkString("[", ",", "]")
+    val hi = gs.map(_.hi.map(_.toString).getOrElse("null"))
+      .mkString("[", ",", "]")
+    s""""groups":$names,"lo":$lo,"hi":$hi"""
+  }
+
+  private def arrayBody(raw: String, key: String): Seq[String] = {
+    val body = raw.split(s""""$key":\\[""")(1).split("\\]")(0).trim
+    if (body.isEmpty) Seq.empty else body.split(",").toSeq.map(_.trim)
+  }
+
+  private def parseGroups(raw: String): Seq[Group] = {
+    val names = arrayBody(raw, "groups")
+      .map(_.stripPrefix("\"").stripSuffix("\""))
+    val lo = arrayBody(raw, "lo")
+      .map(s => if (s == "null") None else Some(s.toLong))
+    val hi = arrayBody(raw, "hi")
+      .map(s => if (s == "null") None else Some(s.toLong))
+    names.indices.map(i => Group(names(i),
+      lo.lift(i).flatten, hi.lift(i).flatten))
+  }
+
+  private def jsonField(raw: String, k: String): String =
+    raw.split(s""""$k":""")(1).split("[,}\\]]")(0).trim
+
+  private def readJson(f: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
 
   /** Latest committed version, or 0 when the table is empty. */
   def currentVersion(spark: SparkSession, path: String): Long = {
@@ -90,15 +135,6 @@ object VersionedTable {
       .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
       .foldLeft(0L)(math.max)
   }
-
-  private def readJson(f: org.apache.hadoop.fs.FileSystem, p: Path): String = {
-    val in = f.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-  }
-
-  private def jsonField(raw: String, k: String): String =
-    raw.split(s""""$k":""")(1).split("[,}\\]]")(0).trim
 
   /** Atomic create-if-absent publish of `payload` at `entry`. Returns
     * false on a lost race (the entry already exists); rethrows
@@ -133,26 +169,20 @@ object VersionedTable {
       true
   }
 
-  /** Atomically publish `df` as version `expectedVersion + 1`.
-    * `replace = true` makes this commit the new live set (overwrite
-    * semantics); `false` appends to it. Throws
-    * [[CommitConflictException]] when another writer committed the
-    * same version first (the staged data group is cleaned up); any
-    * OTHER IO failure propagates unchanged and leaves the staged
-    * group as an orphan for [[vacuum]]. Returns the committed
-    * version. */
-  def commit(spark: SparkSession, path: String, df: DataFrame,
-      expectedVersion: Long, replace: Boolean = false): Long = {
-    val next = expectedVersion + 1
-    val group = java.util.UUID.randomUUID().toString
-    df.write.mode("overwrite").parquet(s"$path/data/$group")
+  /** Publish a log entry for `groups` as version `expected + 1`;
+    * cleans up `staged` (the groups THIS writer wrote, not the
+    * carried ones) and throws on a lost race. */
+  private def commitEntry(spark: SparkSession, path: String,
+      groups: Seq[Group], expected: Long, replace: Boolean,
+      staged: Seq[String]): Long = {
+    val next = expected + 1
     val f = fs(spark, path)
     f.mkdirs(new Path(logDir(path)))
     val entry = new Path(logDir(path), f"v$next%08d.json")
     val payload =
-      s"""{"version":$next,"group":"$group","replace":$replace}"""
+      s"""{"version":$next,"replace":$replace,${groupsJson(groups)}}"""
     if (!publishExclusive(f, entry, payload.getBytes("UTF-8"))) {
-      f.delete(new Path(s"$path/data/$group"), true)
+      staged.foreach(g => f.delete(new Path(s"$path/data/$g"), true))
       throw new CommitConflictException(next)
     }
     // the winner of a checkpoint-boundary version consolidates the
@@ -161,20 +191,57 @@ object VersionedTable {
     if (next % CheckpointInterval == 0) {
       val live = liveGroups(spark, path, Some(next))
       val chk = new Path(logDir(path), f"chk-v$next%08d.json")
-      val body = live.map(g => s""""$g"""").mkString(
-        s"""{"version":$next,"live":[""", ",", "]}")
+      val body = s"""{"version":$next,${groupsJson(live)}}"""
       val out = f.create(chk, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
     }
     next
   }
 
-  /** The ordered live file groups at `asOfVersion` (None = latest),
-    * starting from the newest checkpoint ≤ the requested version so
-    * the number of per-commit files OPENED is bounded by
-    * [[CheckpointInterval]], not table age. */
+  /** Stage `df` as a fresh uuid group; returns the group with key
+    * stats when `statsCol` names a long-castable column (one cheap
+    * min/max agg over the just-written parquet — columnar stats
+    * reads, no full materialization). */
+  private def stageGroup(spark: SparkSession, path: String,
+      df: DataFrame, statsCol: Option[String]): Group = {
+    val name = java.util.UUID.randomUUID().toString
+    df.write.mode("overwrite").parquet(s"$path/data/$name")
+    statsCol match {
+      case Some(c) =>
+        val r = spark.read.parquet(s"$path/data/$name")
+          .agg(min(col(c).cast("long")), max(col(c).cast("long"))).head()
+        if (r.isNullAt(0)) Group(name, None, None)
+        else Group(name, Some(r.getLong(0)), Some(r.getLong(1)))
+      case None => Group(name, None, None)
+    }
+  }
+
+  /** Atomically publish `df` as version `expectedVersion + 1`.
+    * `replace = true` makes this commit the new live set (overwrite
+    * semantics); `false` appends to it. `statsCol` (optional) records
+    * the group's [min,max] of that column in the log — the file-stats
+    * input [[mergePruned]] prunes on. Throws
+    * [[CommitConflictException]] when another writer committed the
+    * same version first (the staged data group is cleaned up); any
+    * OTHER IO failure propagates unchanged and leaves the staged
+    * group as an orphan for [[vacuum]]. Returns the committed
+    * version. */
+  def commit(spark: SparkSession, path: String, df: DataFrame,
+      expectedVersion: Long, replace: Boolean = false,
+      statsCol: Option[String] = None): Long = {
+    val g = stageGroup(spark, path, df, statsCol)
+    // append entries carry only the new group; a replace entry with
+    // one group IS the whole new live set
+    commitEntry(spark, path, Seq(g), expectedVersion, replace,
+      staged = Seq(g.name))
+  }
+
+  /** The ordered live file groups (with stats) at `asOfVersion`
+    * (None = latest), starting from the newest checkpoint ≤ the
+    * requested version so the number of per-commit files OPENED is
+    * bounded by [[CheckpointInterval]], not table age. */
   private def liveGroups(spark: SparkSession, path: String,
-      asOfVersion: Option[Long]): Seq[String] = {
+      asOfVersion: Option[Long]): Seq[Group] = {
     val f = fs(spark, logDir(path))
     val d = new Path(logDir(path))
     if (!f.exists(d)) return Seq.empty
@@ -184,12 +251,8 @@ object VersionedTable {
       .map(n => n.stripPrefix("chk-v").stripSuffix(".json").toLong)
       .filter(v => asOfVersion.forall(v <= _))
       .sorted.lastOption
-    val base: Seq[String] = chk match {
-      case Some(v) =>
-        val raw = readJson(f, new Path(d, f"chk-v$v%08d.json"))
-        val body = raw.split("\\[")(1).split("\\]")(0).trim
-        if (body.isEmpty) Seq.empty
-        else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    val base: Seq[Group] = chk match {
+      case Some(v) => parseGroups(readJson(f, new Path(d, f"chk-v$v%08d.json")))
       case None => Seq.empty
     }
     val from = chk.getOrElse(0L)
@@ -200,8 +263,7 @@ object VersionedTable {
       .sorted
       .map { v =>
         val raw = readJson(f, new Path(d, f"v$v%08d.json"))
-        Entry(v, Seq(jsonField(raw, "group").replaceAll("\"", "")),
-          jsonField(raw, "replace").toBoolean)
+        Entry(v, parseGroups(raw), jsonField(raw, "replace").toBoolean)
       }
     entries.foldLeft(base) {
       case (_, Entry(_, gs, true)) => gs
@@ -215,14 +277,16 @@ object VersionedTable {
       asOfVersion: Option[Long] = None): Option[DataFrame] = {
     val live = liveGroups(spark, path, asOfVersion)
     if (live.isEmpty) None
-    else Some(live.map(g => spark.read.parquet(s"$path/data/$g"))
+    else Some(live.map(g => spark.read.parquet(s"$path/data/${g.name}"))
       .reduce(_ unionByName _))
   }
 
-  /** MERGE (upsert by key): rows of `updates` replace same-key rows,
-    * everything else carries over. One optimistic attempt at the
-    * current version — callers loop on [[CommitConflictException]]
-    * for the retry semantics. Returns the committed version. */
+  /** MERGE (upsert by key), full-rewrite form: rows of `updates`
+    * replace same-key rows, everything else carries over — the whole
+    * snapshot is rewritten as one replace commit. One optimistic
+    * attempt at the current version — callers loop on
+    * [[CommitConflictException]] for the retry semantics. Returns the
+    * committed version. */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       keyCol: String): Long = {
     val v = currentVersion(spark, path)
@@ -232,7 +296,53 @@ object VersionedTable {
           "left_anti").unionByName(updates)
       case None => updates
     }
-    commit(spark, path, merged, v, replace = true)
+    commit(spark, path, merged, v, replace = true,
+      statsCol = Some(keyCol))
+  }
+
+  /** MERGE (upsert by key), stats-pruned copy-on-write form: only
+    * live groups whose [min,max] key stats OVERLAP the update batch's
+    * key range are rewritten (anti-join + union); disjoint groups are
+    * carried into the new version BY REFERENCE — zero data movement.
+    * Groups without stats are conservatively rewritten. Equivalent to
+    * [[merge]] row-for-row (spec-pinned); on a key-clustered table
+    * the rewrite cost is O(touched groups), not O(table) — the
+    * difference SCALE.md's vtable_prune block measures. Returns
+    * (committedVersion, rewrittenGroupCount). */
+  def mergePruned(spark: SparkSession, path: String, updates: DataFrame,
+      keyCol: String): (Long, Int) = {
+    val v = currentVersion(spark, path)
+    val live = liveGroups(spark, path, Some(v))
+    if (live.isEmpty)
+      return (commit(spark, path, updates, v, replace = true,
+        statsCol = Some(keyCol)), 0)
+    val r = updates.agg(min(col(keyCol).cast("long")),
+      max(col(keyCol).cast("long"))).head()
+    // all-null update keys match nothing: append the updates as-is
+    if (r.isNullAt(0)) {
+      val g = stageGroup(spark, path, updates, Some(keyCol))
+      return (commitEntry(spark, path, live :+ g, v, replace = true,
+        staged = Seq(g.name)), 0)
+    }
+    val (uLo, uHi) = (r.getLong(0), r.getLong(1))
+    val (touched, carried) = live.partition { g =>
+      (g.lo, g.hi) match {
+        case (Some(lo), Some(hi)) => lo <= uHi && uLo <= hi
+        case _ => true // no stats -> conservative rewrite
+      }
+    }
+    val touchedDf = touched
+      .map(g => spark.read.parquet(s"$path/data/${g.name}"))
+      .reduceOption(_ unionByName _)
+    val rewritten = touchedDf match {
+      case Some(t) =>
+        t.join(updates.select(col(keyCol)).distinct(), Seq(keyCol),
+          "left_anti").unionByName(updates)
+      case None => updates
+    }
+    val g = stageGroup(spark, path, rewritten, Some(keyCol))
+    (commitEntry(spark, path, carried :+ g, v, replace = true,
+      staged = Seq(g.name)), touched.size)
   }
 
   /** Delete data groups referenced by NO log entry — the orphans a
@@ -253,7 +363,7 @@ object VersionedTable {
       if (!f.exists(d)) Set.empty
       else f.listStatus(d).map(_.getPath).toSeq
         .filter(p => p.getName.startsWith("v") && p.getName.endsWith(".json"))
-        .map(p => jsonField(readJson(f, p), "group").replaceAll("\"", ""))
+        .flatMap(p => parseGroups(readJson(f, p)).map(_.name))
         .toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     f.listStatus(dataDir).toSeq
@@ -268,25 +378,27 @@ object VersionedTable {
     * same plan rule as [[Sinks.compact]]) and commit it as a replace
     * THROUGH the commit protocol — concurrent writers see it as one
     * more version, and a lost race surfaces as the usual
-    * [[CommitConflictException]]. The replaced groups stay on disk
-    * for time travel until a future retention policy drops their log
-    * entries. Returns (committedVersion, plannedFiles); (0, 0) on an
-    * empty table. */
+    * [[CommitConflictException]]. `statsCol` re-records key stats on
+    * the compacted group so pruned MERGE keeps working after
+    * compaction. The replaced groups stay on disk for time travel
+    * until a future retention policy drops their log entries. Returns
+    * (committedVersion, plannedFiles); (0, 0) on an empty table. */
   def optimize(spark: SparkSession, path: String,
-      targetBytes: Long = 128L << 20): (Long, Long) = {
+      targetBytes: Long = 128L << 20,
+      statsCol: Option[String] = None): (Long, Long) = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val v = currentVersion(spark, path)
     val live = liveGroups(spark, path, Some(v))
     if (live.isEmpty) return (0L, 0L)
     val f = fs(spark, path)
     val bytes = live.map { g =>
-      f.getContentSummary(new Path(s"$path/data/$g")).getLength
+      f.getContentSummary(new Path(s"$path/data/${g.name}")).getLength
     }.sum
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val snapshot = live.map(g => spark.read.parquet(s"$path/data/$g"))
+    val snapshot = live.map(g => spark.read.parquet(s"$path/data/${g.name}"))
       .reduce(_ unionByName _)
-    val committed =
-      commit(spark, path, snapshot.repartition(nFiles), v, replace = true)
+    val committed = commit(spark, path, snapshot.repartition(nFiles), v,
+      replace = true, statsCol = statsCol)
     (committed, nFiles.toLong)
   }
 }

@@ -131,6 +131,56 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.optimize(spark, "/nonexistent-vt") == ((0L, 0L)))
   }
 
+  test("stats-pruned MERGE == full MERGE; disjoint-range groups are " +
+      "carried by reference and stats survive the checkpoint") {
+    val p = tmp(); val p2 = tmp()
+    // key-clustered ingest: 12 appends, each covering a disjoint key
+    // decade — 12 commits so the v10 checkpoint consolidates stats
+    var v = 0L; var v2 = 0L
+    (0 until 12).foreach { i =>
+      val part = df((i * 10 + 1).toLong -> s"a${i * 10 + 1}",
+        (i * 10 + 2).toLong -> s"a${i * 10 + 2}")
+      v = VersionedTable.commit(spark, p, part, v, statsCol = Some("k"))
+      v2 = VersionedTable.commit(spark, p2, part, v2, statsCol = Some("k"))
+    }
+    // update batch confined to decade 1 (keys 11, 13): exactly ONE of
+    // the 12 groups overlaps [11, 13] — stats read through chk-v10
+    val updates = df(11L -> "U11", 13L -> "NEW13")
+    val (nv, rewritten) = VersionedTable.mergePruned(spark, p, updates, "k")
+    assert(rewritten == 1,
+      "only the overlapping group may be rewritten (stats via checkpoint)")
+    assert(nv == v + 1)
+    VersionedTable.merge(spark, p2, updates, "k")
+    assert(snapshot(p) == snapshot(p2),
+      "pruned merge must equal the full-rewrite merge row-for-row")
+    assert(snapshot(p)(11L) == "U11" && snapshot(p)(13L) == "NEW13")
+    // by-reference carry: exactly one new data group was written
+    assert(new java.io.File(s"$p/data").listFiles().count(_.isDirectory)
+      == 13, "12 ingest groups + 1 rewritten group")
+    // pre-merge version still time-travels
+    assert(snapshot(p, Some(v)).get(11L).contains("a11"))
+    // batch disjoint from EVERY group: zero rewrites, pure append-
+    // by-reference replace
+    val (_, rw2) = VersionedTable.mergePruned(spark, p,
+      df(500L -> "far"), "k")
+    assert(rw2 == 0, "no overlapping group -> nothing rewritten")
+    assert(snapshot(p)(500L) == "far" && snapshot(p)(11L) == "U11")
+  }
+
+  test("pruned MERGE without stats falls back to rewriting every " +
+      "group (conservative, still correct)") {
+    val p = tmp()
+    var v = 0L
+    (0 until 3).foreach { i =>
+      v = VersionedTable.commit(spark, p,
+        df((i * 10 + 1).toLong -> s"a$i"), v) // NO statsCol
+    }
+    val (_, rewritten) = VersionedTable.mergePruned(spark, p,
+      df(1L -> "U"), "k")
+    assert(rewritten == 3, "stat-less groups must be rewritten")
+    assert(snapshot(p) == Map(1L -> "U", 11L -> "a1", 21L -> "a2"))
+  }
+
   test("publish arbiter is content-complete: a pre-existing entry " +
       "file (simulated winner) conflicts and cleans the staged group") {
     val p = tmp()
@@ -138,7 +188,8 @@ class VersionedTableSpec extends AnyFunSuite {
     // simulate a concurrent winner that already published v2
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$p/_log/v00000002.json"),
-      """{"version":2,"group":"zzz-not-a-real-group","replace":false}"""
+      ("""{"version":2,"replace":false,""" +
+        """"groups":["zzz-not-real"],"lo":[null],"hi":[null]}""")
         .getBytes("UTF-8"))
     intercept[VersionedTable.CommitConflictException] {
       VersionedTable.commit(spark, p, df(2L -> "loser"), v1)
