@@ -69,6 +69,7 @@ object SparkEntry {
       graft.queries.Parity50.queries ++
       graft.queries.Parity51.queries ++
       graft.queries.Parity52.queries ++
+      graft.queries.Parity53.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -127,5 +128,6 @@ object SparkEntry {
       graft.queries.Parity50.oracles ++
       graft.queries.Parity51.oracles ++
       graft.queries.Parity52.oracles ++
+      graft.queries.Parity53.oracles ++
       graft.queries.ExtQueries.oracles
 }

@@ -359,10 +359,14 @@ object VersionedTable {
     val dataDir = new Path(s"$path/data")
     if (!f.exists(dataDir)) return Seq.empty
     val d = new Path(logDir(path))
+    // entries AND checkpoints both pin groups: after expireVersions
+    // the horizon checkpoint is the ONLY reference to the live set it
+    // consolidated — vacuuming on entries alone would delete live data
     val referenced: Set[String] =
       if (!f.exists(d)) Set.empty
       else f.listStatus(d).map(_.getPath).toSeq
-        .filter(p => p.getName.startsWith("v") && p.getName.endsWith(".json"))
+        .filter(p => p.getName.endsWith(".json") &&
+          (p.getName.startsWith("v") || p.getName.startsWith("chk-v")))
         .flatMap(p => parseGroups(readJson(f, p)).map(_.name))
         .toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
@@ -371,6 +375,51 @@ object VersionedTable {
         !referenced.contains(st.getPath.getName) &&
         st.getModificationTime <= cutoff)
       .map { st => f.delete(st.getPath, true); st.getPath.getName }
+  }
+
+  /** Retention: drop log entries more than `keepLast` versions behind
+    * the head, first consolidating the live set AT the horizon into a
+    * checkpoint so every read within the retained window keeps
+    * working. Checkpoints older than the horizon are dropped too
+    * (they would otherwise resolve a time-travel read against a
+    * silently incomplete tail). After expiry:
+    *  - reads at versions > horizon: unchanged (checkpoint + tail);
+    *  - reads at versions ≤ horizon: return None — the documented
+    *    time-travel horizon, exactly Delta's
+    *    `logRetentionDuration` semantics;
+    *  - data groups referenced ONLY by dropped entries become
+    *    unreferenced and a subsequent [[vacuum]] reclaims them (the
+    *    horizon checkpoint pins the still-live ones — vacuum reads
+    *    checkpoints too).
+    * Returns the number of dropped log entries. */
+  def expireVersions(spark: SparkSession, path: String,
+      keepLast: Int): Long = {
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val current = currentVersion(spark, path)
+    val horizon = current - keepLast
+    if (horizon <= 0) return 0L
+    val f = fs(spark, path)
+    val d = new Path(logDir(path))
+    // consolidate BEFORE dropping: the checkpoint must land first so
+    // a reader never sees the tail without its base
+    val live = liveGroups(spark, path, Some(horizon))
+    val chk = new Path(d, f"chk-v$horizon%08d.json")
+    val body = s"""{"version":$horizon,${groupsJson(live)}}"""
+    val out = f.create(chk, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    var dropped = 0L
+    f.listStatus(d).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("chk-v") && n.endsWith(".json")) {
+        if (n.stripPrefix("chk-v").stripSuffix(".json").toLong < horizon)
+          f.delete(st.getPath, false)
+      } else if (n.startsWith("v") && n.endsWith(".json")) {
+        if (n.stripPrefix("v").stripSuffix(".json").toLong <= horizon) {
+          f.delete(st.getPath, false); dropped += 1
+        }
+      }
+    }
+    dropped
   }
 
   /** OPTIMIZE: rewrite the current snapshot into files sized near

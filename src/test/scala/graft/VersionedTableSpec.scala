@@ -167,6 +167,37 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(snapshot(p)(500L) == "far" && snapshot(p)(11L) == "U11")
   }
 
+  test("expireVersions: retained window reads unchanged, beyond-" +
+      "horizon reads return None, and vacuum reclaims exactly the " +
+      "groups only dropped entries referenced") {
+    val p = tmp()
+    var v = 0L
+    (1 to 23).foreach { i =>
+      v = VersionedTable.commit(spark, p, df(i.toLong -> s"r$i"), v,
+        replace = i == 15)
+    }
+    val before = snapshot(p)
+    val dropped = VersionedTable.expireVersions(spark, p, keepLast = 5)
+    assert(dropped == 18, "versions 1..18 leave the log")
+    assert(VersionedTable.currentVersion(spark, p) == 23)
+    assert(snapshot(p) == before, "head read unchanged")
+    assert(snapshot(p, Some(20L)) ==
+      (15 to 20).map(i => i.toLong -> s"r$i").toMap,
+      "mid-window time travel via the horizon checkpoint + tail")
+    assert(snapshot(p, Some(18L)) ==
+      (15 to 18).map(i => i.toLong -> s"r$i").toMap,
+      "read AT the horizon resolves from the consolidated checkpoint")
+    assert(VersionedTable.read(spark, p, Some(14L)).isEmpty,
+      "beyond the horizon -> None, never a silently partial snapshot")
+    // groups 1..14 died at the v15 replace AND their entries are gone
+    // -> vacuumable; groups 15..23 are pinned by the checkpoint/tail
+    val reclaimed = VersionedTable.vacuum(spark, p, minAgeMs = 0L)
+    assert(reclaimed.size == 14, s"14 dead groups, got ${reclaimed.size}")
+    assert(snapshot(p) == before, "vacuum after expiry keeps the data")
+    assert(snapshot(p, Some(18L)).nonEmpty,
+      "horizon read still works post-vacuum (checkpoint pins groups)")
+  }
+
   test("pruned MERGE without stats falls back to rewriting every " +
       "group (conservative, still correct)") {
     val p = tmp()
