@@ -171,16 +171,20 @@ object VersionedTable {
 
   /** Publish a log entry for `groups` as version `expected + 1`;
     * cleans up `staged` (the groups THIS writer wrote, not the
-    * carried ones) and throws on a lost race. */
-  private def commitEntry(spark: SparkSession, path: String,
+    * carried ones) and throws on a lost race. `batchId` (optional)
+    * tags the entry with a streaming micro-batch id — the idempotence
+    * token [[graft.streaming.VersionedSink]] deduplicates retried
+    * batches on. */
+  private[graft] def commitEntry(spark: SparkSession, path: String,
       groups: Seq[Group], expected: Long, replace: Boolean,
-      staged: Seq[String]): Long = {
+      staged: Seq[String], batchId: Option[Long] = None): Long = {
     val next = expected + 1
     val f = fs(spark, path)
     f.mkdirs(new Path(logDir(path)))
     val entry = new Path(logDir(path), f"v$next%08d.json")
+    val batchJs = batchId.map(b => s""""batch":$b,""").getOrElse("")
     val payload =
-      s"""{"version":$next,"replace":$replace,${groupsJson(groups)}}"""
+      s"""{"version":$next,$batchJs"replace":$replace,${groupsJson(groups)}}"""
     if (!publishExclusive(f, entry, payload.getBytes("UTF-8"))) {
       staged.foreach(g => f.delete(new Path(s"$path/data/$g"), true))
       throw new CommitConflictException(next)
@@ -228,12 +232,26 @@ object VersionedTable {
     * version. */
   def commit(spark: SparkSession, path: String, df: DataFrame,
       expectedVersion: Long, replace: Boolean = false,
-      statsCol: Option[String] = None): Long = {
+      statsCol: Option[String] = None,
+      batchId: Option[Long] = None): Long = {
     val g = stageGroup(spark, path, df, statsCol)
     // append entries carry only the new group; a replace entry with
     // one group IS the whole new live set
     commitEntry(spark, path, Seq(g), expectedVersion, replace,
-      staged = Seq(g.name))
+      staged = Seq(g.name), batchId = batchId)
+  }
+
+  /** The `batch` tag of the HEAD log entry, if any — the token a
+    * streaming sink checks to make a retried micro-batch a no-op
+    * (Structured Streaming retries the LAST batch after a failure,
+    * so head-entry inspection is the sufficient check). */
+  def headBatchId(spark: SparkSession, path: String): Option[Long] = {
+    val v = currentVersion(spark, path)
+    if (v == 0) return None
+    val f = fs(spark, logDir(path))
+    val raw = readJson(f, new Path(logDir(path), f"v$v%08d.json"))
+    if (!raw.contains("\"batch\":")) None
+    else Some(jsonField(raw, "batch").toLong)
   }
 
   /** The ordered live file groups (with stats) at `asOfVersion`

@@ -596,6 +596,49 @@ class StreamingSpec extends AnyFunSuite {
     StreamJoin.attribute(ev, ev, window = "2 HOURS", delay = "30 second")
   }
 
+  test("VersionedSink: each micro-batch commits one table version " +
+      "with key stats; a retried batchId is a no-op (exactly-once)") {
+    import graft.sources.VersionedTable
+    import graft.streaming.VersionedSink
+    val srcDir = s"$fx/vsink_src"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    (0 until 4).foreach { i =>
+      docs.filter(pmod(col("doc_id"), lit(4)) === i)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val tbl = s"$fx/vsink_tbl"
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .foreachBatch(VersionedSink.into(tbl, statsCol = Some("doc_id")))
+      .option("checkpointLocation", s"$fx/vsink_ckp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val v = VersionedTable.currentVersion(spark, tbl)
+    assert(v == 4, s"4 micro-batches -> 4 append versions, got $v")
+    val got = VersionedTable.read(spark, tbl).get
+    assert(got.count() == docs.count())
+    assert(got.exceptAll(docs).count() == 0 &&
+      docs.exceptAll(got).count() == 0,
+      "streamed table content == batch source exactly")
+    // exactly-once: replaying the LAST batch id must not commit
+    val lastBatch = VersionedTable.headBatchId(spark, tbl).get
+    val vRetry = VersionedSink.appendBatch(spark, tbl,
+      docs.limit(5), lastBatch, None)
+    assert(vRetry == v && VersionedTable.currentVersion(spark, tbl) == v,
+      "retried micro-batch is a no-op")
+    assert(VersionedTable.read(spark, tbl).get.count() == docs.count())
+    // ...and a NEW batch id commits normally
+    val vNext = VersionedSink.appendBatch(spark, tbl,
+      docs.limit(5), lastBatch + 1, None)
+    assert(vNext == v + 1)
+    assert(VersionedTable.read(spark, tbl).get.count() ==
+      docs.count() + 5)
+  }
+
   test("dropDuplicatesWithinWatermark: replays inside the watermark " +
       "window collapse; state is time-bounded by contract") {
     // the Spark 4 API for at-least-once sources: exact dedup keyed on
