@@ -97,5 +97,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(functions.TextNorm.StripName,
         "diacritic removal: NFD then strip combining marks"),
       (e: Seq[Expression]) => functions.StripAccents(e.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier(functions.TextLang.Name),
+      info(functions.TextLang.Name,
+        "one-pass heuristic language ID (stopword lanes + Han count)"),
+      (e: Seq[Expression]) => functions.LangIdExpr(e.head)))
   }
 }

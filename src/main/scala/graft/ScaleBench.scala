@@ -152,13 +152,21 @@ object ScaleBench {
     // x2_minhash_lsh's clone-replication artifact (every doc gets
     // C(copies,2) true clone pairs) and run the 1x/10x tiers only.
     "x5_delivery_gaps", "x3_embed_drift", "x7_cluster_split",
-    "x2_sample_curve")
+    "x2_sample_curve",
+    // round-12 addition: the attribution interval join. user_id is
+    // SHARED across replicas (only event_id is offset), so both the
+    // click and impression side of every user grow with the tier and
+    // the matched output grows ~quadratically — an OUTPUT-bound
+    // artifact (the join itself is one user-keyed shuffle; a real
+    // corpus grows users, keeping per-user event counts human-scale).
+    // 1x/10x carry the claim; 100x cut like j13's densification.
+    "x5_stream_attrib")
   private val SkipAt100 = Set("x2_minhash_lsh",
     // near-dup pair machinery: clone multiplicity makes candidate
     // pairs quadratic in copies — a replication artifact, same as
     // x2_minhash_lsh (real corpora add documents, not 100 clones of
     // every document). 1x/10x carry the claim.
-    "x7_cluster_split", "x2_sample_curve",
+    "x7_cluster_split", "x2_sample_curve", "x5_stream_attrib",
     // same densification artifact as the LSH row: key-offset
     // replication multiplies POINT DENSITY in the fixed grid domain,
     // so true radius pairs grow ~quadratically (real spatial corpora

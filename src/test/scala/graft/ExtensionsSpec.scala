@@ -28,8 +28,11 @@ class ExtensionsSpec extends AnyFunSuite {
                   graft_shingle_set(array('a','b','c','b','c','d'), 3) AS sh,
                   graft_dot_longs(array(1L,2L,3L), array(4L,5L,6L)) AS dot,
                   graft_minhash_sig(array('x y z'), 4) AS mh,
-                  graft_strip_accents(graft_nfc('señor')) AS folded""").head()
+                  graft_strip_accents(graft_nfc('señor')) AS folded,
+                  graft_lang_id('le chat est sur la table') AS lang""").head()
       assert(row.getString(4) == "senor")
+      assert(row.getString(5) == "fr",
+        "injected graft_lang_id resolves and classifies")
       assert(row.getLong(2) == 4 + 10 + 18)
       assert(row.getSeq[String](1) == Seq("a b c", "b c b", "c b c", "b c d"))
       assert(row.getSeq[Long](3).length == 4)
