@@ -70,6 +70,7 @@ object SparkEntry {
       graft.queries.Parity51.queries ++
       graft.queries.Parity52.queries ++
       graft.queries.Parity53.queries ++
+      graft.queries.Parity54.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -129,5 +130,6 @@ object SparkEntry {
       graft.queries.Parity51.oracles ++
       graft.queries.Parity52.oracles ++
       graft.queries.Parity53.oracles ++
+      graft.queries.Parity54.oracles ++
       graft.queries.ExtQueries.oracles
 }

@@ -63,6 +63,38 @@ class Parity45Spec extends AnyFunSuite {
       "foreign top-level chunks are skipped by the RIFF walk")
   }
 
+  test("dHash: planted near-dups land within Hamming 2, structurally " +
+      "different images land far, and the chunk-banded join equals " +
+      "brute force on the real corpus") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, d)
+    val media = Multimodal.synthVariantImages(spark, docs)
+    val hashes = Multimodal.decodeDHash(spark, media)
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs.size == 2 * docs.count(),
+      "every variant payload decodes (real codec round-trip)")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      val h = ham(hs(id * 2), hs(id * 2 + 1))
+      if (id % 3 == 0)
+        assert(h <= 2, s"near variant of $id drifted: hamming $h")
+      else assert(h > 3,
+        s"structurally different variant of $id collided: hamming $h")
+    }
+    // banding completeness: the 4-chunk candidate join must equal the
+    // all-pairs Hamming scan at the threshold it is complete for
+    val brute = hs.toSeq.combinations(2).collect {
+      case Seq((ia, ha), (ib, hb)) if ham(ha, hb) <= 3 =>
+        (math.min(ia, ib), math.max(ia, ib))
+    }.toSet
+    val banded = Multimodal.phashNearDupPairs(hashes, maxHamming = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute,
+      s"banded join missed ${(brute -- banded).size} / " +
+        s"leaked ${(banded -- brute).size} pairs")
+  }
+
   test("mm_scene_cuts: every video has EXACTLY one cut, at the " +
       "planted frame, and frames inside a scene are static") {
     val d = "/root/testdata/sf0.001"
