@@ -160,13 +160,23 @@ object ScaleBench {
     // artifact (the join itself is one user-keyed shuffle; a real
     // corpus grows users, keeping per-user event counts human-scale).
     // 1x/10x carry the claim; 100x cut like j13's densification.
-    "x5_stream_attrib")
+    "x5_stream_attrib",
+    // perceptual image dedup: map-only hashing + the banded Hamming
+    // join. 1x/10x are the claim (r10 measured 2.5 — sub-linear);
+    // the 100x tier hits a FIXTURE artifact: phashPixel's 16-bit
+    // mid-square state means only 65536 distinct pixel functions
+    // exist, so 1 M images collapse into ~15-way duplicate classes
+    // and the pair OUTPUT grows quadratically in class size (measured
+    // 29.9x/decade) — the same clone-family regime as x2_minhash_lsh,
+    // from the synthesis not the operator.
+    "mm_phash_pairs")
   private val SkipAt100 = Set("x2_minhash_lsh",
     // near-dup pair machinery: clone multiplicity makes candidate
     // pairs quadratic in copies — a replication artifact, same as
     // x2_minhash_lsh (real corpora add documents, not 100 clones of
     // every document). 1x/10x carry the claim.
     "x7_cluster_split", "x2_sample_curve", "x5_stream_attrib",
+    "mm_phash_pairs",
     // same densification artifact as the LSH row: key-offset
     // replication multiplies POINT DENSITY in the fixed grid domain,
     // so true radius pairs grow ~quadratically (real spatial corpora
@@ -669,6 +679,38 @@ object ScaleBench {
               f""""speedup":${fullSec / prunedSec}%.2f}"""
         }.mkString(",")
         System.err.println(s"""[scalebench] {"vtable_prune":{$js}}""")
+      }
+
+      // The fix for mm_phash_pairs' 100x duplicate-class artifact,
+      // measured: raw image-level banded pairing (output quadratic in
+      // duplicate-class size) vs the class-collapsed form (one
+      // map-side-combined groupBy on the hash, then band-join the
+      // ≤ distinct-hash-count representatives). Both arms include the
+      // decode+hash map stage, so the delta is purely the pairing
+      // strategy.
+      if (blockOn("phash_class")) locally {
+        def noopSave(df: DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        def best2(f: => Unit): Double = {
+          def once: Double = {
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }
+          math.min(once, once)
+        }
+        val js = Seq(10 -> "target/sf1", 100 -> "target/sf10").map {
+          case (c, dir) =>
+            def hashes = ops.Multimodal.decodeDHash(spark,
+              ops.Multimodal.synthVariantImages(spark,
+                Tables.documents(spark, dir)))
+            val naive = best2(noopSave(
+              ops.Multimodal.phashNearDupPairs(hashes)))
+            val byClass = best2(noopSave(
+              ops.Multimodal.phashClassPairs(hashes)))
+            f""""x$c":{"naive_sec":$naive%.2f,""" +
+              f""""class_sec":$byClass%.2f,""" +
+              f""""speedup":${naive / byClass}%.2f}"""
+        }.mkString(",")
+        System.err.println(s"""[scalebench] {"phash_class":{$js}}""")
       }
 
       val c100 = rows.filter(_._4 > 0)

@@ -552,6 +552,35 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Duplicate-class-collapsed form of [[phashNearDupPairs]] — the
+    * production shape. Real corpora (and the 100× ScaleBench tier)
+    * contain EXACT-duplicate classes; pairing raw images makes the
+    * output grow quadratically in class size (measured 29.9×/decade —
+    * SCALE.md). Collapse to one representative per distinct hash
+    * first (one map-side-combined groupBy), band-join the
+    * representatives (bounded by DISTINCT hashes, not images), and
+    * carry the member counts: a class pair (a, b, hamming, n_a, n_b)
+    * stands for n_a·n_b image pairs, and each class's C(n, 2)
+    * intra-class pairs are exact duplicates at Hamming 0 (the
+    * Parity45Spec identity pins the expansion against the raw form).
+    * Same exact-before-near move the text-dedup family uses. */
+  def phashClassPairs(hashes: DataFrame, maxHamming: Int = 3)
+      : DataFrame = {
+    val classes = graft.ops.Iter.truncate(
+      hashes.groupBy(col("dhash"))
+        .agg(min(col("media_id")).as("media_id"),
+          count(lit(1)).as("n_members")), None)
+    val pairs = phashNearDupPairs(
+      classes.select(col("media_id"), col("dhash")), maxHamming)
+    pairs
+      .join(classes.select(col("media_id").as("id_a"),
+        col("n_members").as("n_a")), Seq("id_a"))
+      .join(classes.select(col("media_id").as("id_b"),
+        col("n_members").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        col("n_a"), col("n_b"))
+  }
+
   // ---- video: RIFF/AVI demux + real per-frame decode ---------------
   // The container is a REAL standard one: Motion-PNG-in-AVI (RIFF —
   // the same chunk grammar as the WAV parser above). The writer emits

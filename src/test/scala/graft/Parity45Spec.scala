@@ -93,6 +93,17 @@ class Parity45Spec extends AnyFunSuite {
     assert(banded == brute,
       s"banded join missed ${(brute -- banded).size} / " +
         s"leaked ${(banded -- brute).size} pairs")
+    // class-collapsed form expands to EXACTLY the raw pair count:
+    // Σ cross-class n_a·n_b (near classes) + Σ intra-class C(n,2)
+    // (exact dups, Hamming 0)
+    val classPairs = Multimodal.phashClassPairs(hashes, maxHamming = 3)
+      .collect()
+    val cross = classPairs.map(r =>
+      r.getAs[Long]("n_a") * r.getAs[Long]("n_b")).sum
+    val intra = hs.values.groupBy(identity).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert(cross + intra == brute.size.toLong,
+      s"class expansion $cross + intra $intra != raw ${brute.size}")
   }
 
   test("mm_scene_cuts: every video has EXACTLY one cut, at the " +
