@@ -355,6 +355,29 @@ class PlanShapeSpec extends AnyFunSuite {
       || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("x5_stream_attrib: the interval join keys on user_id — never " +
+      "a nested-loop over the range condition") {
+    // an event-time interval join MUST keep its equality key in the
+    // join condition: dropping it (or expressing only the range)
+    // degrades to BroadcastNestedLoopJoin/CartesianProduct — the
+    // classic silent de-optimization of stream-stream attribution
+    val p = planOf("x5_stream_attrib")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      "attribution join degraded to a nested loop:\n" + p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    assert(p.matches("(?s).*Join.*user_id.*"), p)
+  }
+
+  test("mm_phash_pairs: candidates come from an equi-join on the " +
+      "chunk key — never an all-pairs product") {
+    val p = planOf("mm_phash_pairs")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      "phash banding degraded to all-pairs:\n" + p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("x1_surrogate_keys: the rank window is partition-local and " +
       "the offset path combines map-side before its metadata gather") {
     val p = planOf("x1_surrogate_keys")
