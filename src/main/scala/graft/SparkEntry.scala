@@ -71,6 +71,7 @@ object SparkEntry {
       graft.queries.Parity52.queries ++
       graft.queries.Parity53.queries ++
       graft.queries.Parity54.queries ++
+      graft.queries.Parity55.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -131,5 +132,6 @@ object SparkEntry {
       graft.queries.Parity52.oracles ++
       graft.queries.Parity53.oracles ++
       graft.queries.Parity54.oracles ++
+      graft.queries.Parity55.oracles ++
       graft.queries.ExtQueries.oracles
 }

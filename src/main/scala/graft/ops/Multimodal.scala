@@ -525,19 +525,21 @@ object Multimodal {
       .toDF("media_id", "dhash")
   }
 
-  /** Perceptual near-dup pairs among `hashes` (media_id, dhash):
-    * 16-bit-chunk candidate equi-join (complete for
+  /** Perceptual near-dup pairs among `hashes` (`idCol`, `hashCol` —
+    * any 64-bit perceptual fingerprint: image dHash, audio
+    * energy-delta fp): 16-bit-chunk candidate equi-join (complete for
     * `maxHamming` ≤ 3 by pigeonhole over 4 chunks), then the exact
     * Hamming filter. Returns (id_a, id_b, hamming), id_a < id_b. */
-  def phashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3)
+  def phashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3,
+      idCol: String = "media_id", hashCol: String = "dhash")
       : DataFrame = {
     require(maxHamming <= 3,
       s"4-chunk banding is only complete for Hamming <= 3: $maxHamming")
     def chunks(df: DataFrame, idAs: String, hashAs: String): DataFrame =
-      df.select(col("media_id").as(idAs), col("dhash").as(hashAs),
+      df.select(col(idCol).as(idAs), col(hashCol).as(hashAs),
           explode(array((0 until 4).map(i =>
             struct(lit(i).as("ci"),
-              shiftright(col("dhash"), i * 16)
+              shiftright(col(hashCol), i * 16)
                 .bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)).as("c"))
         .select(col(idAs), col(hashAs),
           col("c.ci").as("ci"), col("c.cv").as("cv"))
@@ -768,5 +770,103 @@ object Multimodal {
           }
         }
       }
+  }
+
+  // ---- audio near-dup fingerprint (energy-delta) -------------------
+  // Byte-exact audio dedup (md5 over the payload) misses re-recorded
+  // or slightly-edited duplicates, exactly like images. The
+  // production primitive is an acoustic fingerprint; the minimum
+  // viable, integer-exact form is ENERGY-DELTA binarization — the
+  // dHash idea on the time axis: frame the decoded PCM into fixed
+  // 8-sample frames, per-frame energy e(j) = Σ|v|, and emit one bit
+  // per adjacent-frame comparison e(j+1) > e(j). Small edits move the
+  // energy of few frames → small Hamming distance; different signals
+  // scatter bits (a real spectral fingerprint differs only in the
+  // per-frame feature — the banding, Hamming join, and class collapse
+  // downstream are identical). 64 frames → 63 bits, bit 63 clear so
+  // the value stays non-negative in every engine's BIGINT, and the
+  // whole path (synthesis → WAV encode → REAL RIFF parse → framing →
+  // fingerprint) is integer arithmetic an SQL oracle replays exactly.
+
+  /** Samples per fingerprintable audio variant (64 frames × 8). */
+  val AudioFpSamples = 512
+  private val AudioFpFrame = 8
+
+  /** Synthetic 16-bit sample i of fingerprint-corpus source `src`, in
+    * [-1024, 1023] — mid-square mixing (the image-synthesis idea on
+    * the time axis) so adjacent-frame energies behave like coin flips
+    * across sources. `tweak` = 1 bumps sample 5 by +1: at most the
+    * two comparison bits adjacent to frame 0 move. */
+  @inline def synthFpSample(src: Long, i: Int, tweak: Int): Int = {
+    val m = (src * 131 + i.toLong * 1009 + 7) % 65536
+    val base = (((m * m) / 64) % 2048 - 1024).toInt
+    if (tweak == 1 && i == 5) base + 1 else base
+  }
+
+  /** Which source a variant-corpus audio id renders: even ids are the
+    * base recording of doc d = mid/2; odd ids are a NEAR-DUP of it
+    * (one sample bumped) when d % 3 == 0, else a different recording
+    * (src = d + 1000000) — same planting scheme as
+    * [[synthVariantImages]] so near-dup ground truth is derivable. */
+  @inline def synthFpSrc(mid: Long): (Long, Int) = {
+    val d = mid / 2
+    if (mid % 2 == 0) (d, 0)
+    else if (d % 3 == 0) (d, 1)
+    else (d + 1000000L, 0)
+  }
+
+  /** Media rows carrying real WAV payloads for the fingerprint
+    * corpus: two per document (base + near-dup or distinct). */
+  def synthVariantAudio(spark: SparkSession, ids: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast(LongType)).as[Long]
+      .flatMap(d => Seq(d * 2, d * 2 + 1))
+      .mapPartitions { it =>
+        it.map { mid =>
+          val (src, tweak) = synthFpSrc(mid)
+          val samples =
+            Array.tabulate(AudioFpSamples)(i => synthFpSample(src, i, tweak))
+          (mid, "audio", "audio/wav", encodeWavPcm16(samples))
+        }
+      }
+      .toDF("media_id", "modality", "mime", "payload")
+  }
+
+  /** 63-bit energy-delta fingerprint of a decoded PCM signal. Frames
+    * shorter than [[AudioFpFrame]] at the tail are dropped; signals
+    * with fewer than 2 whole frames fingerprint to 0. */
+  def audioFp63(samples: Array[Int]): Long = {
+    val nFrames = math.min(samples.length / AudioFpFrame, 64)
+    val e = new Array[Long](nFrames)
+    var j = 0
+    while (j < nFrames) {
+      var t = 0; var s = 0L
+      while (t < AudioFpFrame) {
+        s += math.abs(samples(j * AudioFpFrame + t).toLong); t += 1
+      }
+      e(j) = s; j += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < nFrames - 1 && k < 63) {
+      if (e(k + 1) > e(k)) fp |= 1L << k
+      k += 1
+    }
+    fp
+  }
+
+  /** Real WAV decode → energy-delta fingerprint; non-decodable
+    * payloads drop (the corrupt-audio filter). (media_id, afp). */
+  def decodeAudioFp(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          decodeWavPcm16(payload).map { case (_, ss) => (id, audioFp63(ss)) }
+        }
+      }
+      .toDF("media_id", "afp")
   }
 }
