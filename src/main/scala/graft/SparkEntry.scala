@@ -72,6 +72,7 @@ object SparkEntry {
       graft.queries.Parity53.queries ++
       graft.queries.Parity54.queries ++
       graft.queries.Parity55.queries ++
+      graft.queries.Parity56.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -133,5 +134,6 @@ object SparkEntry {
       graft.queries.Parity53.oracles ++
       graft.queries.Parity54.oracles ++
       graft.queries.Parity55.oracles ++
+      graft.queries.Parity56.oracles ++
       graft.queries.ExtQueries.oracles
 }
