@@ -169,7 +169,30 @@ object ScaleBench {
     // and the pair OUTPUT grows quadratically in class size (measured
     // 29.9x/decade) — the same clone-family regime as x2_minhash_lsh,
     // from the synthesis not the operator.
-    "mm_phash_pairs")
+    "mm_phash_pairs",
+    // round-12 batch 4/5 latecomers. dsir is one token explode + a
+    // 256-row broadcast ratio table + one doc-keyed aggregate —
+    // scan-linear, with a fixed-size model exactly like the CMS rows.
+    // bm25 is the same explode feeding two hash aggregates; the
+    // idf/stats relations are query-term-sized. gopher_rules' 2-gram
+    // (doc_id, gram) aggregate is the heavy one: grams are
+    // near-unique per doc, so partial aggregation can't shrink the
+    // shuffle and cost should track the TOKEN STREAM (~linear, but
+    // the constant is the claim worth measuring). doremi collapses
+    // the scan to one row per domain and iterates with unpartitioned
+    // windows on that tiny frame — cost must track the scan alone.
+    "x7_dsir_sample", "x4_bm25_topk", "x4_gopher_rules",
+    "x7_doremi_weights",
+    // acoustic fingerprint pairs: the banded Hamming join over
+    // PSEUDO-RANDOM 63-bit fingerprints — unlike mm_phash_pairs'
+    // duplicate-class artifact, the quadratic term here is chunk
+    // BIRTHDAY collisions (candidates ~ 4·n²/2^16: distinct
+    // recordings collide in a 16-bit chunk at rate 1/65536). 1x/10x
+    // carry the claim; at 100x (10 M media) that term alone is ~6G
+    // candidate pairs — the scale path is wider/more chunks (32-bit
+    // bands over a 128-bit fingerprint) or the class collapse, both
+    // documented next to the image path.
+    "mm_audio_fp")
   private val SkipAt100 = Set("x2_minhash_lsh",
     // near-dup pair machinery: clone multiplicity makes candidate
     // pairs quadratic in copies — a replication artifact, same as
@@ -177,6 +200,10 @@ object ScaleBench {
     // every document). 1x/10x carry the claim.
     "x7_cluster_split", "x2_sample_curve", "x5_stream_attrib",
     "mm_phash_pairs",
+    // chunk-birthday candidates are ~4·n²/2^16 over pseudo-random
+    // fingerprints — ~6G pairs at the 10 M-media tier (see Subset
+    // note); 1x/10x carry the claim.
+    "mm_audio_fp",
     // same densification artifact as the LSH row: key-offset
     // replication multiplies POINT DENSITY in the fixed grid domain,
     // so true radius pairs grow ~quadratically (real spatial corpora
