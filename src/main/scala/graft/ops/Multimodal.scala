@@ -869,4 +869,163 @@ object Multimodal {
       }
       .toDF("media_id", "afp")
   }
+
+  // ---- video near-dup fingerprint (XOR-folded frame dHash) ---------
+  // The third modality through the near-dup machinery: demux the REAL
+  // AVI container, dHash every decoded frame, and XOR-fold the frame
+  // hashes into one 63-bit video signature. XOR is the right fold for
+  // near-dup semantics: editing ONE frame flips only the bits that
+  // frame's dHash flipped (≤ 2 for a one-pixel retouch), so video
+  // Hamming distance is bounded by the per-frame edit — while
+  // unrelated videos scatter. Downstream (16-bit-chunk banding, class
+  // collapse) is byte-identical to the image and audio paths. A
+  // production system swaps dHash for a temporal-aware frame feature;
+  // the fold, banding, and join shape are what this pins.
+
+  /** frames per fingerprint-corpus video (fixed so the planted edit
+    * moves a known fraction of the signature). */
+  val VidFpFrames = 4
+
+  /** Mid-square scrambled pixel of fingerprint-corpus video `src`,
+    * frame `j` — the video extension of [[phashPixel]] (gradient
+    * formulas near-collide under neighbor-comparison hashing).
+    * `tweak` = 1 bumps pixel (1,1) of frame 0: at most the two dHash
+    * comparisons touching that cell flip, so the XOR-folded signature
+    * moves ≤ 2 bits. */
+  @inline def synthVidFpPixel(src: Long, j: Int, x: Int, y: Int,
+      tweak: Int): Int = {
+    val t = (src * 31L + j.toLong * 977L + x * 131L + y * 1009L + 7L) % 65536L
+    val v = ((t * t / 64L) % 256L).toInt
+    if (tweak == 1 && j == 0 && x == 1 && y == 1) (v + 1) & 0xFF else v
+  }
+
+  /** Variant-corpus planting scheme, same as audio/images: even ids
+    * render doc d = mid/2; odd ids are a NEAR-DUP (one pixel of one
+    * frame bumped) when d % 3 == 0, else a different video. */
+  @inline def synthVidFpSrc(mid: Long): (Long, Int) = {
+    val d = mid / 2
+    if (mid % 2 == 0) (d, 0)
+    else if (d % 3 == 0) (d, 1)
+    else (d + 1000000L, 0)
+  }
+
+  /** Media rows carrying REAL Motion-PNG AVI payloads for the video
+    * fingerprint corpus: two per document. */
+  def synthVariantVideos(spark: SparkSession, ids: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast(LongType)).as[Long]
+      .flatMap(d => Seq(d * 2, d * 2 + 1))
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { mid =>
+          val (src, tweak) = synthVidFpSrc(mid)
+          val frames = (0 until VidFpFrames).map { j =>
+            encodeGrayPng(VideoW, VideoH,
+              (x, y) => synthVidFpPixel(src, j, x, y, tweak))
+          }
+          (mid, "video", "video/x-msvideo",
+            encodeAvi(frames, VideoW, VideoH))
+        }
+      }
+      .toDF("media_id", "modality", "mime", "payload")
+  }
+
+  /** Real AVI demux + per-frame PNG decode → XOR-folded dHash
+    * signature; videos with any non-decodable frame drop (the
+    * corrupt-video filter). (media_id, vfp). */
+  def decodeVideoFp(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.flatMap { case (id, payload) =>
+          demuxAvi(payload).flatMap { frames =>
+            val imgs = frames.flatMap(decodeImage(_))
+            if (imgs.length == frames.length && imgs.nonEmpty)
+              Some((id, imgs.map(dHash63).foldLeft(0L)(_ ^ _)))
+            else None
+          }
+        }
+      }
+      .toDF("media_id", "vfp")
+  }
+
+  // ---- image–caption alignment (CLIP-score stand-in) ---------------
+  // The LAION-style curation filter: score how well a caption
+  // describes its image and drop misaligned pairs. The deterministic
+  // stand-in embeds both sides in a SHARED 8-bucket space — the image
+  // through the REAL PNG decode (8-bin intensity histogram of the
+  // raster), the caption as a bag of "b<bin>" tokens — and scores the
+  // integer overlap coefficient. A production system swaps both
+  // featurizers for a joint-embedding model; the decode → featurize →
+  // join → score → threshold plumbing is what this pins.
+
+  /** Caption text for the image whose pixels `synthPixel(did, ·)`
+    * renders: one "b<bin>" token per pixel in row-major order, so an
+    * ALIGNED caption's bag equals the decoded histogram exactly. */
+  def synthCaption(did: Long): String = {
+    val (w, h) = synthDims(did)
+    val sb = new StringBuilder(w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (sb.nonEmpty) sb.append(' ')
+        sb.append('b').append(synthPixel(did, x, y) / 32)
+        x += 1
+      }
+      y += 1
+    }
+    sb.toString
+  }
+
+  /** Caption rows for the alignment corpus: caption `id` describes
+    * image `id`, except every 5th describes a DIFFERENT image
+    * (id + 1,000,000) — the planted misalignment (measured over the
+    * sf0.01 corpus: aligned pairs score exactly 1000 milli, planted
+    * misalignments 187–437). */
+  def synthCaptions(spark: SparkSession, ids: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val did = if (id % 5 == 0) id + 1000000L else id
+          (id, synthCaption(did))
+        }
+      }
+      .toDF("media_id", "caption")
+  }
+
+  /** Decode payloads with the real codec → (media_id, bin, img_cnt)
+    * 8-bin intensity histogram rows (bin = sample DIV 32). */
+  def decodeHistogram(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.flatMap { case (id, payload) =>
+          decodeImage(payload).toSeq.flatMap { img =>
+            val raster = img.getRaster
+            val counts = new Array[Long](8)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                counts(raster.getSample(x, y, 0) / 32) += 1
+                x += 1
+              }
+              y += 1
+            }
+            counts.zipWithIndex.collect {
+              case (c, b) if c > 0 => (id, b.toLong, c)
+            }
+          }
+        }
+      }
+      .toDF("media_id", "bin", "img_cnt")
+  }
 }
