@@ -74,6 +74,7 @@ object SparkEntry {
       graft.queries.Parity55.queries ++
       graft.queries.Parity56.queries ++
       graft.queries.Parity57.queries ++
+      graft.queries.Parity58.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -137,5 +138,6 @@ object SparkEntry {
       graft.queries.Parity55.oracles ++
       graft.queries.Parity56.oracles ++
       graft.queries.Parity57.oracles ++
+      graft.queries.Parity58.oracles ++
       graft.queries.ExtQueries.oracles
 }

@@ -346,6 +346,68 @@ object Similarity {
         col("rk").cast(IntegerType).as("rk"))
   }
 
+  /** The [[ivfTopK]] SWEEP: top-k at EVERY nProbe tier in one
+    * candidate pass. A candidate reached through the probe's p-th
+    * nearest list contributes to every tier np >= p, so the sweep
+    * materializes the vector assignment and the probe-list ranking
+    * ONCE at max(nProbes), tags each candidate with its list's
+    * probe-rank, fans the candidate stream out to the tiers it
+    * belongs to (a <= |nProbes|-way multiplier on the slim candidate
+    * rows, never on the corpus), and ranks per (probe, tier). This is
+    * how an operating curve is measured at corpus scale — 5 separate
+    * searches would re-assign and re-scan per point. Returns
+    * (n_probe, probe_id, id, cosine_sim, rk). */
+  def ivfTopKSweep(emb: DataFrame, probes: DataFrame, k: Int,
+      nLists: Int, nProbes: Seq[Int], centroids: Option[DataFrame] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxProbe = nProbes.max
+    val centSrc = centroids.getOrElse(
+      emb.orderBy(col(idCol).asc).limit(nLists)
+        .select(col(idCol).as("cent_id"), col(vecCol).as("centroid")))
+    val cents = broadcast(centSrc
+      .select(col("cent_id"), quantize(col("centroid")).as("cq"))
+      .withColumn("cn2", dotScaled(col("cq"), col("cq"))))
+    val assigned = emb
+      .select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
+      .withColumn("n2", dotScaled(col("q"), col("q")))
+      .crossJoin(cents)
+      .withColumn("cent_sim",
+        cosineFromScaled(dotScaled(col("q"), col("cq")), col("n2"), col("cn2")))
+      .groupBy(col("id"))
+      .agg(max(struct(col("cent_sim"), (-col("cent_id")).as("nci"),
+        col("q"), col("n2"))).as("m"))
+      .select(col("id"), col("m.q").as("q"), col("m.n2").as("n2"),
+        (-col("m.nci")).as("cent_id"))
+    val probeW = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cent_sim").desc, col("cent_id").asc)
+    val probeLists = broadcast(
+      probes.select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
+        .withColumn("pn2", dotScaled(col("pq"), col("pq")))
+        .crossJoin(cents)
+        .withColumn("cent_sim",
+          cosineFromScaled(dotScaled(col("pq"), col("cq")),
+            col("pn2"), col("cn2")))
+        .withColumn("prk", row_number().over(probeW))
+        .filter(col("prk") <= maxProbe)
+        .select(col("probe_id"), col("pq"), col("pn2"), col("cent_id"),
+          col("prk")))
+    val tiers = array(nProbes.sorted.map(np => lit(np.toLong)): _*)
+    val rankW = Window.partitionBy(col("n_probe"), col("probe_id"))
+      .orderBy(col("cosine_sim").desc, col("id").asc)
+    assigned.join(probeLists, Seq("cent_id"))
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id"), col("prk"),
+        cosineFromScaled(dotScaled(col("q"), col("pq")),
+          col("n2"), col("pn2")).as("cosine_sim"))
+      .withColumn("n_probe",
+        explode(filter(tiers, np => np >= col("prk"))))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= k)
+      .select(col("n_probe"), col("probe_id"), col("id"),
+        col("cosine_sim"), col("rk").cast(IntegerType).as("rk"))
+  }
+
   /** IVF k-nearest-neighbor GRAPH: EVERY vector is a probe, so unlike
     * [[ivfTopK]] the probe side cannot broadcast — both sides of the
     * candidate join are corpus-sized, and the join is a plain shuffle

@@ -378,6 +378,50 @@ class PlanShapeSpec extends AnyFunSuite {
       || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("x4_bm25_topk: top-k is a bounded heap, never a global sort; " +
+      "idf and corpus stats join as broadcast") {
+    val p = planOf("x4_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "bm25 top-k degraded to a global sort:\n" + p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNested"),
+      "term-sized idf table must broadcast:\n" + p)
+  }
+
+  test("x7_doremi_weights and x7_epoch_plan: no joins at all — the " +
+      "whole iteration is windows over the per-domain frame") {
+    Seq("x7_doremi_weights", "x7_epoch_plan").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Join"),
+        s"$q reintroduced a join into the tiny-frame iteration:\n" + p)
+      assert(p.contains("Window"), p)
+      // exactly one aggregate keyed on the scan (the per-domain
+      // collapse) — partial before its exchange
+      assert(p.contains("partial_"),
+        s"$q per-domain aggregate lost map-side combine:\n" + p)
+    }
+  }
+
+  test("mm_caption_align: the bin join is hash-based on (media, bin), " +
+      "both histograms combine map-side") {
+    val p = planOf("mm_caption_align")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      "caption alignment degraded to a product:\n" + p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "full-outer bin join must be a keyed join:\n" + p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("mm_audio_fp and mm_video_fp: banded candidates are an " +
+      "equi-join on the chunk key — never all-pairs") {
+    Seq("mm_audio_fp", "mm_video_fp").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+        s"$q banding degraded to all-pairs:\n" + p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"), p)
+    }
+  }
+
   test("x1_surrogate_keys: the rank window is partition-local and " +
       "the offset path combines map-side before its metadata gather") {
     val p = planOf("x1_surrogate_keys")
