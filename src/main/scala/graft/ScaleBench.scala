@@ -183,6 +183,23 @@ object ScaleBench {
     // windows on that tiny frame — cost must track the scan alone.
     "x7_dsir_sample", "x4_bm25_topk", "x4_gopher_rules",
     "x7_doremi_weights",
+    // batch 6: the caption gate is two media-keyed histogram
+    // aggregates + a (media, bin) join carrying ≤ 8 rows per media —
+    // scan-linear is the claim; the epoch planner is the doremi shape
+    // (per-source frame + unpartitioned windows) and must stay flat.
+    "mm_caption_align", "x7_epoch_plan",
+    // video fingerprints ride the same banded join as audio and
+    // inherit the same chunk-birthday artifact at 10 M media —
+    // 1x/10x carry the claim (plus 4 PNG decodes per payload, the
+    // real per-row constant worth measuring).
+    "mm_video_fp",
+    // batch 7: soft dedup rides the near-dup pair machinery
+    // (clone-replication artifact — 1x/10x, like cluster_split); the
+    // recall curve's sweep shares one centroid training and one
+    // exact-truth pass, each point an equi-join on list id — the
+    // exact-truth stage is the linear term (20 probes × n), the IVF
+    // points are n/nLists·nProbe each.
+    "x2_soft_dedup", "x3_ann_recall_curve",
     // acoustic fingerprint pairs: the banded Hamming join over
     // PSEUDO-RANDOM 63-bit fingerprints — unlike mm_phash_pairs'
     // duplicate-class artifact, the quadratic term here is chunk
@@ -203,7 +220,7 @@ object ScaleBench {
     // chunk-birthday candidates are ~4·n²/2^16 over pseudo-random
     // fingerprints — ~6G pairs at the 10 M-media tier (see Subset
     // note); 1x/10x carry the claim.
-    "mm_audio_fp",
+    "mm_audio_fp", "mm_video_fp", "x2_soft_dedup",
     // same densification artifact as the LSH row: key-offset
     // replication multiplies POINT DENSITY in the fixed grid domain,
     // so true radius pairs grow ~quadratically (real spatial corpora
