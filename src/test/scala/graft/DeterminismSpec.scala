@@ -19,7 +19,14 @@ class DeterminismSpec extends AnyFunSuite {
     * the ones an order-dependent sum would betray first. */
   private val Sensitive = Seq("q1_agg", "x6_autocorr", "x5_ewma",
     "x9_modularity", "x4_pmi_cooc", "x6_bootstrap_ci",
-    "x5_backtest_snaive", "x6_trimmed_mean")
+    "x5_backtest_snaive", "x6_trimmed_mean",
+    // round-12 integer-DIV pipelines: the DIV chains are exact by
+    // construction, but the aggregates feeding them (token counts,
+    // per-domain sums, histogram joins) must land identical rows at
+    // any partitioning — and doremi/epoch_plan additionally pin that
+    // the unpartitioned-window iteration is partition-count-blind
+    "x4_bm25_topk", "x4_gopher_rules", "x7_doremi_weights",
+    "x7_dsir_sample", "x7_epoch_plan", "mm_caption_align")
 
   test("IEEE-tailed queries are bit-identical at 4, 32 and 64 " +
       "shuffle partitions") {
