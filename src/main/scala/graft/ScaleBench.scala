@@ -200,6 +200,14 @@ object ScaleBench {
     // exact-truth stage is the linear term (20 probes × n), the IVF
     // points are n/nLists·nProbe each.
     "x2_soft_dedup", "x3_ann_recall_curve",
+    // batch 8: the composed pipeline. Unlike every other near-dup
+    // rider this one runs ALL tiers: the exact-dedup stage collapses
+    // the key-offset replicas (identical text, new ids) BEFORE the
+    // pair stage forms candidates, so the clone artifact that forces
+    // 1x/10x on x2_* is absorbed by the pipeline itself — measuring
+    // that the production stage ordering (cheap gates first) holds at
+    // scale IS the row's claim.
+    "x7_curation_e2e",
     // acoustic fingerprint pairs: the banded Hamming join over
     // PSEUDO-RANDOM 63-bit fingerprints — unlike mm_phash_pairs'
     // duplicate-class artifact, the quadratic term here is chunk

@@ -75,6 +75,7 @@ object SparkEntry {
       graft.queries.Parity56.queries ++
       graft.queries.Parity57.queries ++
       graft.queries.Parity58.queries ++
+      graft.queries.Parity59.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -139,5 +140,6 @@ object SparkEntry {
       graft.queries.Parity56.oracles ++
       graft.queries.Parity57.oracles ++
       graft.queries.Parity58.oracles ++
+      graft.queries.Parity59.oracles ++
       graft.queries.ExtQueries.oracles
 }

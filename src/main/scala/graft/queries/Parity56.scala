@@ -63,6 +63,45 @@ object Parity56 {
   val Bm25Terms = Seq("merge", "window", "stream")
   private val Bm25K = 50
 
+  /** The Gopher/Dolma rule gate as a reusable stage: per-doc metric
+    * columns + per-rule verdict flags + the conjunction. Shared by
+    * the `x4_gopher_rules` row and the `x7_curation_e2e` pipeline. */
+  def gopherRules(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"),
+        TextOps.tokens(lower(col("text"))).as("toks"))
+    val base = docs
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("wc"),
+        sum(length(col("tok"))).cast(LongType).as("chars"),
+        countDistinct(
+          when(col("tok").isin(TextOps.stopwords: _*), col("tok")))
+          .as("n_stop"))
+    val rep = docs
+      .select(col("doc_id"),
+        explode(TextOps.shingleSeq(col("toks"), 2)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .join(base.select("doc_id", "chars"), "doc_id")
+      .select(col("doc_id"),
+        expr("(cnt * (length(gram) - 1) * 1000) DIV chars").as("rm"))
+      .groupBy("doc_id").agg(max(col("rm")).cast(LongType).as("rep_milli"))
+    base.join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("wc"),
+        expr("(chars * 1000) DIV wc").as("mwl_milli"), col("n_stop"),
+        coalesce(col("rep_milli"), lit(0L)).as("rep_milli"))
+      .withColumn("r_wc",
+        (col("wc") >= 30 && col("wc") <= 100000L).cast(LongType))
+      .withColumn("r_mwl",
+        (col("mwl_milli") >= 3000 && col("mwl_milli") <= 10000)
+          .cast(LongType))
+      .withColumn("r_stop", (col("n_stop") >= 2).cast(LongType))
+      .withColumn("r_rep", (col("rep_milli") <= 200).cast(LongType))
+      .withColumn("pass",
+        (col("r_wc") + col("r_mwl") + col("r_stop") + col("r_rep") === 4)
+          .cast(LongType))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- BM25 ranked retrieval -------------------------------------
     "x4_bm25_topk" -> { (s, d) =>
@@ -100,40 +139,7 @@ object Parity56 {
 
     // ---- Gopher rule-based quality filter --------------------------
     "x4_gopher_rules" -> { (s, d) =>
-      val docs = documents(s, d)
-        .select(col("doc_id"),
-          TextOps.tokens(lower(col("text"))).as("toks"))
-      val base = docs
-        .select(col("doc_id"), explode(col("toks")).as("tok"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("wc"),
-          sum(length(col("tok"))).cast(LongType).as("chars"),
-          countDistinct(
-            when(col("tok").isin(TextOps.stopwords: _*), col("tok")))
-            .as("n_stop"))
-      val rep = docs
-        .select(col("doc_id"),
-          explode(TextOps.shingleSeq(col("toks"), 2)).as("gram"))
-        .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
-        .join(base.select("doc_id", "chars"), "doc_id")
-        .select(col("doc_id"),
-          expr("(cnt * (length(gram) - 1) * 1000) DIV chars").as("rm"))
-        .groupBy("doc_id").agg(max(col("rm")).cast(LongType).as("rep_milli"))
-      base.join(rep, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("wc"),
-          expr("(chars * 1000) DIV wc").as("mwl_milli"), col("n_stop"),
-          coalesce(col("rep_milli"), lit(0L)).as("rep_milli"))
-        .withColumn("r_wc",
-          (col("wc") >= 30 && col("wc") <= 100000L).cast(LongType))
-        .withColumn("r_mwl",
-          (col("mwl_milli") >= 3000 && col("mwl_milli") <= 10000)
-            .cast(LongType))
-        .withColumn("r_stop", (col("n_stop") >= 2).cast(LongType))
-        .withColumn("r_rep", (col("rep_milli") <= 200).cast(LongType))
-        .withColumn("pass",
-          (col("r_wc") + col("r_mwl") + col("r_stop") + col("r_rep") === 4)
-            .cast(LongType))
-        .orderBy("doc_id")
+      gopherRules(documents(s, d)).orderBy("doc_id")
     },
 
     // ---- DoReMi domain reweighting ---------------------------------
