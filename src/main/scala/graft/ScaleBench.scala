@@ -200,6 +200,11 @@ object ScaleBench {
     // exact-truth stage is the linear term (20 probes × n), the IVF
     // points are n/nLists·nProbe each.
     "x2_soft_dedup", "x3_ann_recall_curve",
+    // batch 9: the ORC round trip measures columnar WRITE+READ
+    // throughput scaling (the only Subset row that writes data) —
+    // the slice filter keys on l_orderkey, so the written volume
+    // grows linearly with the fact.
+    "s12_orc_roundtrip",
     // batch 8: the composed pipeline. Unlike every other near-dup
     // rider this one runs ALL tiers: the exact-dedup stage collapses
     // the key-offset replicas (identical text, new ids) BEFORE the

@@ -76,6 +76,7 @@ object SparkEntry {
       graft.queries.Parity57.queries ++
       graft.queries.Parity58.queries ++
       graft.queries.Parity59.queries ++
+      graft.queries.Parity60.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -141,5 +142,6 @@ object SparkEntry {
       graft.queries.Parity57.oracles ++
       graft.queries.Parity58.oracles ++
       graft.queries.Parity59.oracles ++
+      graft.queries.Parity60.oracles ++
       graft.queries.ExtQueries.oracles
 }
