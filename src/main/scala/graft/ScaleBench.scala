@@ -200,6 +200,11 @@ object ScaleBench {
     // exact-truth stage is the linear term (20 probes × n), the IVF
     // points are n/nLists·nProbe each.
     "x2_soft_dedup", "x3_ann_recall_curve",
+    // batch 10: Theil–Sen — the bootstrap_ci claim re-measured on a
+    // robust estimator: the O(days²) pair join runs on the
+    // calendar-bounded day aggregate, so cost must track the grouped
+    // count of the scan, not the pair stage.
+    "x6_theil_sen",
     // batch 9: the ORC round trip measures columnar WRITE+READ
     // throughput scaling (the only Subset row that writes data) —
     // the slice filter keys on l_orderkey, so the written volume

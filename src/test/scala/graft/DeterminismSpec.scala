@@ -26,7 +26,8 @@ class DeterminismSpec extends AnyFunSuite {
     // any partitioning — and doremi/epoch_plan additionally pin that
     // the unpartitioned-window iteration is partition-count-blind
     "x4_bm25_topk", "x4_gopher_rules", "x7_doremi_weights",
-    "x7_dsir_sample", "x7_epoch_plan", "mm_caption_align")
+    "x7_dsir_sample", "x7_epoch_plan", "mm_caption_align",
+    "x6_theil_sen")
 
   test("IEEE-tailed queries are bit-identical at 4, 32 and 64 " +
       "shuffle partitions") {

@@ -422,6 +422,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("x6_theil_sen: the pairwise stage joins on event_type and the " +
+      "day aggregate combines map-side — the pair blowup never " +
+      "touches the event stream") {
+    val p = planOf("x6_theil_sen")
+    assert(!p.contains("Cartesian"),
+      "pairwise slopes degraded to a cartesian:\n" + p)
+    assert(p.contains("partial_count"),
+      "the day aggregate lost map-side combine:\n" + p)
+  }
+
   test("x1_surrogate_keys: the rank window is partition-local and " +
       "the offset path combines map-side before its metadata gather") {
     val p = planOf("x1_surrogate_keys")
