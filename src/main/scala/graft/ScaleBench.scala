@@ -205,6 +205,13 @@ object ScaleBench {
     // calendar-bounded day aggregate, so cost must track the grouped
     // count of the scan, not the pair stage.
     "x6_theil_sen",
+    // Deliberately absent round-12 rows: s13_binary_ingest lands a
+    // FIXED 200-file fixture at every sf (a scale row would time the
+    // fixture, not the source; the binaryFile scan's parallelism
+    // claim is maxPartitionBytes batching, documented at the query);
+    // x5_attrib_outer rides the identical user-keyed interval join as
+    // x5_stream_attrib (measured above) — outer-ness changes emitted
+    // nulls, not join work.
     // batch 9: the ORC round trip measures columnar WRITE+READ
     // throughput scaling (the only Subset row that writes data) —
     // the slice filter keys on l_orderkey, so the written volume
