@@ -782,6 +782,83 @@ object ScaleBench {
         System.err.println(s"""[scalebench] {"phash_class":{$js}}""")
       }
 
+      // Iterative-rank exchange arms (round-12 verdict item 4): the
+      // broadcast arm ships the node-sized score/label vector to every
+      // executor each round; the message arm pre-partitions the edges
+      // once and shuffles only the vector (ops/Exchange). Both arms of
+      // all three operators (pagerank / LPA / HITS) at the 10x and
+      // 100x tiers — the broadcast arm should win while the vector
+      // broadcasts comfortably (it does at every tier this sandbox can
+      // hold: ~10^4..10^6 nodes); the message arm's value is the SLOPE
+      // (node-bounded shuffle, no vector fan-out), which takes over at
+      // billions of nodes where the broadcast arm simply cannot run.
+      // Mirrors the kcore_arms block; SCALE.md records the crossover
+      // reasoning.
+      if (blockOn("rank_arms")) locally {
+        def best2(name: String, dir: String): Double = {
+          def once: Double = {
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          math.min(once, once)
+        }
+        val js = Seq("x9_pagerank", "x9_label_prop", "x9_hits").map { op =>
+          val parts = Seq(10 -> "target/sf1", 100 -> "target/sf10").map {
+            case (c, dir) =>
+              val b = best2(op, dir)
+              val m = best2(op + "_msg", dir)
+              f""""x$c":{"broadcast_sec":$b%.2f,"msg_sec":$m%.2f,""" +
+                f""""msg_over_broadcast":${m / b}%.2f}"""
+          }.mkString(",")
+          s""""$op":{$parts}"""
+        }.mkString(",")
+        System.err.println(s"""[scalebench] {"rank_arms":{$js}}""")
+      }
+
+      // Wedge hub cap (round-12 verdict item 3): plant a mega-hub —
+      // one center adjacent to `hub` sampled nodes — on top of a
+      // linear background (disjoint 3-node paths through ordinary
+      // centers). Uncapped, the hub ALONE contributes C(hub, 2) wedge
+      // pairs (quadratic in hub degree: 2k → ~2.0 M, 8k → ~32 M —
+      // 16× from 4× degree); capped at d_max the hub is dropped and
+      // the candidate stream is exactly the background's one pair per
+      // path, whatever the hub degree. Both counts and times are
+      // emitted; the count assert IS the bound claim.
+      if (blockOn("wedge_cap")) locally {
+        import spark.implicits._
+        import graft.queries.Parity25
+        def planted(hub: Int, paths: Int): DataFrame = {
+          // hub center 0 sees nodes 1..hub; background path i has
+          // endpoints (E+2i, E+2i+1) sharing private center -(i+1)
+          val hubAdj = (1 to hub).map(i => (i.toLong, 0L))
+          val base = 1000000L
+          val bg = (0 until paths).flatMap { i =>
+            val c = -(i + 1).toLong
+            Seq((base + 2 * i, c), (base + 2 * i + 1, c))
+          }
+          (hubAdj ++ bg).toDF("node", "nb")
+        }
+        def run(hub: Int, paths: Int, dMax: Option[Long]): (Long, Double) = {
+          val t0 = System.nanoTime()
+          val n = Parity25.wedgePairs(planted(hub, paths), dMax).count()
+          (n, (System.nanoTime() - t0) / 1e9)
+        }
+        val js = Seq(2000, 8000).map { hub =>
+          val paths = 1000
+          val (nUncap, tUncap) = run(hub, paths, None)
+          val (nCap, tCap) = run(hub, paths, Some(64L))
+          val expUncap = hub.toLong * (hub - 1) / 2 + paths
+          require(nUncap == expUncap && nCap == paths.toLong,
+            s"wedge bound violated: uncapped $nUncap (want $expUncap), " +
+              s"capped $nCap (want $paths)")
+          f""""hub$hub":{"uncapped_pairs":$nUncap,"capped_pairs":$nCap,""" +
+            f""""uncapped_sec":$tUncap%.2f,"capped_sec":$tCap%.2f}"""
+        }.mkString(",")
+        System.err.println(s"""[scalebench] {"wedge_cap":{$js}}""")
+      }
+
       val c100 = rows.filter(_._4 > 0)
       // a filter selecting only SkipAt100 rows leaves c100 empty —
       // emit null, not 0.0/0.0 = NaN (unquoted NaN is invalid JSON)

@@ -78,6 +78,7 @@ object SparkEntry {
       graft.queries.Parity59.queries ++
       graft.queries.Parity60.queries ++
       graft.queries.Parity61.queries ++
+      graft.queries.Parity62.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -145,5 +146,6 @@ object SparkEntry {
       graft.queries.Parity59.oracles ++
       graft.queries.Parity60.oracles ++
       graft.queries.Parity61.oracles ++
+      graft.queries.Parity62.oracles ++
       graft.queries.ExtQueries.oracles
 }

@@ -65,8 +65,46 @@ object Ledger {
     n
   }
 
-  /** dbt incremental (delete+insert by content key) as an idempotent
-    * key-level append (ref: games.sql:1-13 config + NOT IN filter). */
+  /** dbt-default incremental `delete+insert`: drop target rows whose
+    * key appears in the batch, then insert the batch — batch rows WIN
+    * on key collision (the update-capable strategy, vs
+    * [[incrementalByKey]]'s append-if-absent NOT-IN form; ref:
+    * games.sql:1-13 `materialized='incremental'` with `unique_key`,
+    * whose Snowflake default strategy is delete+insert).
+    *
+    * Shape at scale: the delete half is a LEFT ANTI join of the target
+    * against the batch's distinct keys — a typical batch is small next
+    * to the target, so the key set broadcasts and the target never
+    * shuffles. The rewrite is staged to `data_staged` then swapped in
+    * with a directory rename (atomic on local/HDFS; for object stores
+    * use [[graft.sources.VersionedTable]], whose commit arbiter makes
+    * the publish a single conditional-put-shaped operation instead of
+    * a rename). Full-table rewrite is inherent to plain-directory
+    * delete+insert; the file-group-pruned variant is
+    * VersionedTable.merge. Returns the post-merge row count. */
+  def deleteInsert(spark: SparkSession, batch: DataFrame,
+      target: String, key: String = "unique_key"): Long = {
+    val merged = readTarget(spark, target) match {
+      case Some(t) =>
+        t.join(broadcast(batch.select(col(key)).distinct()),
+          Seq(key), "left_anti")
+          .unionByName(batch.select(t.columns.map(col).toSeq: _*))
+      case None => batch
+    }
+    val dataP = new org.apache.hadoop.fs.Path(dataPath(target))
+    val stagedP = new org.apache.hadoop.fs.Path(dataPath(target) + "_staged")
+    val fs = dataP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    merged.write.mode(SaveMode.Overwrite).parquet(stagedP.toString)
+    val n = spark.read.parquet(stagedP.toString).count()
+    if (fs.exists(dataP)) fs.delete(dataP, true)
+    if (!fs.rename(stagedP, dataP))
+      throw new java.io.IOException(s"swap failed: $stagedP -> $dataP")
+    n
+  }
+
+  /** dbt incremental (append-if-absent by content key) as an
+    * idempotent key-level append (ref: games.sql:1-13 config + NOT IN
+    * filter). */
   def incrementalByKey(spark: SparkSession, batch: DataFrame,
       target: String, key: String = "unique_key"): Long = {
     val existing = readTarget(spark, target)

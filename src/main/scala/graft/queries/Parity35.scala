@@ -78,52 +78,10 @@ object Parity35 {
 
   val queries: Map[String, Q] = Map(
     // ---- semi-synchronous weighted label propagation ---------------
-    "x9_label_prop" -> { (s, d) =>
-      val eo = lineitem(s, d)
-        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-      val und = eo.union(eo.select(col("dst").as("src"), col("src").as("dst")))
-      // edge relation derived once, lineage cut — every round rescans
-      // THIS, not the lineitem⋈orders join (the x9_pagerank finding)
-      val edges = graft.ops.Iter.truncate(
-        und.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w")), None)
-      var labels = graft.ops.Iter.truncate(
-        edges.select(col("src").as("node")).distinct()
-          .select(col("node"), col("node").as("lab")), None)
-      for (r <- 1 to LpRounds) {
-        // alternating-side schedule: odd rounds update suppliers
-        // (node % 2 = 1), even rounds customers — the bipartite
-        // 2-coloring that prevents synchronous-LPA oscillation
-        val side = r % 2
-        // label vector is node-sized (≪ edges): broadcast it so each
-        // round is a map-side join plus ONE shuffle (the vote sum)
-        val votes = broadcast(labels
-            .select(col("node").as("vsrc"), col("lab")))
-          .join(edges, col("vsrc") === col("src"))
-          .groupBy(col("dst"), col("lab")).agg(sum(col("w")).as("wsum"))
-        // argmax as a struct-max HASH aggregate, not a row_number
-        // window: the window formulation SORTS the edges-sized vote
-        // relation every round — measured 37.5× per 10× data at the
-        // 100× tier (spill-bound) vs ~linear for the hash aggregate,
-        // which also combines map-side. max(w, −lab) = largest vote,
-        // ties to the smaller label.
-        val best = votes
-          .groupBy(col("dst"))
-          .agg(max(struct(col("wsum").as("w"), negate(col("lab")).as("nl")))
-            .as("m"))
-          .select(col("dst").as("bnode"), negate(col("m.nl")).as("blab"))
-        val next = labels.join(best, col("node") === col("bnode"), "left")
-          .select(col("node"),
-            when(col("node") % 2 === side && col("blab").isNotNull,
-              col("blab")).otherwise(col("lab")).as("lab"))
-        labels = graft.ops.Iter.truncate(next, None)
-      }
-      labels.groupBy(col("lab"))
-        .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"))
-        .select(col("lab").as("community"), col("n_members"), col("min_node"))
-        .orderBy(col("community"))
-    },
+    "x9_label_prop" -> (labelPropQ(_, _, msg = false)),
+    // message-form arm (round-12 verdict item 4): identical label
+    // arithmetic, same oracle — see labelPropQ for the trade
+    "x9_label_prop_msg" -> (labelPropQ(_, _, msg = true)),
 
     // ---- exact-weight EWMA of the daily mean -----------------------
     "x5_ewma" -> { (s, d) =>
@@ -252,11 +210,74 @@ object Parity35 {
        p -> (CAST(strpos('0123456789abcdef', substring(md5($e), p, 1))
          AS BIGINT) - 1) << (4 * (15 - p)))) AS BIGINT)"""
 
-  val oracles: Map[String, String] = Map(
-    "x9_label_prop" -> {
-      def round(i: Int): String = {
-        val side = i % 2
-        s"""v$i AS (SELECT e.dst AS node, l.lab,
+  /** Semi-synchronous weighted LPA, two exchange strategies for the
+    * label-vector × edges join (the pagerankQ trade, see Parity19):
+    * `msg = false` broadcasts the node-sized label vector each round;
+    * `msg = true` pre-partitions the edges on `src` once and shuffles
+    * only the node-bounded vector per round (shuffle-hash join) — the
+    * beyond-broadcast posture for billion-node graphs. Identical
+    * label arithmetic, bit-equal results, one oracle. ScaleBench's
+    * `rank_arms` block measures the slopes. */
+  private[queries] def labelPropQ(s: SparkSession, d: String,
+      msg: Boolean): DataFrame = {
+    val eo = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    val und = eo.union(eo.select(col("dst").as("src"), col("src").as("dst")))
+    // edge relation derived once, lineage cut — every round rescans
+    // THIS, not the lineitem⋈orders join (the x9_pagerank finding)
+    val e0 = und.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    // message arm: repartition + CACHE (not checkpoint — AQE
+    // checkpoints with UnknownPartitioning and the edges would
+    // reshuffle every round; see pagerankQ). Unpersisted post-loop.
+    val edges =
+      if (msg) {
+        val r = e0.repartition(col("src")).persist()
+        r.count() // materialize: pre-final AQE cache loses partitioning
+        r
+      } else graft.ops.Iter.truncate(e0, None)
+    var labels = graft.ops.Iter.truncate(
+      edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lab")), None)
+    for (r <- 1 to LpRounds) {
+      // alternating-side schedule: odd rounds update suppliers
+      // (node % 2 = 1), even rounds customers — the bipartite
+      // 2-coloring that prevents synchronous-LPA oscillation
+      val side = r % 2
+      val vec = labels.select(col("node").as("vsrc"), col("lab"))
+      val votes = graft.ops.Exchange
+        .vecJoin(vec, edges, col("vsrc") === col("src"), msg)
+        .groupBy(col("dst"), col("lab")).agg(sum(col("w")).as("wsum"))
+      // argmax as a struct-max HASH aggregate, not a row_number
+      // window: the window formulation SORTS the edges-sized vote
+      // relation every round — measured 37.5× per 10× data at the
+      // 100× tier (spill-bound) vs ~linear for the hash aggregate,
+      // which also combines map-side. max(w, −lab) = largest vote,
+      // ties to the smaller label.
+      val best = votes
+        .groupBy(col("dst"))
+        .agg(max(struct(col("wsum").as("w"), negate(col("lab")).as("nl")))
+          .as("m"))
+        .select(col("dst").as("bnode"), negate(col("m.nl")).as("blab"))
+      val next = labels.join(best, col("node") === col("bnode"), "left")
+        .select(col("node"),
+          when(col("node") % 2 === side && col("blab").isNotNull,
+            col("blab")).otherwise(col("lab")).as("lab"))
+      labels = graft.ops.Iter.truncate(next, None)
+    }
+    if (msg) edges.unpersist(blocking = false)
+    labels.groupBy(col("lab"))
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"))
+      .select(col("lab").as("community"), col("n_members"), col("min_node"))
+      .orderBy(col("community"))
+  }
+
+  /** One SQL replay for BOTH LPA arms (bit-equal results). */
+  private val labelPropSql: String = {
+    def round(i: Int): String = {
+      val side = i % 2
+      s"""v$i AS (SELECT e.dst AS node, l.lab,
              CAST(sum(e.w) AS BIGINT) AS wsum
            FROM edges e JOIN lab${i - 1} l ON e.src = l.node
            GROUP BY e.dst, l.lab),
@@ -267,8 +288,8 @@ object Parity35 {
              CASE WHEN p.node % 2 = $side AND b.lab IS NOT NULL
                THEN b.lab ELSE p.lab END AS lab
            FROM lab${i - 1} p LEFT JOIN b$i b ON p.node = b.node)"""
-      }
-      s"""WITH eo AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    }
+    s"""WITH eo AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
          und AS (SELECT src, dst FROM eo
            UNION ALL SELECT dst, src FROM eo),
@@ -279,7 +300,12 @@ object Parity35 {
          SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members,
            min(node) AS min_node
          FROM lab$LpRounds GROUP BY lab ORDER BY community"""
-    },
+  }
+
+  val oracles: Map[String, String] = Map(
+    "x9_label_prop" -> labelPropSql,
+    // the message arm computes identical labels — same replay
+    "x9_label_prop_msg" -> labelPropSql,
     "x5_ewma" -> {
       val num = (0 until EwmaW).map { i =>
         val x = if (i == 0) "x" else s"x_$i"

@@ -99,43 +99,10 @@ object Parity39 {
     },
 
     // ---- HITS hubs & authorities on the bipartite graph ------------
-    "x9_hits" -> { (s, d) =>
-      val edges = graft.ops.Iter.truncate(
-        lineitem(s, d)
-          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
-          .groupBy(col("c"), col("p")).agg(count(lit(1)).as("w")), None)
-      var hubs = graft.ops.Iter.truncate(
-        edges.select(col("c")).distinct()
-          .select(col("c"), lit(HitsScale).as("h")), None)
-      var auth: DataFrame = null
-      for (_ <- 1 to HitsIters) {
-        val a0 = broadcast(hubs).join(edges, Seq("c"))
-          .groupBy(col("p")).agg(sum(col("h") * col("w")).as("a_raw"))
-        val aMax = a0.agg(max(col("a_raw")).as("am"))
-        auth = graft.ops.Iter.truncate(
-          a0.crossJoin(broadcast(aMax))
-            .select(col("p"),
-              expr(s"a_raw DIV greatest(am DIV $HitsScale, 1)")
-                .as("a")), None)
-        val h0 = broadcast(auth).join(edges, Seq("p"))
-          .groupBy(col("c")).agg(sum(col("a") * col("w")).as("h_raw"))
-        val hMax = h0.agg(max(col("h_raw")).as("hm"))
-        hubs = graft.ops.Iter.truncate(
-          h0.crossJoin(broadcast(hMax))
-            .select(col("c"),
-              expr(s"h_raw DIV greatest(hm DIV $HitsScale, 1)")
-                .as("h")), None)
-      }
-      val topA = auth.select(lit("authority").as("kind"),
-          col("p").as("entity_key"), col("a").as("score"))
-        .orderBy(col("score").desc, col("entity_key")).limit(20)
-      val topH = hubs.select(lit("hub").as("kind"),
-          col("c").as("entity_key"), col("h").as("score"))
-        .orderBy(col("score").desc, col("entity_key")).limit(20)
-      topA.unionAll(topH)
-        .orderBy(col("kind"), col("score").desc, col("entity_key"))
-    },
+    "x9_hits" -> (hitsQ(_, _, msg = false)),
+    // message-form arm (round-12 verdict item 4): identical scaled-
+    // integer arithmetic, same oracle — see hitsQ for the trade
+    "x9_hits_msg" -> (hitsQ(_, _, msg = true)),
 
     // ---- k-fold assignment + stratification audit ------------------
     "x7_kfold_assign" -> { (s, d) =>
@@ -187,6 +154,104 @@ object Parity39 {
        p -> (CAST(strpos('0123456789abcdef', substring(md5($e), p, 1))
          AS BIGINT) - 1) << (4 * (15 - p)))) AS BIGINT)"""
 
+  /** HITS hubs/authorities, two exchange strategies for the
+    * score-vector × edges joins (the pagerankQ trade, see Parity19):
+    * `msg = false` broadcasts the node-sized hub/authority vectors
+    * each half-step; `msg = true` pre-partitions the bipartite edge
+    * relation ONCE per join key (by `c` for the hub→authority step,
+    * by `p` for authority→hub) and shuffles only the node-bounded
+    * score vectors per round (shuffle-hash joins) — the
+    * beyond-broadcast posture for billion-node graphs. Identical
+    * scaled-integer arithmetic, bit-equal results, one oracle.
+    * ScaleBench's `rank_arms` block measures the slopes. */
+  private[queries] def hitsQ(s: SparkSession, d: String,
+      msg: Boolean): DataFrame = {
+    val e0 = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+      .groupBy(col("c"), col("p")).agg(count(lit(1)).as("w"))
+    // the two half-steps join on DIFFERENT keys — in message form
+    // each gets its own co-partitioned CACHED copy of the edge
+    // relation (cache, not checkpoint: AQE checkpoints with
+    // UnknownPartitioning and the edges would reshuffle every
+    // half-step; see pagerankQ). Unpersisted post-loop.
+    val edgesC =
+      if (msg) {
+        val r = e0.repartition(col("c")).persist()
+        r.count() // materialize: pre-final AQE cache loses partitioning
+        r
+      } else graft.ops.Iter.truncate(e0, None)
+    val edgesP =
+      if (msg) {
+        val r = edgesC.repartition(col("p")).persist()
+        r.count()
+        r
+      } else edgesC
+    def vecJoin(vec: DataFrame, edges: DataFrame, key: String) =
+      graft.ops.Exchange.vecJoinUsing(vec, edges, Seq(key), msg)
+    var hubs = graft.ops.Iter.truncate(
+      edgesC.select(col("c")).distinct()
+        .select(col("c"), lit(HitsScale).as("h")), None)
+    var auth: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      val a0 = vecJoin(hubs, edgesC, "c")
+        .groupBy(col("p")).agg(sum(col("h") * col("w")).as("a_raw"))
+      val aMax = a0.agg(max(col("a_raw")).as("am"))
+      auth = graft.ops.Iter.truncate(
+        a0.crossJoin(broadcast(aMax))
+          .select(col("p"),
+            expr(s"a_raw DIV greatest(am DIV $HitsScale, 1)")
+              .as("a")), None)
+      val h0 = vecJoin(auth, edgesP, "p")
+        .groupBy(col("c")).agg(sum(col("a") * col("w")).as("h_raw"))
+      val hMax = h0.agg(max(col("h_raw")).as("hm"))
+      hubs = graft.ops.Iter.truncate(
+        h0.crossJoin(broadcast(hMax))
+          .select(col("c"),
+            expr(s"h_raw DIV greatest(hm DIV $HitsScale, 1)")
+              .as("h")), None)
+    }
+    if (msg) { edgesC.unpersist(blocking = false)
+      edgesP.unpersist(blocking = false) }
+    val topA = auth.select(lit("authority").as("kind"),
+        col("p").as("entity_key"), col("a").as("score"))
+      .orderBy(col("score").desc, col("entity_key")).limit(20)
+    val topH = hubs.select(lit("hub").as("kind"),
+        col("c").as("entity_key"), col("h").as("score"))
+      .orderBy(col("score").desc, col("entity_key")).limit(20)
+    topA.unionAll(topH)
+      .orderBy(col("kind"), col("score").desc, col("entity_key"))
+  }
+
+  /** One SQL replay for BOTH HITS arms (bit-equal results). */
+  private val hitsSql: String = {
+    def round(i: Int): String =
+      s"""a${i}r AS (SELECT e.p, CAST(sum(h${i - 1}.h * e.w) AS BIGINT)
+             AS a_raw
+           FROM edges e JOIN h${i - 1} ON e.c = h${i - 1}.c GROUP BY e.p),
+         a$i AS (SELECT p, CAST(a_raw //
+             greatest((SELECT max(a_raw) FROM a${i}r) // $HitsScale, 1)
+             AS BIGINT) AS a FROM a${i}r),
+         h${i}r AS (SELECT e.c, CAST(sum(a$i.a * e.w) AS BIGINT) AS h_raw
+           FROM edges e JOIN a$i ON e.p = a$i.p GROUP BY e.c),
+         h$i AS (SELECT c, CAST(h_raw //
+             greatest((SELECT max(h_raw) FROM h${i}r) // $HitsScale, 1)
+             AS BIGINT) AS h FROM h${i}r)"""
+    s"""WITH edges AS (SELECT o_custkey AS c, l_suppkey AS p,
+             CAST(count(*) AS BIGINT) AS w
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2),
+         h0 AS (SELECT DISTINCT c, CAST($HitsScale AS BIGINT) AS h
+           FROM edges),
+         ${(1 to HitsIters).map(round).mkString(",\n")},
+         topa AS (SELECT 'authority' AS kind, p AS entity_key, a AS score
+           FROM a$HitsIters ORDER BY score DESC, entity_key LIMIT 20),
+         toph AS (SELECT 'hub' AS kind, c AS entity_key, h AS score
+           FROM h$HitsIters ORDER BY score DESC, entity_key LIMIT 20)
+         SELECT * FROM (SELECT * FROM topa UNION ALL SELECT * FROM toph)
+         ORDER BY kind, score DESC, entity_key"""
+  }
+
   val oracles: Map[String, String] = Map(
     "x6_bootstrap_ci" ->
       s"""WITH daily0 AS (SELECT epoch_us(ts) * 1000 // $NsPerDay AS day_idx,
@@ -217,33 +282,9 @@ object Parity39 {
            (SELECT mb FROM ranked WHERE rk = 2) AS ci_lo,
            (SELECT mb FROM ranked WHERE rk = ${BootB - 1}) AS ci_hi
          FROM obs""",
-    "x9_hits" -> {
-      def round(i: Int): String =
-        s"""a${i}r AS (SELECT e.p, CAST(sum(h${i - 1}.h * e.w) AS BIGINT)
-             AS a_raw
-           FROM edges e JOIN h${i - 1} ON e.c = h${i - 1}.c GROUP BY e.p),
-         a$i AS (SELECT p, CAST(a_raw //
-             greatest((SELECT max(a_raw) FROM a${i}r) // $HitsScale, 1)
-             AS BIGINT) AS a FROM a${i}r),
-         h${i}r AS (SELECT e.c, CAST(sum(a$i.a * e.w) AS BIGINT) AS h_raw
-           FROM edges e JOIN a$i ON e.p = a$i.p GROUP BY e.c),
-         h$i AS (SELECT c, CAST(h_raw //
-             greatest((SELECT max(h_raw) FROM h${i}r) // $HitsScale, 1)
-             AS BIGINT) AS h FROM h${i}r)"""
-      s"""WITH edges AS (SELECT o_custkey AS c, l_suppkey AS p,
-             CAST(count(*) AS BIGINT) AS w
-           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-           GROUP BY 1, 2),
-         h0 AS (SELECT DISTINCT c, CAST($HitsScale AS BIGINT) AS h
-           FROM edges),
-         ${(1 to HitsIters).map(round).mkString(",\n")},
-         topa AS (SELECT 'authority' AS kind, p AS entity_key, a AS score
-           FROM a$HitsIters ORDER BY score DESC, entity_key LIMIT 20),
-         toph AS (SELECT 'hub' AS kind, c AS entity_key, h AS score
-           FROM h$HitsIters ORDER BY score DESC, entity_key LIMIT 20)
-         SELECT * FROM (SELECT * FROM topa UNION ALL SELECT * FROM toph)
-         ORDER BY kind, score DESC, entity_key"""
-    },
+    "x9_hits" -> hitsSql,
+    // the message arm computes identical scores — same replay
+    "x9_hits_msg" -> hitsSql,
     "x7_kfold_assign" ->
       s"""WITH a AS (SELECT lang,
              ${hx15("CAST(doc_id AS VARCHAR)")} % $KFolds AS fold

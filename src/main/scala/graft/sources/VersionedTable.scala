@@ -24,14 +24,12 @@ import org.apache.spark.sql.functions._
   *    expected version both stage data, but exactly ONE publish
   *    succeeds — the loser gets [[CommitConflictException]] and must
   *    re-read + retry (optimistic concurrency, spec-pinned).
-  *    Atomicity of the arbiter is filesystem-specific: HDFS `create`
-  *    is namenode-atomic, but Hadoop's LOCAL filesystem implements
-  *    overwrite=false as a non-atomic exists()-then-create — so on
-  *    local paths the entry is fully written to a temp file and
-  *    published via a hard link (`Files.createLink`, O_EXCL at the
-  *    syscall level, content complete at publish time). Object-store
-  *    deployments substitute an If-None-Match precondition — same
-  *    contract, same code shape.
+  *    Atomicity of the arbiter is filesystem-specific and lives
+  *    behind the [[CommitArbiter]] seam: local paths publish via a
+  *    hard link (O_EXCL at the syscall level — Hadoop's local
+  *    `create(overwrite=false)` is a non-atomic exists-then-create),
+  *    HDFS via namenode-atomic create, object stores bind a
+  *    conditional-put implementation (see CommitArbiter's doc).
   *  - a log entry references one or more groups and may carry
   *    per-group [min,max] KEY STATS (the Delta file-stats idea):
   *    `replace = true` entries reset the live set, `false` entries
@@ -136,38 +134,19 @@ object VersionedTable {
       .foldLeft(0L)(math.max)
   }
 
-  /** Atomic create-if-absent publish of `payload` at `entry`. Returns
-    * false on a lost race (the entry already exists); rethrows
-    * non-conflict IO failures unchanged so a disk-full/permission
-    * error is never misreported as a commit conflict. */
+  /** Arbiter binding — [[CommitArbiter.forFs]] in production
+    * (local → hard link, HDFS → atomic create, object store →
+    * conditional-put implementation of the trait). Swappable so tests
+    * can pin protocol behavior under an injected lost race / IO
+    * failure without depending on scheduler timing. */
+  @volatile private[graft] var arbiterFor:
+      org.apache.hadoop.fs.FileSystem => CommitArbiter = CommitArbiter.forFs
+
+  /** Atomic create-if-absent publish of `payload` at `entry` through
+    * the bound [[CommitArbiter]]. False on a lost race. */
   private def publishExclusive(f: org.apache.hadoop.fs.FileSystem,
-      entry: Path, payload: Array[Byte]): Boolean = f match {
-    case _: org.apache.hadoop.fs.LocalFileSystem |
-         _: org.apache.hadoop.fs.RawLocalFileSystem =>
-      // Hadoop's local create(overwrite=false) is exists()-then-create
-      // (no O_EXCL) — two truly concurrent writers can BOTH succeed
-      // and the second silently truncates the first. Publish via a
-      // hard link instead: content is fully written before the link,
-      // and link(2) is atomic-exclusive at the syscall level.
-      import java.nio.file.{Files, Paths, FileAlreadyExistsException}
-      val dst = Paths.get(entry.toUri.getPath)
-      val tmp = dst.resolveSibling(
-        s".tmp-${java.util.UUID.randomUUID()}-${entry.getName}")
-      Files.write(tmp, payload)
-      try { Files.createLink(dst, tmp); true }
-      catch { case _: FileAlreadyExistsException => false }
-      finally Files.deleteIfExists(tmp)
-    case _ =>
-      // HDFS: namenode-atomic create; object stores substitute an
-      // If-None-Match precondition behind the same call shape.
-      val out = try f.create(entry, false) catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          return false
-        case _: java.io.IOException if f.exists(entry) => return false
-      }
-      try out.write(payload) finally out.close()
-      true
-  }
+      entry: Path, payload: Array[Byte]): Boolean =
+    arbiterFor(f).publish(f, entry, payload)
 
   /** Publish a log entry for `groups` as version `expected + 1`;
     * cleans up `staged` (the groups THIS writer wrote, not the

@@ -446,4 +446,50 @@ class PlanShapeSpec extends AnyFunSuite {
       "per-partition counts must combine map-side before the " +
         "offset gather:\n" + p)
   }
+
+  test("Exchange arms (pagerank/LPA/HITS rounds): the broadcast arm " +
+      "never shuffles, the message arm shuffle-hash-joins with only " +
+      "the VECTOR moving (pre-partitioned edges reused)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L))
+      .toDF("src", "dst", "w")
+      // the production posture: edges pre-partitioned on the join key
+      // once, CACHED, and MATERIALIZED (until the cached AQE plan
+      // executes it reports UnknownPartitioning and the join would
+      // reshuffle the edges — the query comments pin why)
+      .repartition(col("src")).persist()
+    edges.count()
+    val vec = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("csrc", "r")
+    // join-induced shuffles carry the ENSURE_REQUIREMENTS origin; the
+    // one-time layout repartition inside the cache is REPARTITION_BY_COL
+    def joinShuffles(p: String): Int =
+      "ENSURE_REQUIREMENTS".r.findAllIn(p).size
+    val bPlan = graft.ops.Exchange
+      .vecJoin(vec, edges, col("csrc") === col("src"), msg = false)
+      .queryExecution.explainString(FormattedMode)
+    assert(bPlan.contains("BroadcastHashJoin"), bPlan)
+    assert(joinShuffles(bPlan) == 0,
+      "broadcast arm must not shuffle either side:\n" + bPlan)
+    val mPlan = graft.ops.Exchange
+      .vecJoin(vec, edges, col("csrc") === col("src"), msg = true)
+      .queryExecution.explainString(FormattedMode)
+    assert(mPlan.contains("ShuffledHashJoin"),
+      "message arm must plan a shuffled hash join:\n" + mPlan)
+    assert(!mPlan.contains("BroadcastHashJoin"), mPlan)
+    // exactly ONE join-induced shuffle: the node-bounded vector; the
+    // edges' cached partitioning satisfies the join requirement
+    assert(joinShuffles(mPlan) == 1,
+      s"message arm must move only the vector " +
+        s"(${joinShuffles(mPlan)} shuffles):\n" + mPlan)
+    edges.unpersist(blocking = false)
+  }
+
+  test("s5_partition_prune: the segment filter prunes partition " +
+      "directories at the scan (PartitionFilters non-empty)") {
+    val p = planOf("s5_partition_prune")
+    assert(p.matches(
+      "(?s).*PartitionFilters: \\[[^\\]]*c_mktsegment[^\\]]*BUILDING.*"),
+      "partition filter did not reach the scan:\n" + p)
+  }
 }

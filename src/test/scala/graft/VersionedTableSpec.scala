@@ -228,4 +228,129 @@ class VersionedTableSpec extends AnyFunSuite {
     // loser's staged group was cleaned: only v1's group remains
     assert(new java.io.File(s"$p/data").listFiles().count(_.isDirectory) == 1)
   }
+
+  test("GENUINELY concurrent commit race: threads racing the same " +
+      "expected version -> exactly one winner, losers conflict, log " +
+      "intact (round-12 verdict item 2)") {
+    val p = tmp()
+    val v1 = VersionedTable.commit(spark, p, df(1L -> "base"), 0L)
+    val n = 8
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until n).map { i =>
+      new Thread(() => {
+        // stage OUTSIDE the barrier window so all threads hit the
+        // publish arbiter as close to simultaneously as possible
+        val mine = df(100L + i -> s"w$i")
+        barrier.await()
+        try {
+          VersionedTable.commit(spark, p, mine, v1)
+          outcomes.add(s"win:$i")
+        } catch {
+          case _: VersionedTable.CommitConflictException =>
+            outcomes.add(s"lose:$i")
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val (wins, losses) = outcomes.asScala.toSeq.partition(_.startsWith("win"))
+    assert(wins.size == 1, s"exactly one writer must win, got $outcomes")
+    assert(losses.size == n - 1)
+    // no log truncation: v1 entry intact, head is exactly v2
+    assert(VersionedTable.currentVersion(spark, p) == v1 + 1)
+    assert(snapshot(p, Some(v1)) == Map(1L -> "base"))
+    val winner = wins.head.stripPrefix("win:").toInt
+    assert(snapshot(p) == Map(1L -> "base", (100L + winner) -> s"w$winner"))
+    // losers' staged groups were cleaned: base + winner only
+    assert(new java.io.File(s"$p/data").listFiles().count(_.isDirectory) == 2)
+  }
+
+  test("HardLink arbiter primitive is atomic under thread contention " +
+      "(the exact failure the old local create(overwrite=false) " +
+      "arbiter had: two winners, second truncates first)") {
+    import graft.sources.CommitArbiter
+    val dir = tmp()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nThreads = 16
+    val rounds = 40
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    try {
+      (0 until rounds).foreach { r =>
+        val entry = new org.apache.hadoop.fs.Path(dir, f"e$r%04d.json")
+        val barrier = new java.util.concurrent.CyclicBarrier(nThreads)
+        val futures = (0 until nThreads).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean = {
+              val payload = s"""{"writer":$i}""".getBytes("UTF-8")
+              barrier.await()
+              CommitArbiter.HardLink.publish(fs, entry, payload)
+            }
+          })
+        }
+        val winners = futures.zipWithIndex.filter(_._1.get())
+        assert(winners.size == 1,
+          s"round $r: ${winners.size} writers won the same entry")
+        // content-complete: the file holds the WINNER's full payload,
+        // not a torn/truncated interleave
+        val got = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(dir, f"e$r%04d.json")), "UTF-8")
+        assert(got == s"""{"writer":${winners.head._2}}""")
+      }
+    } finally pool.shutdown()
+  }
+
+  test("CommitArbiter seam: commits route through the bound arbiter; " +
+      "an injected lost race surfaces as CommitConflictException with " +
+      "staged cleanup; binding is restored after") {
+    import graft.sources.CommitArbiter
+    val p = tmp()
+    val v1 = VersionedTable.commit(spark, p, df(1L -> "a"), 0L)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val alwaysLose = new CommitArbiter {
+      def publish(f: org.apache.hadoop.fs.FileSystem,
+          entry: org.apache.hadoop.fs.Path,
+          payload: Array[Byte]): Boolean = { calls.incrementAndGet(); false }
+    }
+    val saved = VersionedTable.arbiterFor
+    try {
+      VersionedTable.arbiterFor = _ => alwaysLose
+      intercept[VersionedTable.CommitConflictException] {
+        VersionedTable.commit(spark, p, df(2L -> "b"), v1)
+      }
+      assert(calls.get() == 1, "commit must publish through the seam")
+      // injected loser's staged group cleaned
+      assert(new java.io.File(s"$p/data").listFiles()
+        .count(_.isDirectory) == 1)
+    } finally VersionedTable.arbiterFor = saved
+    // real binding works again post-restore
+    assert(VersionedTable.commit(spark, p, df(2L -> "b"), v1) == v1 + 1)
+    assert(snapshot(p) == Map(1L -> "a", 2L -> "b"))
+  }
+
+  test("CommitArbiter.forFs dispatch: local filesystems get the " +
+      "hard-link arbiter; a non-local FS gets atomic create, whose " +
+      "first-wins + content-preserved contract holds") {
+    import graft.sources.CommitArbiter
+    val local = new org.apache.hadoop.fs.Path(tmp())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // spark's hadoop conf resolves bare paths to LocalFileSystem
+    assert(CommitArbiter.forFs(local) eq CommitArbiter.HardLink)
+    assert(CommitArbiter.forFs(new org.apache.hadoop.fs.RawLocalFileSystem())
+      eq CommitArbiter.HardLink)
+    // remote stand-in: a FilterFileSystem wrapper is NOT a local FS
+    // type, so it takes the atomic-create path (as HDFS would)
+    val remote = new org.apache.hadoop.fs.FilterFileSystem(local)
+    val arb = CommitArbiter.forFs(remote)
+    assert(arb eq CommitArbiter.AtomicCreate)
+    val dir = tmp()
+    val entry = new org.apache.hadoop.fs.Path(dir, "e.json")
+    assert(arb.publish(remote, entry, "first".getBytes("UTF-8")))
+    assert(!arb.publish(remote, entry, "second".getBytes("UTF-8")),
+      "existing entry must lose the race")
+    val got = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "e.json")), "UTF-8")
+    assert(got == "first", "loser must not clobber the winner")
+  }
 }
