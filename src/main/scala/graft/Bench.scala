@@ -52,7 +52,20 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
     def run(name: String): Double = {
       val times = (1 to passes).map(_ => runOnce(name))
-      if (times.exists(_ < 0)) -1.0 else times.min
+      if (times.exists(_ < 0)) return -1.0
+      // adjudicate disagreement in-run (round-12 verdict item 6): when
+      // the two passes differ >=2x and the best is >=1 s, a burst
+      // plausibly polluted BOTH (they hit back-to-back, bursts last
+      // seconds) — take one more pass so the artifact ships the
+      // settled number instead of a phantom regression the judge has
+      // to re-run by hand (x6_moments r11, common_neighbors r12).
+      val extra =
+        if (passes > 1 && times.min >= 1.0 && times.max >= 2 * times.min) {
+          val t = runOnce(name)
+          if (t < 0) return -1.0
+          Seq(t)
+        } else Seq.empty
+      (times ++ extra).min
     }
 
     // warmup: JVM + codegen + parquet footer caches

@@ -1,4 +1,6 @@
-package graft
+package graft.bench
+
+import graft.{GraftSession, Tables}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -7,7 +9,7 @@ import org.apache.spark.sql.types.{DateType, LongType}
 /** Measured range-join demo: the same point-in-interval join run
   * (a) naively — no equi key, so Spark plans BroadcastNestedLoopJoin
   * (O(points × intervals) comparisons) — and (b) through
-  * [[graft.ops.RangeJoin.pointInInterval]]'s binned equi-join.
+  * [[graft.graft.ops.RangeJoin.pointInInterval]]'s binned equi-join.
   *
   * The workload: every order date (150k points at sf0.1) against
   * NARROW 4-day windows at the first ship date of orders 1..20000
@@ -61,7 +63,7 @@ object RangeBench {
     points.count(); intervals.count()
 
     val (binnedSec, nBinned) = time(agg(
-      ops.RangeJoin.pointInInterval(points, "p_d", intervals,
+      graft.ops.RangeJoin.pointInInterval(points, "p_d", intervals,
         "lo_d", "hi_d", 8L)))
     // the rule's auto width: median span over a 4096-row prefix sample
     // (same heuristic as RangeJoinRewriteRule.sampledWidth)
@@ -73,7 +75,7 @@ object RangeBench {
       math.max(1L, spans(spans.length / 2))
     }
     val (autoSec, nAuto) = time(agg(
-      ops.RangeJoin.pointInInterval(points, "p_d", intervals,
+      graft.ops.RangeJoin.pointInInterval(points, "p_d", intervals,
         "lo_d", "hi_d", autoWidth)))
     val (naiveSec, nNaive) = time(agg(
       points.join(intervals,

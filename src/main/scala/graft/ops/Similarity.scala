@@ -294,57 +294,21 @@ object Similarity {
     *
     * Scale: assignment is a map-only broadcast argmax; the search is
     * an equi-join on list id — cost O(n/nLists · nProbe) per probe
-    * instead of O(n). */
+    * instead of O(n).
+    *
+    * Implemented as the single-tier case of [[ivfTopKSweep]] (one
+    * assignment/probe-list/ranking code path — a tie-break fix lands
+    * in both, so the sweep-vs-single-tier equivalence the recall
+    * curve relies on holds by construction): with one tier every
+    * candidate's prk <= nProbe, the tier fan-out is the identity, and
+    * the per-(tier, probe) rank degenerates to the per-probe rank. */
   def ivfTopK(emb: DataFrame, probes: DataFrame, k: Int = 10,
       nLists: Int = 16, nProbe: Int = 4,
       centroids: Option[DataFrame] = None, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val centSrc = centroids.getOrElse(
-      emb.orderBy(col(idCol).asc).limit(nLists)
-        .select(col(idCol).as("cent_id"), col(vecCol).as("centroid")))
-    val cents = broadcast(centSrc
-      .select(col("cent_id"), quantize(col("centroid")).as("cq"))
-      .withColumn("cn2", dotScaled(col("cq"), col("cq"))))
-    val base = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
-      .withColumn("n2", dotScaled(col("q"), col("q")))
-    // assign every vector to its best centroid: argmax as a hash
-    // aggregate over the broadcast cross of nLists candidates —
-    // map-side combine, no per-id sort (deterministic tie-break via
-    // the unique -cent_id struct field)
-    val assigned = base.crossJoin(cents)
-      .withColumn("cent_sim",
-        cosineFromScaled(dotScaled(col("q"), col("cq")), col("n2"), col("cn2")))
-      .groupBy(col("id"))
-      .agg(max(struct(col("cent_sim"), (-col("cent_id")).as("nci"),
-        col("q"), col("n2"))).as("m"))
-      .select(col("id"), col("m.q").as("q"), col("m.n2").as("n2"),
-        (-col("m.nci")).as("cent_id"))
-    // probes pick their nProbe nearest lists
-    val probeW = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cent_sim").desc, col("cent_id").asc)
-    val probeLists = broadcast(
-      probes.select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
-        .withColumn("pn2", dotScaled(col("pq"), col("pq")))
-        .crossJoin(cents)
-        .withColumn("cent_sim",
-          cosineFromScaled(dotScaled(col("pq"), col("cq")),
-            col("pn2"), col("cn2")))
-        .withColumn("prk", row_number().over(probeW))
-        .filter(col("prk") <= nProbe)
-        .select(col("probe_id"), col("pq"), col("pn2"), col("cent_id")))
-    val rankW = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine_sim").desc, col("id").asc)
-    assigned.join(probeLists, Seq("cent_id"))
-      .filter(col("id") =!= col("probe_id"))
-      .select(col("probe_id"), col("id"),
-        cosineFromScaled(dotScaled(col("q"), col("pq")),
-          col("n2"), col("pn2")).as("cosine_sim"))
-      .withColumn("rk", row_number().over(rankW))
-      .filter(col("rk") <= k)
-      .select(col("probe_id"), col("id"), col("cosine_sim"),
-        col("rk").cast(IntegerType).as("rk"))
-  }
+      vecCol: String = "embedding"): DataFrame =
+    ivfTopKSweep(emb, probes, k, nLists, Seq(nProbe), centroids,
+      idCol, vecCol)
+      .drop("n_probe")
 
   /** The [[ivfTopK]] SWEEP: top-k at EVERY nProbe tier in one
     * candidate pass. A candidate reached through the probe's p-th

@@ -108,7 +108,7 @@ object ExtQueries {
     // corpus property (LSH recall exactly 1 — a marginal pair near
     // J=0.5 misses a band with ~(1-J^2)^16 ≈ 1% odds), not an engine
     // invariant. Whenever the test corpora are regenerated, re-run
-    // `sbt "runMain graft.PairCheck"` FIRST: it prints mh==exact per
+    // `sbt "runMain graft.bench.PairCheck"` FIRST: it prints mh==exact per
     // SF, so a red row traces to data, not engine.
     "x2_minhash_lsh" -> { (s, d) =>
       Dedup.minhashNearDupPairs(documents(s, d), tau = 0.5)

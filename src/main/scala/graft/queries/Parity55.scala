@@ -195,8 +195,5 @@ object Parity55 {
 
   /** DuckDB has no conv(): fold the first 15 md5 hex digits into the
     * same 60-bit BIGINT polyHash60 yields (the Parity20 idiom). */
-  private def hx15(e: String): String =
-    s"""CAST(list_sum(list_transform(generate_series(1, 15),
-       p -> (CAST(strpos('0123456789abcdef', substring(md5($e), p, 1))
-         AS BIGINT) - 1) << (4 * (15 - p)))) AS BIGINT)"""
+  private def hx15(e: String): String = OracleSql.hx15(e)
 }

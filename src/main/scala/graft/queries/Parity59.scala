@@ -86,10 +86,7 @@ object Parity59 {
     })
 
   /** DuckDB replay of `TextOps.polyHash60`. */
-  private def hx15(e: String): String =
-    s"""CAST(list_sum(list_transform(generate_series(1, 15),
-       p -> (CAST(strpos('0123456789abcdef', substring(md5($e), p, 1))
-         AS BIGINT) - 1) << (4 * (15 - p)))) AS BIGINT)"""
+  private def hx15(e: String): String = OracleSql.hx15(e)
 
   val oracles: Map[String, String] = Map(
     "x7_curation_e2e" -> s"""

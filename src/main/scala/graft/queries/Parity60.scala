@@ -23,8 +23,11 @@ import org.apache.spark.sql.types.LongType
   *    other mm_* rows synthesize payload columns in-flight; real
   *    pipelines land media as FILES and read them with Spark's
   *    `binaryFile` source (content + path + length per file). This row
-  *    writes the synthetic WAV corpus to disk (one .wav per media id,
-  *    written from the executors), reads it back through binaryFile,
+  *    writes the synthetic WAV corpus as files (one .wav per media id,
+  *    written from the executors through the Hadoop FileSystem API
+  *    against a SCHEME-QUALIFIED stage path — so the write lands on
+  *    the shared store the path names, not executor-local disk, and
+  *    the claim holds beyond local mode), reads it back via binaryFile,
   *    parses the media id out of the file PATH, RIFF-decodes the
   *    content, and emits the exact audio stats — the same stats (and
   *    the same DuckDB oracle shape) as `mm_audio`, so the equality
@@ -63,30 +66,41 @@ object Parity60 {
     // ---- binaryFile media ingest -----------------------------------
     "s13_binary_ingest" -> { (s, d) =>
       import s.implicits._
-      val path = scratch("wav", d)
-      val dir = new java.io.File(path)
-      if (dir.exists()) {
-        dir.listFiles().foreach(_.delete()); dir.delete()
-      }
-      dir.mkdirs()
-      val abs = dir.getAbsolutePath
+      val root = new org.apache.hadoop.fs.Path(scratch("wav", d))
+      val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(root)) fsys.delete(root, true) // recursive
+      fsys.mkdirs(root)
+      // SCHEME-QUALIFIED stage path: executors resolve the FileSystem
+      // from the URI itself, so the same code lands files on whatever
+      // shared store the path names (file:// here; hdfs:///s3a:// on a
+      // cluster — executor-local java.io writes would be invisible to
+      // the scan there)
+      val stage = fsys.makeQualified(root).toString
       // land the corpus as real .wav FILES, written from executors
+      // through the Hadoop FS API
       documents(s, d).filter(col("doc_id") < 200)
         .select(col("doc_id").cast(LongType)).as[Long]
         .foreachPartition { (it: Iterator[Long]) =>
+          // default Hadoop conf on the executor: scheme handlers for
+          // the shared store come from core-site.xml there
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val dirP = new org.apache.hadoop.fs.Path(stage)
+          val efs = dirP.getFileSystem(conf)
           it.foreach { id =>
             val n = graft.ops.Multimodal.synthAudioLen(id)
             val samples = Array.tabulate(n)(i =>
               graft.ops.Multimodal.synthSample(id, i))
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(abs, f"media_$id%06d.wav"),
-              graft.ops.Multimodal.encodeWavPcm16(samples))
+            val out = efs.create(
+              new org.apache.hadoop.fs.Path(dirP, f"media_$id%06d.wav"),
+              true)
+            try out.write(graft.ops.Multimodal.encodeWavPcm16(samples))
+            finally out.close()
           }
         }
       // the production ingest: binaryFile scan -> id from path ->
       // RIFF decode -> exact stats (mm_audio's contract)
       val media = s.read.format("binaryFile")
-        .option("pathGlobFilter", "*.wav").load(abs)
+        .option("pathGlobFilter", "*.wav").load(stage)
         .select(
           regexp_extract(col("path"), "media_(\\d+)\\.wav$", 1)
             .cast(LongType).as("media_id"),
