@@ -43,6 +43,11 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType
   *    (games.sql:1-13) — batch 2 UPDATES overlapping keys (price
   *    doubled), so the read-back proves delete-then-insert rather
   *    than append-if-absent.
+  *  - `s14_csv_quarantine`: malformed-row quarantine (the engine's
+  *    `ON_ERROR = CONTINUE` + rejected-records table; the reference
+  *    inherits Snowflake's abort-on-error default, which a 100 TB
+  *    load cannot afford) — a planted-bad-lines stage loads its good
+  *    rows and audits the quarantined count.
   *  - `p8_payload_guard`: the empty-payload guard (nhl_api_dag
   *    .py:97-98 `if not response[...]: skip`) — per-nation payload
   *    batches where empty AND null payloads must both be skipped
@@ -222,6 +227,36 @@ object Parity62 {
         .select(col("o_orderkey"), col("price"), col("batch_id"))
     },
 
+    // ---- S14: malformed-row quarantine (ON_ERROR = CONTINUE) -------
+    // The engine-side equivalent of COPY INTO with a rejected-records
+    // table (Ingest.withCsvQuarantine): land a stage whose every 5th
+    // nation line carries an unparseable regionkey, load PERMISSIVE,
+    // and emit the GOOD typed rows plus the quarantined-line count —
+    // at 100 TB one bad row must neither kill the load nor vanish
+    // without audit.
+    "s14_csv_quarantine" -> { (s, d) =>
+      val path = scratch("quar", d)
+      clean(s, path)
+      nation(s, d).select(concat_ws(",",
+          col("n_nationkey"), col("n_name"),
+          when(col("n_nationkey") % 5 === 0, lit("not-a-number"))
+            .otherwise(col("n_regionkey").cast(StringType))).as("value"))
+        .write.mode("overwrite").text(path)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      graft.nhl.Ingest.withCsvQuarantine(s, path, schema) { (good, bad) =>
+        // both halves consumed INSIDE the bracket (the parse cache is
+        // unpersisted on exit): good rows + the quarantine audit count
+        val out = good
+          .crossJoin(broadcast(bad.agg(count(lit(1)).as("n_quarantined"))))
+          .orderBy(col("n_nationkey"))
+        // materialize before the cache is released
+        out.localCheckpoint(true)
+      }
+    },
+
     // ---- P8: payload-presence guard --------------------------------
     "p8_payload_guard" -> { (s, d) =>
       // per-nation payload batches; most nations' payloads come back
@@ -288,6 +323,12 @@ object Parity62 {
                 ELSE CAST(1 AS BIGINT) END AS batch_id
          FROM orders WHERE o_orderkey % 400 = 0
          ORDER BY o_orderkey""",
+    "s14_csv_quarantine" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+           (SELECT count(*) FROM nation WHERE n_nationkey % 5 = 0)
+             AS n_quarantined
+         FROM nation WHERE n_nationkey % 5 <> 0
+         ORDER BY n_nationkey""",
     "p8_payload_guard" ->
       """SELECT n_nationkey, n_name, count(*) AS n_payload,
            min(c_custkey) AS min_key
