@@ -205,6 +205,18 @@ object ScaleBench {
     // calendar-bounded day aggregate, so cost must track the grouped
     // count of the scan, not the pair stage.
     "x6_theil_sen",
+    // Deliberately absent round-13 rows: the Parity62 load-path
+    // replays (s3/s4/s6/s7/s9/s11/s14) drive multi-step stateful
+    // protocols over key-modulus slices — their cost is the protocol
+    // round trips (writes, ledger reads, directory swaps), constants
+    // at any tier, not data-volume scaling; the one format-throughput
+    // claim that DOES grow with the fact is already measured by
+    // s12_orc_roundtrip. s5_partition_prune writes one directory per
+    // segment of a DIMENSION-shaped table (5 segments at every sf) —
+    // a tier row would measure the 5-file write, not pruning. The
+    // x9_*_msg arms are measured by the rank_arms block below (both
+    // arms, 10x/100x), not as Subset rows, so the broadcast twin
+    // stays the Subset's like-for-like carry.
     // Deliberately absent round-12 rows: s13_binary_ingest lands a
     // FIXED 200-file fixture at every sf (a scale row would time the
     // fixture, not the source; the binaryFile scan's parallelism

@@ -79,6 +79,7 @@ object SparkEntry {
       graft.queries.Parity60.queries ++
       graft.queries.Parity61.queries ++
       graft.queries.Parity62.queries ++
+      graft.queries.Parity63.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -147,5 +148,6 @@ object SparkEntry {
       graft.queries.Parity60.oracles ++
       graft.queries.Parity61.oracles ++
       graft.queries.Parity62.oracles ++
+      graft.queries.Parity63.oracles ++
       graft.queries.ExtQueries.oracles
 }

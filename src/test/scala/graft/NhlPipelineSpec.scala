@@ -176,6 +176,30 @@ class NhlPipelineSpec extends AnyFunSuite {
     assert(Ledger.readTarget(spark, target).get.count() == 4)
   }
 
+  test("delete+insert: batch rows WIN on key collision; target " +
+      "rebuilt with no staged leftovers (S11 dbt-default strategy)") {
+    import spark.implicits._
+    val target = s"$fx/target_di_${System.nanoTime()}"
+    def df(rows: (String, Long)*) = rows.toDF("unique_key", "v")
+    // first load = plain create
+    assert(Ledger.deleteInsert(spark, df("a" -> 1L, "b" -> 2L), target) == 2)
+    // overlapping key b gets the UPDATED value; new key c inserts
+    assert(Ledger.deleteInsert(spark, df("b" -> 20L, "c" -> 3L), target) == 3)
+    val got = Ledger.readTarget(spark, target).get
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1L, "b" -> 20L, "c" -> 3L),
+      s"delete+insert semantics violated: $got")
+    // the staged swap directory must not survive the publish
+    val stagedP = new org.apache.hadoop.fs.Path(
+      Ledger.dataPath(target) + "_staged")
+    assert(!stagedP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(stagedP))
+    // replaying the same batch is value-idempotent (keys deleted then
+    // reinserted with identical rows)
+    assert(Ledger.deleteInsert(spark, df("b" -> 20L, "c" -> 3L), target) == 3)
+    assert(Ledger.readTarget(spark, target).get.count() == 3)
+  }
+
   test("quality gate: passes on clean col, throws on nulls (A1)") {
     val stats = Staging.stgTeamStatistics(Ingest.readTeamStatsCsv(spark, statsDir))
     Quality.requireNoNulls(stats, Seq("TEAM")) // must not throw
