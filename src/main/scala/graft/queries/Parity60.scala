@@ -86,6 +86,11 @@ object Parity60 {
           val conf = new org.apache.hadoop.conf.Configuration()
           val dirP = new org.apache.hadoop.fs.Path(stage)
           val efs = dirP.getFileSystem(conf)
+          // media payloads need no client-side .crc sidecars (the
+          // checksummed local connector otherwise doubles every write
+          // — measured 10x on the 200-file fixture; remote stores do
+          // their own integrity)
+          efs.setWriteChecksum(false)
           it.foreach { id =>
             val n = graft.ops.Multimodal.synthAudioLen(id)
             val samples = Array.tabulate(n)(i =>

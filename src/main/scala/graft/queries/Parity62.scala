@@ -43,6 +43,11 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType
   *    (games.sql:1-13) — batch 2 UPDATES overlapping keys (price
   *    doubled), so the read-back proves delete-then-insert rather
   *    than append-if-absent.
+  *  - `s15_dpp_join`: DYNAMIC partition pruning — the partition
+  *    filter arrives through a join against a filtered dimension
+  *    rather than a literal, and the fact scan must still skip the
+  *    unjoined partition directories at runtime (the 100 TB star-join
+  *    shape; PlanShapeSpec pins the dynamicpruning expression).
   *  - `s14_csv_quarantine`: malformed-row quarantine (the engine's
   *    `ON_ERROR = CONTINUE` + rejected-records table; the reference
   *    inherits Snowflake's abort-on-error default, which a 100 TB
@@ -227,6 +232,34 @@ object Parity62 {
         .select(col("o_orderkey"), col("price"), col("batch_id"))
     },
 
+    // ---- S15: DYNAMIC partition pruning through a join -------------
+    // s5 pins STATIC pruning (a literal partition filter); at 100 TB
+    // the partition filter usually arrives through a JOIN — the fact
+    // is partitioned on a key the query only constrains via a filtered
+    // dimension. Spark's dynamic partition pruning plants a subquery
+    // filter on the fact scan at runtime, so only the joined
+    // partitions' directories are read. PlanShapeSpec pins the
+    // dynamicpruning expression in the scan; this row hash-checks the
+    // join result through the partitioned layout.
+    "s15_dpp_join" -> { (s, d) =>
+      val path = scratch("dppfact", d)
+      graft.sources.Sinks.writePartitioned(
+        orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority")),
+        path, Seq("o_orderpriority"))
+      val fact = s.read.parquet(path)
+      // dimension side: priorities 1-URGENT / 2-HIGH only — the fact
+      // partitions for 3/4/5 must never be read (DPP, not a literal)
+      val dim = orders(s, d).select(col("o_orderpriority")).distinct()
+        .filter(col("o_orderpriority") < "3")
+      fact.join(dim, Seq("o_orderpriority"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // ---- S14: malformed-row quarantine (ON_ERROR = CONTINUE) -------
     // The engine-side equivalent of COPY INTO with a rejected-records
     // table (Ingest.withCsvQuarantine): land a stage whose every 5th
@@ -323,6 +356,11 @@ object Parity62 {
                 ELSE CAST(1 AS BIGINT) END AS batch_id
          FROM orders WHERE o_orderkey % 400 = 0
          ORDER BY o_orderkey""",
+    "s15_dpp_join" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM orders WHERE o_orderpriority < '3'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "s14_csv_quarantine" ->
       """SELECT n_nationkey, n_name, n_regionkey,
            (SELECT count(*) FROM nation WHERE n_nationkey % 5 = 0)

@@ -492,4 +492,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "(?s).*PartitionFilters: \\[[^\\]]*c_mktsegment[^\\]]*BUILDING.*"),
       "partition filter did not reach the scan:\n" + p)
   }
+
+  test("s15_dpp_join: the join-derived partition filter reaches the " +
+      "fact scan as a dynamicpruning expression") {
+    val p = planOf("s15_dpp_join")
+    assert(p.contains("dynamicpruning"),
+      "no dynamic partition pruning on the fact scan:\n" + p)
+  }
 }
