@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.{DateType, LongType}
 /** Measured range-join demo: the same point-in-interval join run
   * (a) naively — no equi key, so Spark plans BroadcastNestedLoopJoin
   * (O(points × intervals) comparisons) — and (b) through
-  * [[graft.graft.ops.RangeJoin.pointInInterval]]'s binned equi-join.
+  * [[graft.ops.RangeJoin.pointInInterval]]'s binned equi-join.
   *
   * The workload: every order date (150k points at sf0.1) against
   * NARROW 4-day windows at the first ship date of orders 1..20000
@@ -28,7 +28,7 @@ import org.apache.spark.sql.types.{DateType, LongType}
   * workload (sessions, validity windows, IP ranges) lives in, and
   * the only regime that is even feasible at 100 TB.
   *
-  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.RangeBench"
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.bench.RangeBench"
   * Prints one JSON line; measured numbers recorded in SCALE.md.
   */
 object RangeBench {

@@ -76,12 +76,18 @@ object Ledger {
     * against the batch's distinct keys — a typical batch is small next
     * to the target, so the key set broadcasts and the target never
     * shuffles. The rewrite is staged to `data_staged` then swapped in
-    * with a directory rename (atomic on local/HDFS; for object stores
-    * use [[graft.sources.VersionedTable]], whose commit arbiter makes
-    * the publish a single conditional-put-shaped operation instead of
-    * a rename). Full-table rewrite is inherent to plain-directory
-    * delete+insert; the file-group-pruned variant is
-    * VersionedTable.merge. Returns the post-merge row count. */
+    * with two renames (`data` → `data_old`, `data_staged` → `data`,
+    * drop `data_old`): each rename is atomic on local/HDFS, but the
+    * PAIR is not one transaction — a crash between them leaves the
+    * table briefly absent with BOTH `data_old` (the full previous
+    * state) and `data_staged` (the full next state) intact, a
+    * recoverable stop-the-job condition, never data loss. For a
+    * genuinely atomic publish (and object stores, where rename isn't
+    * atomic at all) use [[graft.sources.VersionedTable]], whose
+    * commit arbiter is a single conditional-put-shaped operation.
+    * Full-table rewrite is inherent to plain-directory delete+insert;
+    * the file-group-pruned variant is VersionedTable.merge. Returns
+    * the post-merge row count. */
   def deleteInsert(spark: SparkSession, batch: DataFrame,
       target: String, key: String = "unique_key"): Long = {
     val merged = readTarget(spark, target) match {
@@ -93,12 +99,19 @@ object Ledger {
     }
     val dataP = new org.apache.hadoop.fs.Path(dataPath(target))
     val stagedP = new org.apache.hadoop.fs.Path(dataPath(target) + "_staged")
+    val oldP = new org.apache.hadoop.fs.Path(dataPath(target) + "_old")
     val fs = dataP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     merged.write.mode(SaveMode.Overwrite).parquet(stagedP.toString)
     val n = spark.read.parquet(stagedP.toString).count()
-    if (fs.exists(dataP)) fs.delete(dataP, true)
+    // park-then-swap, never delete-then-rename: the previous state
+    // stays on disk (data_old) until the new state is published, so
+    // every crash point leaves a complete copy of the table
+    if (fs.exists(oldP)) fs.delete(oldP, true) // debris of a past crash
+    if (fs.exists(dataP) && !fs.rename(dataP, oldP))
+      throw new java.io.IOException(s"park failed: $dataP -> $oldP")
     if (!fs.rename(stagedP, dataP))
       throw new java.io.IOException(s"swap failed: $stagedP -> $dataP")
+    fs.delete(oldP, true)
     n
   }
 

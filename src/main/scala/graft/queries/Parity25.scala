@@ -257,11 +257,11 @@ object Parity25 {
                   AS jaccard
          FROM cn WHERE cn >= 1
          ORDER BY cn DESC, u, v LIMIT 50""",
-    // the capped twin replays the SAME d_max = 12 center cap, so the
+    // the capped twin replays the SAME CapDMax center cap, so the
     // comparison stays exact (cn undercounts through capped hubs on
     // BOTH sides; jaccard still uses full sampled degrees)
     "x9_common_neighbors_capped" ->
-      """WITH pairs AS MATERIALIZED (
+      s"""WITH pairs AS MATERIALIZED (
            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
            FROM lineitem a JOIN lineitem b
              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
@@ -277,7 +277,7 @@ object Parity25 {
            SELECT a.node, a.nb FROM adj a
            JOIN samp s ON a.node = s.node),
          okc AS MATERIALIZED (
-           SELECT nb FROM sadj GROUP BY nb HAVING count(*) <= 12),
+           SELECT nb FROM sadj GROUP BY nb HAVING count(*) <= $CapDMax),
          capped AS MATERIALIZED (
            SELECT sa.node, sa.nb FROM sadj sa JOIN okc ON okc.nb = sa.nb),
          wedges AS (

@@ -46,7 +46,7 @@ object Parity60 {
 
   /** Per-sf scratch dir (deterministic; overwritten each run). */
   private def scratch(tag: String, d: String): String =
-    s"target/fmt_${tag}_${math.abs(d.hashCode).toString}"
+    Scratch.dir("fmt", tag, d)
 
   val queries: Map[String, Q] = Map(
     // ---- ORC round trip --------------------------------------------
@@ -85,22 +85,29 @@ object Parity60 {
           // the shared store come from core-site.xml there
           val conf = new org.apache.hadoop.conf.Configuration()
           val dirP = new org.apache.hadoop.fs.Path(stage)
-          val efs = dirP.getFileSystem(conf)
-          // media payloads need no client-side .crc sidecars (the
-          // checksummed local connector otherwise doubles every write
-          // — measured 10x on the 200-file fixture; remote stores do
-          // their own integrity)
-          efs.setWriteChecksum(false)
-          it.foreach { id =>
-            val n = graft.ops.Multimodal.synthAudioLen(id)
-            val samples = Array.tabulate(n)(i =>
-              graft.ops.Multimodal.synthSample(id, i))
-            val out = efs.create(
-              new org.apache.hadoop.fs.Path(dirP, f"media_$id%06d.wav"),
-              true)
-            try out.write(graft.ops.Multimodal.encodeWavPcm16(samples))
-            finally out.close()
-          }
+          // a PRIVATE FileSystem instance (newInstance, not the
+          // process-wide get() cache): the checksum toggle below must
+          // not leak into Spark's committers / every other query's
+          // file:// I/O in this JVM
+          val efs = org.apache.hadoop.fs.FileSystem
+            .newInstance(dirP.toUri, conf)
+          try {
+            // media payloads need no client-side .crc sidecars (the
+            // checksummed local connector otherwise doubles every
+            // write — measured 10x on the 200-file fixture; remote
+            // stores do their own integrity)
+            efs.setWriteChecksum(false)
+            it.foreach { id =>
+              val n = graft.ops.Multimodal.synthAudioLen(id)
+              val samples = Array.tabulate(n)(i =>
+                graft.ops.Multimodal.synthSample(id, i))
+              val out = efs.create(
+                new org.apache.hadoop.fs.Path(dirP, f"media_$id%06d.wav"),
+                true)
+              try out.write(graft.ops.Multimodal.encodeWavPcm16(samples))
+              finally out.close()
+            }
+          } finally efs.close()
         }
       // the production ingest: binaryFile scan -> id from path ->
       // RIFF decode -> exact stats (mm_audio's contract)

@@ -71,18 +71,14 @@ object Parity62 {
 
   /** Per-sf scratch dir (deterministic; cleaned/overwritten each run). */
   private def scratch(tag: String, d: String): String =
-    s"target/load_${tag}_${math.abs(d.hashCode).toString}"
+    Scratch.dir("load", tag, d)
 
   private def fs(s: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** Recursive delete — fresh state for the stateful load replays. */
-  private def clean(s: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val f = fs(s, path)
-    if (f.exists(p)) f.delete(p, true)
-  }
+  private def clean(s: SparkSession, path: String): Unit =
+    Scratch.clean(s, path)
 
   /** Names of the DATA files currently staged (markers skipped). */
   private def dataFiles(s: SparkSession, path: String): Seq[String] =

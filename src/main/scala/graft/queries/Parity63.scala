@@ -39,13 +39,10 @@ object Parity63 {
   type Q = (SparkSession, String) => DataFrame
 
   private def scratch(tag: String, d: String): String =
-    s"target/vtm_${tag}_${math.abs(d.hashCode).toString}"
+    Scratch.dir("vtm", tag, d)
 
-  private def clean(s: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (f.exists(p)) f.delete(p, true)
-  }
+  private def clean(s: SparkSession, path: String): Unit =
+    Scratch.clean(s, path)
 
   val queries: Map[String, Q] = Map(
     // ---- OPTIMIZE round trip ---------------------------------------

@@ -459,30 +459,31 @@ class PlanShapeSpec extends AnyFunSuite {
       // executes it reports UnknownPartitioning and the join would
       // reshuffle the edges — the query comments pin why)
       .repartition(col("src")).persist()
-    edges.count()
-    val vec = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("csrc", "r")
-    // join-induced shuffles carry the ENSURE_REQUIREMENTS origin; the
-    // one-time layout repartition inside the cache is REPARTITION_BY_COL
-    def joinShuffles(p: String): Int =
-      "ENSURE_REQUIREMENTS".r.findAllIn(p).size
-    val bPlan = graft.ops.Exchange
-      .vecJoin(vec, edges, col("csrc") === col("src"), msg = false)
-      .queryExecution.explainString(FormattedMode)
-    assert(bPlan.contains("BroadcastHashJoin"), bPlan)
-    assert(joinShuffles(bPlan) == 0,
-      "broadcast arm must not shuffle either side:\n" + bPlan)
-    val mPlan = graft.ops.Exchange
-      .vecJoin(vec, edges, col("csrc") === col("src"), msg = true)
-      .queryExecution.explainString(FormattedMode)
-    assert(mPlan.contains("ShuffledHashJoin"),
-      "message arm must plan a shuffled hash join:\n" + mPlan)
-    assert(!mPlan.contains("BroadcastHashJoin"), mPlan)
-    // exactly ONE join-induced shuffle: the node-bounded vector; the
-    // edges' cached partitioning satisfies the join requirement
-    assert(joinShuffles(mPlan) == 1,
-      s"message arm must move only the vector " +
-        s"(${joinShuffles(mPlan)} shuffles):\n" + mPlan)
-    edges.unpersist(blocking = false)
+    try {
+      edges.count()
+      val vec = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("csrc", "r")
+      // join-induced shuffles carry the ENSURE_REQUIREMENTS origin; the
+      // one-time layout repartition inside the cache is REPARTITION_BY_COL
+      def joinShuffles(p: String): Int =
+        "ENSURE_REQUIREMENTS".r.findAllIn(p).size
+      val bPlan = graft.ops.Exchange
+        .vecJoin(vec, edges, col("csrc") === col("src"), msg = false)
+        .queryExecution.explainString(FormattedMode)
+      assert(bPlan.contains("BroadcastHashJoin"), bPlan)
+      assert(joinShuffles(bPlan) == 0,
+        "broadcast arm must not shuffle either side:\n" + bPlan)
+      val mPlan = graft.ops.Exchange
+        .vecJoin(vec, edges, col("csrc") === col("src"), msg = true)
+        .queryExecution.explainString(FormattedMode)
+      assert(mPlan.contains("ShuffledHashJoin"),
+        "message arm must plan a shuffled hash join:\n" + mPlan)
+      assert(!mPlan.contains("BroadcastHashJoin"), mPlan)
+      // exactly ONE join-induced shuffle: the node-bounded vector; the
+      // edges' cached partitioning satisfies the join requirement
+      assert(joinShuffles(mPlan) == 1,
+        s"message arm must move only the vector " +
+          s"(${joinShuffles(mPlan)} shuffles):\n" + mPlan)
+    } finally edges.unpersist(blocking = false)
   }
 
   test("s5_partition_prune: the segment filter prunes partition " +
