@@ -486,6 +486,29 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally edges.unpersist(blocking = false)
   }
 
+  test("Exchange.vecJoinUsing (the HITS half-step shape): msg form " +
+      "plans a shuffled hash join moving only the vector") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L))
+      .toDF("c", "p", "w")
+      .repartition(col("c")).persist()
+    try {
+      edges.count()
+      val hubs = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("c", "h")
+      val mPlan = graft.ops.Exchange
+        .vecJoinUsing(hubs, edges, Seq("c"), msg = true)
+        .queryExecution.explainString(FormattedMode)
+      assert(mPlan.contains("ShuffledHashJoin"), mPlan)
+      assert("ENSURE_REQUIREMENTS".r.findAllIn(mPlan).size == 1,
+        "using-join msg form must move only the vector:\n" + mPlan)
+      val bPlan = graft.ops.Exchange
+        .vecJoinUsing(hubs, edges, Seq("c"), msg = false)
+        .queryExecution.explainString(FormattedMode)
+      assert(bPlan.contains("BroadcastHashJoin"), bPlan)
+    } finally edges.unpersist(blocking = false)
+  }
+
   test("s5_partition_prune: the segment filter prunes partition " +
       "directories at the scan (PartitionFilters non-empty)") {
     val p = planOf("s5_partition_prune")
