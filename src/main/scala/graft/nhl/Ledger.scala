@@ -90,6 +90,18 @@ object Ledger {
     * the post-merge row count. */
   def deleteInsert(spark: SparkSession, batch: DataFrame,
       target: String, key: String = "unique_key"): Long = {
+    val dataP = new org.apache.hadoop.fs.Path(dataPath(target))
+    val stagedP = new org.apache.hadoop.fs.Path(dataPath(target) + "_staged")
+    val oldP = new org.apache.hadoop.fs.Path(dataPath(target) + "_old")
+    val fs = dataP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash RECOVERY first: a previous run that died between its two
+    // renames leaves the table parked at data_old with no data — in
+    // that state data_old is the ONLY full copy and must be restored,
+    // never deleted (a blind cleanup here would make the rerun rebuild
+    // the table from the new batch alone and silently drop everything
+    // else)
+    if (!fs.exists(dataP) && fs.exists(oldP) && !fs.rename(oldP, dataP))
+      throw new java.io.IOException(s"recovery failed: $oldP -> $dataP")
     val merged = readTarget(spark, target) match {
       case Some(t) =>
         t.join(broadcast(batch.select(col(key)).distinct()),
@@ -97,16 +109,14 @@ object Ledger {
           .unionByName(batch.select(t.columns.map(col).toSeq: _*))
       case None => batch
     }
-    val dataP = new org.apache.hadoop.fs.Path(dataPath(target))
-    val stagedP = new org.apache.hadoop.fs.Path(dataPath(target) + "_staged")
-    val oldP = new org.apache.hadoop.fs.Path(dataPath(target) + "_old")
-    val fs = dataP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     merged.write.mode(SaveMode.Overwrite).parquet(stagedP.toString)
     val n = spark.read.parquet(stagedP.toString).count()
     // park-then-swap, never delete-then-rename: the previous state
     // stays on disk (data_old) until the new state is published, so
-    // every crash point leaves a complete copy of the table
-    if (fs.exists(oldP)) fs.delete(oldP, true) // debris of a past crash
+    // every crash point leaves a complete copy of the table. The only
+    // old dir that can exist HERE is post-swap debris (data was
+    // present alongside it above) — safe to drop
+    if (fs.exists(oldP)) fs.delete(oldP, true)
     if (fs.exists(dataP) && !fs.rename(dataP, oldP))
       throw new java.io.IOException(s"park failed: $dataP -> $oldP")
     if (!fs.rename(stagedP, dataP))

@@ -246,20 +246,23 @@ object Parity19 {
           .agg(count(lit(1)).as("nn")))), None)
     var rank = base.select(col("node"), col("nn"),
       expr(s"$PrT DIV nn").as("r"))
-    for (_ <- 1 to PrIters) {
-      val vec = rank.select(col("node").as("csrc"), col("r"))
-      val contrib = graft.ops.Exchange
-        .vecJoin(vec, e2t, col("csrc") === col("src"), msg)
-        .select(col("dst"),
-          expr("(((r * 85) DIV 100) * w) DIV wout").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
-      rank = graft.ops.Iter.truncate(
-        base.join(contrib, col("node") === col("dst"), "left")
-          .select(col("node"), col("nn"),
-            (expr(s"(($PrT DIV nn) * 15) DIV 100") +
-              coalesce(col("cin"), lit(0L))).as("r")), None)
-    }
-    if (msg) e2t.unpersist(blocking = false)
+    // try/finally: a throwing round (OOM, task failure) must not leak
+    // the cached edge partitions into the long-lived harness JVM
+    try {
+      for (_ <- 1 to PrIters) {
+        val vec = rank.select(col("node").as("csrc"), col("r"))
+        val contrib = graft.ops.Exchange
+          .vecJoin(vec, e2t, col("csrc") === col("src"), msg)
+          .select(col("dst"),
+            expr("(((r * 85) DIV 100) * w) DIV wout").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
+        rank = graft.ops.Iter.truncate(
+          base.join(contrib, col("node") === col("dst"), "left")
+            .select(col("node"), col("nn"),
+              (expr(s"(($PrT DIV nn) * 15) DIV 100") +
+                coalesce(col("cin"), lit(0L))).as("r")), None)
+      }
+    } finally if (msg) e2t.unpersist(blocking = false)
     rank.select(
         when(col("node") % 2 === 0, lit("customer"))
           .otherwise(lit("supplier")).as("kind"),

@@ -237,33 +237,35 @@ object Parity35 {
     var labels = graft.ops.Iter.truncate(
       edges.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("lab")), None)
-    for (r <- 1 to LpRounds) {
-      // alternating-side schedule: odd rounds update suppliers
-      // (node % 2 = 1), even rounds customers — the bipartite
-      // 2-coloring that prevents synchronous-LPA oscillation
-      val side = r % 2
-      val vec = labels.select(col("node").as("vsrc"), col("lab"))
-      val votes = graft.ops.Exchange
-        .vecJoin(vec, edges, col("vsrc") === col("src"), msg)
-        .groupBy(col("dst"), col("lab")).agg(sum(col("w")).as("wsum"))
-      // argmax as a struct-max HASH aggregate, not a row_number
-      // window: the window formulation SORTS the edges-sized vote
-      // relation every round — measured 37.5× per 10× data at the
-      // 100× tier (spill-bound) vs ~linear for the hash aggregate,
-      // which also combines map-side. max(w, −lab) = largest vote,
-      // ties to the smaller label.
-      val best = votes
-        .groupBy(col("dst"))
-        .agg(max(struct(col("wsum").as("w"), negate(col("lab")).as("nl")))
-          .as("m"))
-        .select(col("dst").as("bnode"), negate(col("m.nl")).as("blab"))
-      val next = labels.join(best, col("node") === col("bnode"), "left")
-        .select(col("node"),
-          when(col("node") % 2 === side && col("blab").isNotNull,
-            col("blab")).otherwise(col("lab")).as("lab"))
-      labels = graft.ops.Iter.truncate(next, None)
-    }
-    if (msg) edges.unpersist(blocking = false)
+    // try/finally: a throwing round must not leak the cached edges
+    try {
+      for (r <- 1 to LpRounds) {
+        // alternating-side schedule: odd rounds update suppliers
+        // (node % 2 = 1), even rounds customers — the bipartite
+        // 2-coloring that prevents synchronous-LPA oscillation
+        val side = r % 2
+        val vec = labels.select(col("node").as("vsrc"), col("lab"))
+        val votes = graft.ops.Exchange
+          .vecJoin(vec, edges, col("vsrc") === col("src"), msg)
+          .groupBy(col("dst"), col("lab")).agg(sum(col("w")).as("wsum"))
+        // argmax as a struct-max HASH aggregate, not a row_number
+        // window: the window formulation SORTS the edges-sized vote
+        // relation every round — measured 37.5× per 10× data at the
+        // 100× tier (spill-bound) vs ~linear for the hash aggregate,
+        // which also combines map-side. max(w, −lab) = largest vote,
+        // ties to the smaller label.
+        val best = votes
+          .groupBy(col("dst"))
+          .agg(max(struct(col("wsum").as("w"), negate(col("lab")).as("nl")))
+            .as("m"))
+          .select(col("dst").as("bnode"), negate(col("m.nl")).as("blab"))
+        val next = labels.join(best, col("node") === col("bnode"), "left")
+          .select(col("node"),
+            when(col("node") % 2 === side && col("blab").isNotNull,
+              col("blab")).otherwise(col("lab")).as("lab"))
+        labels = graft.ops.Iter.truncate(next, None)
+      }
+    } finally if (msg) edges.unpersist(blocking = false)
     labels.groupBy(col("lab"))
       .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"))
       .select(col("lab").as("community"), col("n_members"), col("min_node"))

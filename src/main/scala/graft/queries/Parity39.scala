@@ -190,26 +190,31 @@ object Parity39 {
       edgesC.select(col("c")).distinct()
         .select(col("c"), lit(HitsScale).as("h")), None)
     var auth: DataFrame = null
-    for (_ <- 1 to HitsIters) {
-      val a0 = vecJoin(hubs, edgesC, "c")
-        .groupBy(col("p")).agg(sum(col("h") * col("w")).as("a_raw"))
-      val aMax = a0.agg(max(col("a_raw")).as("am"))
-      auth = graft.ops.Iter.truncate(
-        a0.crossJoin(broadcast(aMax))
-          .select(col("p"),
-            expr(s"a_raw DIV greatest(am DIV $HitsScale, 1)")
-              .as("a")), None)
-      val h0 = vecJoin(auth, edgesP, "p")
-        .groupBy(col("c")).agg(sum(col("a") * col("w")).as("h_raw"))
-      val hMax = h0.agg(max(col("h_raw")).as("hm"))
-      hubs = graft.ops.Iter.truncate(
-        h0.crossJoin(broadcast(hMax))
-          .select(col("c"),
-            expr(s"h_raw DIV greatest(hm DIV $HitsScale, 1)")
-              .as("h")), None)
+    // try/finally: a throwing half-step must not leak the two cached
+    // edge copies
+    try {
+      for (_ <- 1 to HitsIters) {
+        val a0 = vecJoin(hubs, edgesC, "c")
+          .groupBy(col("p")).agg(sum(col("h") * col("w")).as("a_raw"))
+        val aMax = a0.agg(max(col("a_raw")).as("am"))
+        auth = graft.ops.Iter.truncate(
+          a0.crossJoin(broadcast(aMax))
+            .select(col("p"),
+              expr(s"a_raw DIV greatest(am DIV $HitsScale, 1)")
+                .as("a")), None)
+        val h0 = vecJoin(auth, edgesP, "p")
+          .groupBy(col("c")).agg(sum(col("a") * col("w")).as("h_raw"))
+        val hMax = h0.agg(max(col("h_raw")).as("hm"))
+        hubs = graft.ops.Iter.truncate(
+          h0.crossJoin(broadcast(hMax))
+            .select(col("c"),
+              expr(s"h_raw DIV greatest(hm DIV $HitsScale, 1)")
+                .as("h")), None)
+      }
+    } finally if (msg) {
+      edgesC.unpersist(blocking = false)
+      edgesP.unpersist(blocking = false)
     }
-    if (msg) { edgesC.unpersist(blocking = false)
-      edgesP.unpersist(blocking = false) }
     val topA = auth.select(lit("authority").as("kind"),
         col("p").as("entity_key"), col("a").as("score"))
       .orderBy(col("score").desc, col("entity_key")).limit(20)

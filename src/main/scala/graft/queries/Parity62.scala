@@ -202,7 +202,11 @@ object Parity62 {
           StructField("c_mktsegment", StringType))))
         .json(path)
         .select(col("*"), col("_metadata.file_name").as("file_name"))
+      // one scan: both the per-segment stats and the new-file count
+      // feed off a single materialized pass over the anti-join (the
+      // lazy twin would re-list + re-parse the stage per consumer)
       val fresh = now.join(broadcast(seen), Seq("file_name"), "left_anti")
+        .localCheckpoint(true)
       fresh.groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_rows"), min(col("c_custkey")).as("min_key"))
         .crossJoin(broadcast(

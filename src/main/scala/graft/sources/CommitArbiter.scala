@@ -41,10 +41,15 @@ object CommitArbiter {
       val dst = Paths.get(entry.toUri.getPath)
       val tmp = dst.resolveSibling(
         s".tmp-${java.util.UUID.randomUUID()}-${entry.getName}")
-      Files.write(tmp, payload)
-      try { Files.createLink(dst, tmp); true }
-      catch { case _: FileAlreadyExistsException => false }
-      finally Files.deleteIfExists(tmp)
+      // the write sits INSIDE the try owning the tmp cleanup, so a
+      // failed/interrupted write never strands .tmp debris (a process
+      // CRASH between write and link can — the dot prefix keeps log
+      // listings blind to it, and the next commit uses a fresh uuid)
+      try {
+        Files.write(tmp, payload)
+        try { Files.createLink(dst, tmp); true }
+        catch { case _: FileAlreadyExistsException => false }
+      } finally Files.deleteIfExists(tmp)
     }
   }
 
@@ -58,7 +63,18 @@ object CommitArbiter {
           return false
         case _: java.io.IOException if f.exists(entry) => return false
       }
-      try out.write(payload) finally out.close()
+      // a payload-write failure after the create succeeded must not
+      // strand a partial/empty entry: it would make every RETRY of
+      // this version misreport as a lost race (the exists-check above)
+      // and brick log reads on the truncated JSON — best-effort delete
+      // before rethrowing the real cause
+      try { try out.write(payload) finally out.close() }
+      catch {
+        case e: Throwable =>
+          try f.delete(entry, false)
+          catch { case _: Exception => () }
+          throw e
+      }
       true
     }
   }

@@ -134,18 +134,12 @@ object VersionedTable {
       .foldLeft(0L)(math.max)
   }
 
-  /** Arbiter binding — [[CommitArbiter.forFs]] in production
-    * (local → hard link, HDFS → atomic create, object store →
-    * conditional-put implementation of the trait). Swappable so tests
-    * can pin protocol behavior under an injected lost race / IO
-    * failure without depending on scheduler timing. */
-  @volatile private[graft] var arbiterFor:
-      org.apache.hadoop.fs.FileSystem => CommitArbiter = CommitArbiter.forFs
-
   /** Atomic create-if-absent publish of `payload` at `entry` through
-    * the bound [[CommitArbiter]]. False on a lost race. */
+    * the given [[CommitArbiter]] binding. False on a lost race. */
   private def publishExclusive(f: org.apache.hadoop.fs.FileSystem,
-      entry: Path, payload: Array[Byte]): Boolean =
+      entry: Path, payload: Array[Byte],
+      arbiterFor: org.apache.hadoop.fs.FileSystem => CommitArbiter)
+      : Boolean =
     arbiterFor(f).publish(f, entry, payload)
 
   /** Publish a log entry for `groups` as version `expected + 1`;
@@ -156,7 +150,9 @@ object VersionedTable {
     * batches on. */
   private[graft] def commitEntry(spark: SparkSession, path: String,
       groups: Seq[Group], expected: Long, replace: Boolean,
-      staged: Seq[String], batchId: Option[Long] = None): Long = {
+      staged: Seq[String], batchId: Option[Long] = None,
+      arbiterFor: org.apache.hadoop.fs.FileSystem => CommitArbiter =
+        CommitArbiter.forFs): Long = {
     val next = expected + 1
     val f = fs(spark, path)
     f.mkdirs(new Path(logDir(path)))
@@ -164,7 +160,7 @@ object VersionedTable {
     val batchJs = batchId.map(b => s""""batch":$b,""").getOrElse("")
     val payload =
       s"""{"version":$next,$batchJs"replace":$replace,${groupsJson(groups)}}"""
-    if (!publishExclusive(f, entry, payload.getBytes("UTF-8"))) {
+    if (!publishExclusive(f, entry, payload.getBytes("UTF-8"), arbiterFor)) {
       staged.foreach(g => f.delete(new Path(s"$path/data/$g"), true))
       throw new CommitConflictException(next)
     }
@@ -212,12 +208,17 @@ object VersionedTable {
   def commit(spark: SparkSession, path: String, df: DataFrame,
       expectedVersion: Long, replace: Boolean = false,
       statsCol: Option[String] = None,
-      batchId: Option[Long] = None): Long = {
+      batchId: Option[Long] = None,
+      arbiterFor: org.apache.hadoop.fs.FileSystem => CommitArbiter =
+        CommitArbiter.forFs): Long = {
     val g = stageGroup(spark, path, df, statsCol)
     // append entries carry only the new group; a replace entry with
-    // one group IS the whole new live set
+    // one group IS the whole new live set. `arbiterFor` is an
+    // injection seam (default [[CommitArbiter.forFs]]): tests pin
+    // protocol behavior under a deterministic lost race without
+    // process-global mutable state.
     commitEntry(spark, path, Seq(g), expectedVersion, replace,
-      staged = Seq(g.name), batchId = batchId)
+      staged = Seq(g.name), batchId = batchId, arbiterFor = arbiterFor)
   }
 
   /** The `batch` tag of the HEAD log entry, if any — the token a

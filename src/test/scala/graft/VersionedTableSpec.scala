@@ -301,9 +301,9 @@ class VersionedTableSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
-  test("CommitArbiter seam: commits route through the bound arbiter; " +
-      "an injected lost race surfaces as CommitConflictException with " +
-      "staged cleanup; binding is restored after") {
+  test("CommitArbiter seam: commits route through the injected " +
+      "arbiter; a deterministic lost race surfaces as " +
+      "CommitConflictException with staged cleanup") {
     import graft.sources.CommitArbiter
     val p = tmp()
     val v1 = VersionedTable.commit(spark, p, df(1L -> "a"), 0L)
@@ -313,18 +313,15 @@ class VersionedTableSpec extends AnyFunSuite {
           entry: org.apache.hadoop.fs.Path,
           payload: Array[Byte]): Boolean = { calls.incrementAndGet(); false }
     }
-    val saved = VersionedTable.arbiterFor
-    try {
-      VersionedTable.arbiterFor = _ => alwaysLose
-      intercept[VersionedTable.CommitConflictException] {
-        VersionedTable.commit(spark, p, df(2L -> "b"), v1)
-      }
-      assert(calls.get() == 1, "commit must publish through the seam")
-      // injected loser's staged group cleaned
-      assert(new java.io.File(s"$p/data").listFiles()
-        .count(_.isDirectory) == 1)
-    } finally VersionedTable.arbiterFor = saved
-    // real binding works again post-restore
+    intercept[VersionedTable.CommitConflictException] {
+      VersionedTable.commit(spark, p, df(2L -> "b"), v1,
+        arbiterFor = _ => alwaysLose)
+    }
+    assert(calls.get() == 1, "commit must publish through the seam")
+    // injected loser's staged group cleaned
+    assert(new java.io.File(s"$p/data").listFiles()
+      .count(_.isDirectory) == 1)
+    // the injection is call-scoped: the default binding is untouched
     assert(VersionedTable.commit(spark, p, df(2L -> "b"), v1) == v1 + 1)
     assert(snapshot(p) == Map(1L -> "a", 2L -> "b"))
   }
