@@ -200,6 +200,30 @@ class NhlPipelineSpec extends AnyFunSuite {
     assert(Ledger.readTarget(spark, target).get.count() == 3)
   }
 
+  test("delete+insert crash recovery: a table parked mid-swap " +
+      "(data_old present, data absent) is restored, not rebuilt from " +
+      "the batch alone") {
+    import spark.implicits._
+    val target = s"$fx/target_direcov_${System.nanoTime()}"
+    def df(rows: (String, Long)*) = rows.toDF("unique_key", "v")
+    assert(Ledger.deleteInsert(spark, df("a" -> 1L, "b" -> 2L), target) == 2)
+    // simulate the crash window: previous run parked data -> data_old
+    // and died before publishing its staged state
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataP = new org.apache.hadoop.fs.Path(Ledger.dataPath(target))
+    val oldP = new org.apache.hadoop.fs.Path(Ledger.dataPath(target) + "_old")
+    val fs = dataP.getFileSystem(conf)
+    assert(fs.rename(dataP, oldP))
+    // the rerun must restore the previous state FIRST — so key 'a'
+    // (absent from the retry batch) survives
+    assert(Ledger.deleteInsert(spark, df("b" -> 20L), target) == 2)
+    val got = Ledger.readTarget(spark, target).get
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1L, "b" -> 20L),
+      s"crash recovery lost rows: $got")
+    assert(!fs.exists(oldP), "recovery must consume the parked copy")
+  }
+
   test("quality gate: passes on clean col, throws on nulls (A1)") {
     val stats = Staging.stgTeamStatistics(Ingest.readTeamStatsCsv(spark, statsDir))
     Quality.requireNoNulls(stats, Seq("TEAM")) // must not throw

@@ -298,7 +298,43 @@ class VersionedTableSpec extends AnyFunSuite {
           java.nio.file.Paths.get(dir, f"e$r%04d.json")), "UTF-8")
         assert(got == s"""{"writer":${winners.head._2}}""")
       }
+      // no .tmp debris survives any publish, winner or loser
+      assert(new java.io.File(dir).listFiles()
+        .count(_.getName.startsWith(".tmp-")) == 0,
+        "stranded temp payloads in the log dir")
     } finally pool.shutdown()
+  }
+
+  test("AtomicCreate cleans the partial entry when the payload write " +
+      "fails after create succeeded (disk-full must not brick the " +
+      "log or masquerade as a conflict)") {
+    import graft.sources.CommitArbiter
+    val dir = tmp()
+    val local = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // FS whose created streams fail on write — the disk-full shape
+    val failing = new org.apache.hadoop.fs.FilterFileSystem(local) {
+      override def create(p: org.apache.hadoop.fs.Path,
+          overwrite: Boolean): org.apache.hadoop.fs.FSDataOutputStream = {
+        val real = super.create(p, overwrite)
+        new org.apache.hadoop.fs.FSDataOutputStream(
+          new java.io.OutputStream {
+            def write(b: Int): Unit =
+              throw new java.io.IOException("disk full (injected)")
+          }, null) { override def close(): Unit = real.close() }
+      }
+    }
+    val entry = new org.apache.hadoop.fs.Path(dir, "e.json")
+    intercept[java.io.IOException] {
+      CommitArbiter.AtomicCreate.publish(failing, entry,
+        "payload".getBytes("UTF-8"))
+    }
+    assert(!local.exists(entry),
+      "partial entry survived the failed write — every retry would " +
+        "now misreport as a lost race")
+    // after cleanup a retry can win normally
+    assert(CommitArbiter.AtomicCreate.publish(local, entry,
+      "payload".getBytes("UTF-8")))
   }
 
   test("CommitArbiter seam: commits route through the injected " +
