@@ -80,6 +80,7 @@ object SparkEntry {
       graft.queries.Parity61.queries ++
       graft.queries.Parity62.queries ++
       graft.queries.Parity63.queries ++
+      graft.queries.Parity64.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -149,5 +150,6 @@ object SparkEntry {
       graft.queries.Parity61.oracles ++
       graft.queries.Parity62.oracles ++
       graft.queries.Parity63.oracles ++
+      graft.queries.Parity64.oracles ++
       graft.queries.ExtQueries.oracles
 }
