@@ -25,16 +25,26 @@ import org.apache.spark.sql.functions._
   * corpus (sources stay ~constant as the graph grows; each round is
   * one keyed equi-join frontier⋈adj plus one (src, node) anti-join,
   * both plain shuffles, lineage-truncated per round like every x9
-  * iterative). Depth D=3 covers the dense co-purchase graph; sparse
-  * graphs raise D with the same per-round shape.
+  * iterative). The hop bound D is the second knob — the last hop
+  * dominates (see HarmDepth) — and sparse graphs raise D with the
+  * same per-round shape.
   */
 object Parity64 {
   type Q = (SparkSession, String) => DataFrame
 
-  /** hop bound (the co-purchase graph is ~covered at 3). */
-  private val HarmDepth = 3
-  /** md5-prefix source sample: 1/256 of nodes. */
-  private val SeedHex = "00"
+  /** Hop bound. The LAST hop dominates: round r's join volume is
+    * Σ_{(s,v) in frontier_r} deg(v), and on this dense co-purchase
+    * graph the depth-2 frontier already spans most nodes per source —
+    * the depth-3 round alone was ~37 M join rows (12 s at sf0.1) for
+    * distances that contribute ≤ 333 milli each. D=2 keeps the row at
+    * its siblings' cost; D is a parameter (Parity64Spec pins depth-3
+    * geometry on planted graphs), and sparser graphs raise it with
+    * linearly growing rounds. */
+  private val HarmDepth = 2
+  /** md5-prefix source sample: 3 hex chars ≤ "007" = 1/512 of nodes.
+    * The other cost knob: each source is its own bounded BFS
+    * (Σ_src O(E) work). */
+  private val SeedHex = "007"
 
   /** Per-source bounded BFS → harmonic sums. `seeds` is a 1-column
     * (src) frame; `adj` a both-directions (node, nb) edge list.
@@ -65,10 +75,16 @@ object Parity64 {
   val queries: Map[String, Q] = Map(
     "x9_harmonic" -> { (s, d) =>
       val pairs = Parity24.edges(s, d)
-      val adj = pairs.select(col("u").as("node"), col("v").as("nb"))
-        .unionAll(pairs.select(col("v").as("node"), col("u").as("nb")))
+      // adjacency derived ONCE, lineage cut — every BFS round rescans
+      // THIS, not the lineitem⋈orders pair derivation (the
+      // x9_pagerank finding; un-truncated, the row cost 13 s at sf0.1
+      // re-running the co-purchase self-join per hop — 3.5 s after)
+      val adj = graft.ops.Iter.truncate(
+        pairs.select(col("u").as("node"), col("v").as("nb"))
+          .unionAll(pairs.select(col("v").as("node"), col("u").as("nb"))),
+        None)
       val seeds = adj.select(col("node")).distinct()
-        .filter(substring(md5(col("node").cast("string")), 1, 2)
+        .filter(substring(md5(col("node").cast("string")), 1, 3)
           <= SeedHex)
         .select(col("node").as("src"))
       harmonic(seeds, adj, HarmDepth)
@@ -85,7 +101,7 @@ object Parity64 {
             UNION ALL SELECT v AS node, u AS nb FROM pairs),
           seeds AS MATERIALIZED (
             SELECT DISTINCT node AS src FROM adj
-            WHERE substring(md5(CAST(node AS VARCHAR)), 1, 2)
+            WHERE substring(md5(CAST(node AS VARCHAR)), 1, 3)
               <= '$SeedHex'),
           bfs AS (
             SELECT src, src AS node, 0 AS dist FROM seeds
