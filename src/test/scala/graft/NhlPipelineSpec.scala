@@ -224,6 +224,31 @@ class NhlPipelineSpec extends AnyFunSuite {
     assert(!fs.exists(oldP), "recovery must consume the parked copy")
   }
 
+  test("delete+insert is single-writer ENFORCED: a held swap lock " +
+      "rejects the second writer; the lock releases on completion " +
+      "and a crashed holder's stale lock is an explicit stop") {
+    import spark.implicits._
+    val target = s"$fx/target_dilock_${System.nanoTime()}"
+    def df(rows: (String, Long)*) = rows.toDF("unique_key", "v")
+    assert(Ledger.deleteInsert(spark, df("a" -> 1L), target) == 1)
+    // lock must NOT survive a successful run
+    val lockP = new org.apache.hadoop.fs.Path(s"$target/_swap.lock")
+    val fs = lockP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(lockP), "swap lock must release after success")
+    // simulate a concurrent/crashed holder: plant the lock, then the
+    // next writer must refuse loudly instead of interleaving renames
+    fs.create(lockP, false).close()
+    val ex = intercept[IllegalStateException] {
+      Ledger.deleteInsert(spark, df("b" -> 2L), target)
+    }
+    assert(ex.getMessage.contains("_swap.lock"))
+    // the refused writer changed nothing
+    assert(Ledger.readTarget(spark, target).get.count() == 1)
+    // operator removes the stale lock -> next run proceeds normally
+    fs.delete(lockP, false)
+    assert(Ledger.deleteInsert(spark, df("b" -> 2L), target) == 2)
+  }
+
   test("quality gate: passes on clean col, throws on nulls (A1)") {
     val stats = Staging.stgTeamStatistics(Ingest.readTeamStatsCsv(spark, statsDir))
     Quality.requireNoNulls(stats, Seq("TEAM")) // must not throw
