@@ -81,6 +81,7 @@ object SparkEntry {
       graft.queries.Parity62.queries ++
       graft.queries.Parity63.queries ++
       graft.queries.Parity64.queries ++
+      graft.queries.Parity65.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -151,5 +152,6 @@ object SparkEntry {
       graft.queries.Parity62.oracles ++
       graft.queries.Parity63.oracles ++
       graft.queries.Parity64.oracles ++
+      graft.queries.Parity65.oracles ++
       graft.queries.ExtQueries.oracles
 }
