@@ -807,26 +807,70 @@ object ScaleBench {
       // Mirrors the kcore_arms block; SCALE.md records the crossover
       // reasoning.
       if (blockOn("rank_arms")) locally {
-        def best2(name: String, dir: String): Double = {
+        def best2(f: => DataFrame): Double = {
           def once: Double = {
             val t0 = System.nanoTime()
-            SparkEntry.queries(name)(spark, dir)
-              .write.format("noop").mode("overwrite").save()
+            f.write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
           }
           math.min(once, once)
         }
-        val js = Seq("x9_pagerank", "x9_label_prop", "x9_hits").map { op =>
+        // x9_pagerank now ROUTES through the advisor (round-13
+        // verdict item 4), so the fixed arms are addressed directly —
+        // the named query would silently measure whichever arm the
+        // advisor picks at the tier
+        val arms: Seq[(String, (String, Boolean) => DataFrame)] = Seq(
+          ("x9_pagerank",
+            (dir, msg) => graft.queries.Parity19.pagerankQ(spark, dir, msg)),
+          ("x9_label_prop",
+            (dir, msg) => SparkEntry.queries(
+              if (msg) "x9_label_prop_msg" else "x9_label_prop")(spark, dir)),
+          ("x9_hits",
+            (dir, msg) => SparkEntry.queries(
+              if (msg) "x9_hits_msg" else "x9_hits")(spark, dir)))
+        val js = arms.map { case (op, mk) =>
           val parts = Seq(10 -> "target/sf1", 100 -> "target/sf10").map {
             case (c, dir) =>
-              val b = best2(op, dir)
-              val m = best2(op + "_msg", dir)
+              val b = best2(mk(dir, false))
+              val m = best2(mk(dir, true))
               f""""x$c":{"broadcast_sec":$b%.2f,"msg_sec":$m%.2f,""" +
                 f""""msg_over_broadcast":${m / b}%.2f}"""
           }.mkString(",")
           s""""$op":{$parts}"""
         }.mkString(",")
         System.err.println(s"""[scalebench] {"rank_arms":{$js}}""")
+      }
+
+      // Rank-arm advisor (round-13 verdict item 4, "broadcast until
+      // it breaks" made executable): at each tier, the advisor's
+      // oracle row must pick the arm the rank_arms measurements say
+      // wins — broadcast at 1x (~16 k nodes, 0.4 MB vector), msg
+      // from 10x up (≥160 k nodes, ≥3.8 MB vector, past the measured
+      // crossover). The require() IS the claim; routed_sec times
+      // x9_pagerank as shipped (advisor choice in effect).
+      if (blockOn("rank_advisor")) locally {
+        def best2(f: => Unit): Double = {
+          def once: Double = {
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }
+          math.min(once, once)
+        }
+        val js = Seq(1 -> "target/sf01rw", 10 -> "target/sf1",
+          100 -> "target/sf10").map { case (c, dir) =>
+          val row = SparkEntry.queries("x9_rank_advisor")(spark, dir).head()
+          val nodes = row.getAs[Long]("n_nodes_est")
+          val arm = row.getAs[String]("arm")
+          val expect = if (c == 1) "broadcast" else "msg"
+          require(arm == expect,
+            s"advisor picked $arm at x$c ($nodes nodes); measured " +
+              s"rank_arms crossover says $expect")
+          val routed = best2(
+            SparkEntry.queries("x9_pagerank")(spark, dir)
+              .write.format("noop").mode("overwrite").save())
+          f""""x$c":{"nodes_est":$nodes,"arm":"$arm",""" +
+            f""""routed_sec":$routed%.2f}"""
+        }.mkString(",")
+        System.err.println(s"""[scalebench] {"rank_advisor":{$js}}""")
       }
 
       // Wedge hub cap (round-12 verdict item 3): plant a mega-hub —

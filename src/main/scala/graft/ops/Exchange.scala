@@ -36,4 +36,27 @@ object Exchange {
       msg: Boolean): DataFrame =
     if (msg) vec.hint("shuffle_hash").join(edges, keys)
     else broadcast(vec).join(edges, keys)
+
+  /** Modeled bytes per rank-vector row: (node: long, value: long) in
+    * unsafe-row layout plus broadcast-map overhead. A size MODEL like
+    * x8_join_advisor's, shared by the advisor query and its oracle. */
+  val VectorBytesPerNode = 24L
+
+  /** The measured rank-arm crossover (SCALE.md `rank_arms` +
+    * BASELINE.md, round-13): at ~20 k nodes (0.5 MB vector) the
+    * broadcast arm wins (x9_pagerank 3.1 s vs msg 4.1 s at sf0.1);
+    * at ~200 k nodes (4.8 MB) the msg arm wins (17.5 s vs 30.3 s at
+    * the 10× tier). The switch point is pinned at the bracket's
+    * geometric midpoint, ~62.5 k nodes = 1.5 MB of vector — well
+    * under the 10 MB autoBroadcastJoinThreshold, because the arm
+    * flips on per-round REBROADCAST cost (the vector is rebuilt and
+    * re-shipped every iteration), not on whether one broadcast fits. */
+  val RankArmCrossoverBytes = 1500000L
+
+  /** "Broadcast until it breaks", executable (round-13 verdict item
+    * 4): pick the message arm once the estimated per-round vector
+    * outgrows the measured crossover. `x9_rank_advisor` emits this
+    * verdict as an oracle-checked row; x9_pagerank routes through it. */
+  def adviseMsg(nNodesEstimate: Long): Boolean =
+    nNodesEstimate * VectorBytesPerNode >= RankArmCrossoverBytes
 }

@@ -132,8 +132,34 @@ object Parity19 {
     },
 
     // ---- integer PageRank over the order graph ---------------------
-    "x9_pagerank" -> (pagerankQ(_, _, msg = false)),
+    // the production entry ROUTES through the rank-arm advisor
+    // (round-13 verdict item 4): the arm is picked from the modeled
+    // node-count estimate at the measured crossover — broadcast at
+    // the sf0.1 harness scale, msg from the 10x tier up (ScaleBench
+    // `rank_advisor` asserts the flip). Both arms are bit-equal, so
+    // the oracle is arm-independent; the fixed arms stay addressable
+    // for the rank_arms slope measurement via pagerankQ directly.
+    "x9_pagerank" -> { (s, d) => pagerankQ(s, d, msg = advisedMsg(s, d)) },
     // message-form arm (round-12 verdict item 4): same integer
+    // the advisor's verdict as an oracle-checked row: the modeled
+    // node-count estimate (the graph's node universe is bounded by
+    // customers + suppliers — two metadata-cheap table counts, the
+    // x8_join_advisor size-model idiom), the modeled vector bytes,
+    // the measured crossover, and the arm x9_pagerank will run
+    "x9_rank_advisor" -> { (s, d) =>
+      val nc = customer(s, d).agg(count(lit(1)).as("n_customers"))
+      val ns = supplier(s, d).agg(count(lit(1)).as("n_suppliers"))
+      nc.crossJoin(broadcast(ns))
+        .select(col("n_customers"), col("n_suppliers"),
+          (col("n_customers") + col("n_suppliers")).as("n_nodes_est"))
+        .withColumn("est_vector_bytes",
+          col("n_nodes_est") * graft.ops.Exchange.VectorBytesPerNode)
+        .withColumn("crossover_bytes",
+          lit(graft.ops.Exchange.RankArmCrossoverBytes))
+        .withColumn("arm",
+          when(col("est_vector_bytes") >= col("crossover_bytes"),
+            "msg").otherwise("broadcast"))
+    },
     // arithmetic, so the SAME oracle — see pagerankQ for the
     // broadcast-vs-message trade
     "x9_pagerank_msg" -> (pagerankQ(_, _, msg = true)),
@@ -213,7 +239,16 @@ object Parity19 {
     * join per round and the rank lineage doubles per iteration —
     * measured 10.5 s vs ~1 s at sf0.1). At 100 TB the same loop runs
     * with reliable checkpointing (the Connect posture). */
-  private[queries] def pagerankQ(s: SparkSession, d: String,
+  /** The routing decision x9_pagerank runs through (verdict item 4):
+    * node universe ≤ |customer| + |supplier| — two metadata-cheap
+    * parquet counts (no column reads), a planning action like the
+    * min/max head() in Sinks — fed to the measured-crossover model
+    * in [[graft.ops.Exchange.adviseMsg]]. */
+  private def advisedMsg(s: SparkSession, d: String): Boolean =
+    graft.ops.Exchange.adviseMsg(
+      customer(s, d).count() + supplier(s, d).count())
+
+  private[graft] def pagerankQ(s: SparkSession, d: String,
       msg: Boolean): DataFrame = {
     val eo = lineitem(s, d)
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
@@ -304,6 +339,22 @@ object Parity19 {
          FROM r$PrIters ORDER BY node_id"""
 
   val oracles: Map[String, String] = Map(
+    "x9_rank_advisor" ->
+      s"""WITH nc AS (SELECT CAST(count(*) AS BIGINT) AS n_customers
+              FROM customer),
+            ns AS (SELECT CAST(count(*) AS BIGINT) AS n_suppliers
+              FROM supplier)
+          SELECT n_customers, n_suppliers,
+            n_customers + n_suppliers AS n_nodes_est,
+            (n_customers + n_suppliers) *
+              ${graft.ops.Exchange.VectorBytesPerNode} AS est_vector_bytes,
+            CAST(${graft.ops.Exchange.RankArmCrossoverBytes} AS BIGINT)
+              AS crossover_bytes,
+            CASE WHEN (n_customers + n_suppliers) *
+                ${graft.ops.Exchange.VectorBytesPerNode} >=
+                ${graft.ops.Exchange.RankArmCrossoverBytes}
+              THEN 'msg' ELSE 'broadcast' END AS arm
+          FROM nc CROSS JOIN ns""",
     "x4_lm_score" ->
       """WITH tk AS (SELECT doc_id,
              string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),

@@ -86,6 +86,34 @@ class Parity19Spec extends AnyFunSuite {
     assert(kinds == Set("customer", "supplier"))
   }
 
+  test("x9_rank_advisor: the switch is pinned at the measured " +
+      "crossover (62.5k nodes = 1.5 MB vector); fixture scale picks " +
+      "broadcast; the routed pagerank is bit-equal to BOTH forced arms") {
+    import graft.ops.Exchange
+    // the exact flip node count implied by the modeled constants —
+    // rank_arms measured broadcast winning at ~20k nodes and msg at
+    // ~200k; the geometric midpoint is the pinned switch
+    val flip = Exchange.RankArmCrossoverBytes / Exchange.VectorBytesPerNode
+    assert(flip == 62500L)
+    assert(!Exchange.adviseMsg(flip - 1))
+    assert(Exchange.adviseMsg(flip))
+    val row = graft.queries.Parity19.queries("x9_rank_advisor")(spark, sf)
+      .head()
+    assert(row.getAs[String]("arm") == "broadcast",
+      "the sub-crossover fixture must route to the broadcast arm")
+    assert(row.getAs[Long]("est_vector_bytes") ==
+      row.getAs[Long]("n_nodes_est") * Exchange.VectorBytesPerNode)
+    // routing changes the EXCHANGE strategy only, never the result
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val routed = rows(
+      graft.queries.Parity19.queries("x9_pagerank")(spark, sf))
+    assert(routed == rows(graft.queries.Parity19.pagerankQ(spark, sf,
+      msg = false)))
+    assert(routed == rows(graft.queries.Parity19.pagerankQ(spark, sf,
+      msg = true)))
+  }
+
   test("x6_kmv_theta: estimates land within the K=64 sketch error band " +
     "of the exact distinct counts") {
     import graft.ops.TextOps
