@@ -19,16 +19,39 @@ import org.apache.spark.sql.types.StructType
   */
 object IncrementalLoad {
 
+  /** Backfill rate limits (round-13 verdict item 7): a 100 TB
+    * backlog must NOT land as one giant AvailableNow batch — one
+    * batch means one shuffle/write whose task state, shuffle files,
+    * and output commit all scale with the WHOLE backlog, and a
+    * mid-batch failure replays all of it. `maxFilesPerTrigger` /
+    * `maxBytesPerTrigger` bound each micro-batch; AvailableNow still
+    * drains EVERYTHING staged (it plans the full backlog as a
+    * sequence of bounded batches), and the checkpoint keeps each
+    * file exactly-once across batch boundaries and restarts —
+    * StreamingSpec pins a multi-wave backlog landing as ≥3 bounded
+    * batches with content equal to the unbounded run. */
+  private def rateLimited(
+      r: org.apache.spark.sql.streaming.DataStreamReader,
+      maxFilesPerTrigger: Option[Int],
+      maxBytesPerTrigger: Option[String]) = {
+    val f = maxFilesPerTrigger.fold(r)(n =>
+      r.option("maxFilesPerTrigger", n.toLong))
+    maxBytesPerTrigger.fold(f)(b => f.option("maxBytesPerTrigger", b))
+  }
+
   /** Ingest staged CSV files into a parquet table, exactly once per
     * file. `transform` is the per-batch COPY INTO subquery (projection
     * + md5 keys), applied to the streaming frame. */
   def runCsv(spark: SparkSession, schema: StructType, srcDir: String,
       targetDir: String, checkpointDir: String,
       transform: DataFrame => DataFrame,
-      pathGlob: String = "*.csv"): StreamingQuery = {
-    val src = spark.readStream
+      pathGlob: String = "*.csv",
+      maxFilesPerTrigger: Option[Int] = None,
+      maxBytesPerTrigger: Option[String] = None): StreamingQuery = {
+    val src = rateLimited(spark.readStream
       .schema(schema)
-      .option("pathGlobFilter", pathGlob) // ref S6: PATTERN '.*csv.*'
+      .option("pathGlobFilter", pathGlob), // ref S6: PATTERN '.*csv.*'
+      maxFilesPerTrigger, maxBytesPerTrigger)
       .csv(srcDir)
     transform(src).writeStream
       .format("parquet")
@@ -42,10 +65,13 @@ object IncrementalLoad {
   def runJson(spark: SparkSession, schema: StructType, srcDir: String,
       targetDir: String, checkpointDir: String,
       transform: DataFrame => DataFrame,
-      pathGlob: String = "*.json"): StreamingQuery = {
-    val src = spark.readStream
+      pathGlob: String = "*.json",
+      maxFilesPerTrigger: Option[Int] = None,
+      maxBytesPerTrigger: Option[String] = None): StreamingQuery = {
+    val src = rateLimited(spark.readStream
       .schema(schema)
-      .option("pathGlobFilter", pathGlob)
+      .option("pathGlobFilter", pathGlob),
+      maxFilesPerTrigger, maxBytesPerTrigger)
       .option("multiLine", true)
       .json(srcDir)
     transform(src).writeStream

@@ -45,6 +45,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.filter(col("visitor") === "C").count() == 1)
   }
 
+  test("backfill rate limiting: a multi-wave backlog drains as >= 3 " +
+      "BOUNDED micro-batches under maxFilesPerTrigger, exactly-once " +
+      "holds across batch boundaries, content == the unbounded run " +
+      "(round-13 verdict item 7)") {
+    val src = s"$fx/bf_src"
+    (1 to 6).foreach { i =>
+      write(s"$src/f$i.csv", s"2024-01-0$i,7:00,V$i,1,H$i,2,,100,2:10,\n")
+    }
+    // bounded drain: 2 files per trigger over a 6-file backlog
+    val tgtB = s"$fx/bf_tgt_b"; val ckpB = s"$fx/bf_ckp_b"
+    val q = IncrementalLoad.runCsv(spark, Schemas.gamesCsv, src, tgtB,
+      ckpB, transform, maxFilesPerTrigger = Some(2))
+    q.awaitTermination()
+    val batches = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    assert(batches.size >= 3,
+      s"6-file backlog at 2 files/trigger must land as >= 3 batches, " +
+        s"got ${batches.map(_.numInputRows).mkString(",")}")
+    assert(batches.forall(_.numInputRows <= 2),
+      "every micro-batch must respect the file cap (1 row per file): " +
+        batches.map(_.numInputRows).mkString(","))
+    // the same backlog drained unbounded: identical content
+    val tgtU = s"$fx/bf_tgt_u"
+    val qU = IncrementalLoad.runCsv(spark, Schemas.gamesCsv, src, tgtU,
+      s"$fx/bf_ckp_u", transform)
+    qU.awaitTermination()
+    def rows(p: String) = spark.read.parquet(p)
+      .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    assert(rows(tgtB) == rows(tgtU),
+      "bounded and unbounded drains must produce identical tables")
+    // replaying the bounded pipeline: the checkpoint suppresses all 6
+    val q2 = IncrementalLoad.runCsv(spark, Schemas.gamesCsv, src, tgtB,
+      ckpB, transform, maxFilesPerTrigger = Some(2))
+    q2.awaitTermination()
+    assert(spark.read.parquet(tgtB).count() == 6,
+      "replay after a bounded drain must be a no-op")
+  }
+
   test("stateful flatMapGroupsWithState sessions == batch closed sessions") {
     import graft.streaming.StatefulSessions
     val srcDir = s"$fx/events_state_src"
