@@ -161,8 +161,16 @@ object Parity39 {
     * beyond-broadcast posture for billion-node graphs. Identical
     * scaled-integer arithmetic, bit-equal results, one oracle.
     * ScaleBench's `rank_arms` block measures the slopes. */
-  private[queries] def hitsQ(s: SparkSession, d: String,
-      msg: Boolean): DataFrame = {
+  /** `oneCopy = true` (measurement arm only, ScaleBench
+    * `hits_copies`): keep ONLY the c-partitioned cache and let the
+    * authority→hub half-step reshuffle the edge relation to the p key
+    * every round. The two-copy form is the Pregel-canonical
+    * forward+reverse adjacency: each half-step joins on a DIFFERENT
+    * key, and with one copy the off-key half-step's join moves the
+    * EDGES (edge-sized exchange × rounds) instead of the
+    * node-bounded vector — SCALE.md `hits_copies` prices the trade. */
+  private[graft] def hitsQ(s: SparkSession, d: String,
+      msg: Boolean, oneCopy: Boolean = false): DataFrame = {
     val e0 = lineitem(s, d)
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
@@ -173,14 +181,17 @@ object Parity39 {
     // UnknownPartitioning and the edges would reshuffle every
     // half-step; see pagerankQ). Unpersisted post-loop.
     val edgesC =
-      if (msg) {
-        val r = e0.repartition(col("c")).persist()
-        r.count() // materialize: pre-final AQE cache loses partitioning
-        r
-      } else graft.ops.Iter.truncate(e0, None)
+      if (msg) e0.repartition(col("c")).persist()
+      else graft.ops.Iter.truncate(e0, None)
     val edgesP =
-      if (msg) {
+      if (msg && oneCopy) { edgesC.count(); edgesC }
+      else if (msg) {
         val r = edgesC.repartition(col("p")).persist()
+        // ONE materializing action fills BOTH caches (edgesP computes
+        // through the persisted edgesC), halving the setup passes the
+        // old count-each-copy form paid; both cached plans then report
+        // their hash partitioning (pre-final AQE caches would report
+        // UnknownPartitioning and reshuffle the edges every half-step)
         r.count()
         r
       } else edgesC

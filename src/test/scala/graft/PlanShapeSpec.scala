@@ -509,6 +509,40 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally edges.unpersist(blocking = false)
   }
 
+  test("hitsQ msg-arm cache setup: ONE materializing action fills " +
+      "both co-partitioned edge copies and BOTH report their hash " +
+      "partitioning — each half-step join moves only the vector") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // the exact two-copy setup hitsQ(msg = true) runs, with only the
+    // SECOND cache counted (the job computes through the first)
+    val e0 = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L))
+      .toDF("c", "p", "w")
+    val edgesC = e0.repartition(col("c")).persist()
+    val edgesP = edgesC.repartition(col("p")).persist()
+    try {
+      edgesP.count()
+      def oneShuffle(p: String, what: String): Unit = {
+        assert(p.contains("ShuffledHashJoin"), s"$what:\n$p")
+        assert("ENSURE_REQUIREMENTS".r.findAllIn(p).size == 1,
+          s"$what must move only the vector:\n$p")
+      }
+      val hubs = Seq((1L, 10L)).toDF("c", "h")
+      oneShuffle(graft.ops.Exchange
+        .vecJoinUsing(hubs, edgesC, Seq("c"), msg = true)
+        .queryExecution.explainString(FormattedMode),
+        "a-step over the INDIRECTLY materialized copy")
+      val auth = Seq((2L, 5L)).toDF("p", "a")
+      oneShuffle(graft.ops.Exchange
+        .vecJoinUsing(auth, edgesP, Seq("p"), msg = true)
+        .queryExecution.explainString(FormattedMode),
+        "h-step over the counted copy")
+    } finally {
+      edgesC.unpersist(blocking = false)
+      edgesP.unpersist(blocking = false)
+    }
+  }
+
   test("s5_partition_prune: the segment filter prunes partition " +
       "directories at the scan (PartitionFilters non-empty)") {
     val p = planOf("s5_partition_prune")
