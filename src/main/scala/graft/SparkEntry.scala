@@ -82,6 +82,7 @@ object SparkEntry {
       graft.queries.Parity63.queries ++
       graft.queries.Parity64.queries ++
       graft.queries.Parity65.queries ++
+      graft.queries.Parity66.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -153,5 +154,6 @@ object SparkEntry {
       graft.queries.Parity63.oracles ++
       graft.queries.Parity64.oracles ++
       graft.queries.Parity65.oracles ++
+      graft.queries.Parity66.oracles ++
       graft.queries.ExtQueries.oracles
 }
