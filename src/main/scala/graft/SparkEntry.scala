@@ -83,6 +83,7 @@ object SparkEntry {
       graft.queries.Parity64.queries ++
       graft.queries.Parity65.queries ++
       graft.queries.Parity66.queries ++
+      graft.queries.Parity67.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -155,5 +156,6 @@ object SparkEntry {
       graft.queries.Parity64.oracles ++
       graft.queries.Parity65.oracles ++
       graft.queries.Parity66.oracles ++
+      graft.queries.Parity67.oracles ++
       graft.queries.ExtQueries.oracles
 }
