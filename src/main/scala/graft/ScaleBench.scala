@@ -873,6 +873,93 @@ object ScaleBench {
         System.err.println(s"""[scalebench] {"rank_advisor":{$js}}""")
       }
 
+      // Skew-join arms (round-14): the one scale lever claimed all
+      // over SCALE.md but never measured. A planted hot key (every
+      // 3rd event remapped to one user -> ~1/3 of the fact in ONE
+      // shuffle partition) joined to a per-user dim forced to
+      // sort-merge (the 100 TB shape — dims don't broadcast there),
+      // three ways: no mitigation (AQE skew split OFF), AQE skew
+      // split ON (thresholds lowered to sandbox scale: the defaults
+      // trigger at 256 MB partitions, the knob a real cluster tunes
+      // the same way), and the explicit Skew.saltedJoin (the tool
+      // when AQE is unavailable — streaming joins — or the hot key
+      // beats even split partitions). require() pins all three arms
+      // to the same aggregate — mitigation must never change results.
+      if (blockOn("skew_arms")) locally {
+        def best2(f: => Long): (Long, Double) = {
+          def once: (Long, Double) = {
+            val t0 = System.nanoTime(); val s = f
+            (s, (System.nanoTime() - t0) / 1e9)
+          }
+          val a = once; val b = once
+          (a._1, math.min(a._2, b._2))
+        }
+        def withConf(kv: (String, String)*)(body: => (Long, Double))
+            : (Long, Double) = {
+          val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+          kv.foreach { case (k, v) => spark.conf.set(k, v) }
+          try body finally prev.foreach {
+            case (k, Some(v)) => spark.conf.set(k, v)
+            case (k, None) => spark.conf.unset(k)
+          }
+        }
+        // thresholds scaled to the sandbox (defaults trigger at
+        // 256 MB): advisory sets the SPLIT GRANULARITY — it is the
+        // AQE-side analog of the salt factor, and the first run of
+        // this block measured exactly that (8 MB advisory -> ~3
+        // splits -> 1.13x, while salt=16 -> 1.67x; at 2 MB the two
+        // arms get comparable parallelism)
+        val tuned = Seq(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+            -> "8m",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2m")
+        val js = Seq(10 -> "target/sf1", 100 -> "target/sf10").map {
+          case (c, dir) =>
+            val left = spark.read.parquet(s"$dir/events.parquet")
+              .select(when(col("event_id") % 3 === 0, lit(42L))
+                .otherwise(col("user_id")).as("k"),
+                (col("event_id") % 97).as("v"))
+            // the dim must be TABLE-BACKED (untimed write, read back):
+            // OptimizeSkewedJoin's pattern requires both SMJ children
+            // to be Sort-over-bare-ShuffleQueryStage — deriving the
+            // dim in-query (distinct) leaves its final HashAggregate
+            // between the sort and the stage and the rule NEVER
+            // fires, force flag or not (found by plan dump; the
+            // debug log confirms "split it into 16 parts" only on
+            // this form). Real dims are tables; a derived build side
+            // needs materialization for AQE skew handling to apply.
+            val dimPath = s"target/skew_dim_x$c"
+            if (!Files.exists(Paths.get(dimPath)))
+              left.select(col("k")).distinct()
+                .select(col("k"), (col("k") % 7 + 1).as("w"))
+                .write.mode("overwrite").parquet(dimPath)
+            val dim = spark.read.parquet(dimPath)
+            def sumJoin(salted: Boolean): Long = {
+              val j =
+                if (salted) graft.ops.Skew.saltedJoin(left,
+                  dim.hint("merge"), "k", salt = 16)
+                else left.join(dim.hint("merge"), Seq("k"))
+              j.agg(sum(col("v") * col("w"))).head().getLong(0)
+            }
+            val (sPlain, tPlain) = withConf(tuned :+
+              ("spark.sql.adaptive.skewJoin.enabled" -> "false"): _*)(
+              best2(sumJoin(salted = false)))
+            val (sAqe, tAqe) = withConf(tuned :+
+              ("spark.sql.adaptive.skewJoin.enabled" -> "true"): _*)(
+              best2(sumJoin(salted = false)))
+            val (sSalt, tSalt) = withConf(tuned :+
+              ("spark.sql.adaptive.skewJoin.enabled" -> "false"): _*)(
+              best2(sumJoin(salted = true)))
+            require(sPlain == sAqe && sAqe == sSalt,
+              s"skew mitigation changed results: $sPlain/$sAqe/$sSalt")
+            f""""x$c":{"no_mitigation_sec":$tPlain%.2f,""" +
+              f""""aqe_split_sec":$tAqe%.2f,"salted_sec":$tSalt%.2f,""" +
+              f""""aqe_speedup":${tPlain / tAqe}%.2f,""" +
+              f""""salt_speedup":${tPlain / tSalt}%.2f}"""
+        }.mkString(",")
+        System.err.println(s"""[scalebench] {"skew_arms":{$js}}""")
+      }
+
       // Parquet-native bloom filters vs the other skipping layers
       // (round-13 verdict item 6): the SAME events fact written three
       // ways — plain (row-group min/max stats only, random layout so
