@@ -89,7 +89,10 @@ object Ledger {
     * the file-group-pruned variant is VersionedTable.merge. Returns
     * the post-merge row count. */
   def deleteInsert(spark: SparkSession, batch: DataFrame,
-      target: String, key: String = "unique_key"): Long = {
+      target: String, key: String = "unique_key",
+      arbiterFor: org.apache.hadoop.fs.FileSystem =>
+        graft.sources.CommitArbiter =
+        graft.sources.CommitArbiter.forFs): Long = {
     val dataP = new org.apache.hadoop.fs.Path(dataPath(target))
     val stagedP = new org.apache.hadoop.fs.Path(dataPath(target) + "_staged")
     val oldP = new org.apache.hadoop.fs.Path(dataPath(target) + "_old")
@@ -104,11 +107,15 @@ object Ledger {
     // holder leaves the lock behind — deliberately stop-the-job: the
     // operator confirms no writer is alive, removes the lock, and the
     // rerun's recovery path restores any parked state.
+    // `arbiterFor` defaults to the scheme dispatch (local → hard
+    // link, HDFS → atomic create, object stores REFUSED) — callers on
+    // s3a-family stores bind a ConditionalPut here, same seam as
+    // VersionedTable.commit. NOTE the renames below are still only
+    // atomic on local/HDFS; on object stores prefer VersionedTable.
     val lockP = new org.apache.hadoop.fs.Path(s"$target/_swap.lock")
     fs.mkdirs(new org.apache.hadoop.fs.Path(target))
     val info = s"""{"pid_hint":"${java.lang.ProcessHandle.current().pid()}","acquired_ms":${System.currentTimeMillis()}}"""
-    if (!graft.sources.CommitArbiter.forFs(fs)
-        .publish(fs, lockP, info.getBytes("UTF-8")))
+    if (!arbiterFor(fs).publish(fs, lockP, info.getBytes("UTF-8")))
       throw new IllegalStateException(
         s"deleteInsert on '$target' is single-writer and the swap lock " +
           s"'$lockP' is held. If the holder crashed, verify no writer " +

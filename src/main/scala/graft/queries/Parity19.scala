@@ -140,7 +140,6 @@ object Parity19 {
     // the oracle is arm-independent; the fixed arms stay addressable
     // for the rank_arms slope measurement via pagerankQ directly.
     "x9_pagerank" -> { (s, d) => pagerankQ(s, d, msg = advisedMsg(s, d)) },
-    // message-form arm (round-12 verdict item 4): same integer
     // the advisor's verdict as an oracle-checked row: the modeled
     // node-count estimate (the graph's node universe is bounded by
     // customers + suppliers — two metadata-cheap table counts, the
@@ -160,6 +159,7 @@ object Parity19 {
           when(col("est_vector_bytes") >= col("crossover_bytes"),
             "msg").otherwise("broadcast"))
     },
+    // message-form arm (round-12 verdict item 4): same integer
     // arithmetic, so the SAME oracle — see pagerankQ for the
     // broadcast-vs-message trade
     "x9_pagerank_msg" -> (pagerankQ(_, _, msg = true)),
@@ -243,10 +243,15 @@ object Parity19 {
     * node universe ≤ |customer| + |supplier| — two metadata-cheap
     * parquet counts (no column reads), a planning action like the
     * min/max head() in Sinks — fed to the measured-crossover model
-    * in [[graft.ops.Exchange.adviseMsg]]. */
+    * in [[graft.ops.Exchange.adviseMsg]]. Memoized per data dir so
+    * plan-only constructions (explain, double-timed bench harnesses)
+    * pay the two count jobs once, not per DataFrame build. */
+  private val nodeEstCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def advisedMsg(s: SparkSession, d: String): Boolean =
     graft.ops.Exchange.adviseMsg(
-      customer(s, d).count() + supplier(s, d).count())
+      nodeEstCache.computeIfAbsent(d,
+        _ => customer(s, d).count() + supplier(s, d).count()))
 
   private[graft] def pagerankQ(s: SparkSession, d: String,
       msg: Boolean): DataFrame = {
