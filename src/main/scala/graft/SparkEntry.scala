@@ -84,6 +84,7 @@ object SparkEntry {
       graft.queries.Parity65.queries ++
       graft.queries.Parity66.queries ++
       graft.queries.Parity67.queries ++
+      graft.queries.Parity68.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -157,5 +158,6 @@ object SparkEntry {
       graft.queries.Parity65.oracles ++
       graft.queries.Parity66.oracles ++
       graft.queries.Parity67.oracles ++
+      graft.queries.Parity68.oracles ++
       graft.queries.ExtQueries.oracles
 }
