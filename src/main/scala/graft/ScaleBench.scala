@@ -873,6 +873,40 @@ object ScaleBench {
         System.err.println(s"""[scalebench] {"rank_advisor":{$js}}""")
       }
 
+      // Schema-merge planning cost (round-14, the s16/s17 companion
+      // measurement): mergeSchema reads EVERY file footer at plan
+      // time, the default reads ONE, a caller-pinned schema reads
+      // NONE. The knob is FILE COUNT, not data volume — the same
+      // 1 M-row fact staged at 500 vs 4000 files isolates the law.
+      // 100 TB reading: a 10^5-file table pays a full footer sweep
+      // per mergeSchema query; evolution reconciles ONCE at commit
+      // (s16/s17) and the CATALOG owns the schema thereafter.
+      if (blockOn("schema_merge_cost")) locally {
+        def best2(f: => Unit): Double = {
+          def once: Double = {
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }
+          math.min(once, once)
+        }
+        val ev = spark.read.parquet("target/sf1/events.parquet")
+        val pinned = ev.schema
+        val js = Seq(500, 4000).map { nf =>
+          val p = s"target/smc_$nf"
+          if (!Files.exists(Paths.get(p)))
+            ev.repartition(nf).write.parquet(p)
+          // .schema forces inference WITHOUT scanning data — the
+          // probe isolates plan-time footer I/O from the (identical)
+          // scan cost all three arms would share
+          val dflt = best2(spark.read.parquet(p).schema)
+          val merged = best2(
+            spark.read.option("mergeSchema", "true").parquet(p).schema)
+          val pin = best2(spark.read.schema(pinned).parquet(p).schema)
+          f""""files$nf":{"default_sec":$dflt%.2f,"merge_sec":$merged%.2f,""" +
+            f""""pinned_sec":$pin%.2f,"merge_over_pinned":${merged / pin}%.2f}"""
+        }.mkString(",")
+        System.err.println(s"""[scalebench] {"schema_merge_cost":{$js}}""")
+      }
+
       // Skew-join arms (round-14): the one scale lever claimed all
       // over SCALE.md but never measured. A planted hot key (every
       // 3rd event remapped to one user -> ~1/3 of the fact in ONE
