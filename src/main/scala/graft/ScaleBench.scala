@@ -892,8 +892,11 @@ object ScaleBench {
         val pinned = ev.schema
         val js = Seq(500, 4000).map { nf =>
           val p = s"target/smc_$nf"
-          if (!Files.exists(Paths.get(p)))
-            ev.repartition(nf).write.parquet(p)
+          // _SUCCESS probe, not bare-dir existence: a run killed
+          // mid-write must restage, or the block times the wrong
+          // file count — the very variable it measures
+          if (!Files.exists(Paths.get(s"$p/_SUCCESS")))
+            ev.repartition(nf).write.mode("overwrite").parquet(p)
           // .schema forces inference WITHOUT scanning data — the
           // probe isolates plan-time footer I/O from the (identical)
           // scan cost all three arms would share
@@ -962,11 +965,13 @@ object ScaleBench {
             // debug log confirms "split it into 16 parts" only on
             // this form). Real dims are tables; a derived build side
             // needs materialization for AQE skew handling to apply.
+            // rewritten EVERY run (cheap, untimed): an existence guard
+            // would let a stale dim survive a regenerated events tier
+            // and silently shrink the measured join
             val dimPath = s"target/skew_dim_x$c"
-            if (!Files.exists(Paths.get(dimPath)))
-              left.select(col("k")).distinct()
-                .select(col("k"), (col("k") % 7 + 1).as("w"))
-                .write.mode("overwrite").parquet(dimPath)
+            left.select(col("k")).distinct()
+              .select(col("k"), (col("k") % 7 + 1).as("w"))
+              .write.mode("overwrite").parquet(dimPath)
             val dim = spark.read.parquet(dimPath)
             def sumJoin(salted: Boolean): Long = {
               val j =
