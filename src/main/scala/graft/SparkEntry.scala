@@ -85,6 +85,7 @@ object SparkEntry {
       graft.queries.Parity66.queries ++
       graft.queries.Parity67.queries ++
       graft.queries.Parity68.queries ++
+      graft.queries.Parity69.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -159,5 +160,6 @@ object SparkEntry {
       graft.queries.Parity66.oracles ++
       graft.queries.Parity67.oracles ++
       graft.queries.Parity68.oracles ++
+      graft.queries.Parity69.oracles ++
       graft.queries.ExtQueries.oracles
 }

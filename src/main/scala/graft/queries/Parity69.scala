@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.Tables._
+import graft.sources.VersionedTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-14 batch 5: the versioned table's CHANGE-CONSUMPTION half.
+  * The write protocol (`x1_versioned_merge`/`x1_merge_pruned`), the
+  * maintenance jobs (`x1_optimize_roundtrip`/`x1_vacuum_orphans`) and
+  * point-in-time reads (`x1_time_travel`) are already in the gate;
+  * this row adds the two missing verbs a production lakehouse table
+  * speaks — DELETE and table_changes — and hash-checks them THROUGH
+  * the protocol (reference: the warehouse's incremental
+  * delete+insert loads, `dags/dbt_dag.py` + the staging models,
+  * generalized to row-level CDC).
+  *
+  *  - `x1_change_feed`: build a 4-group key-clustered table (four
+  *    contiguous-range append commits) → stats-pruned MERGE of an
+  *    update+insert batch confined to group 0's range → stats-pruned
+  *    [[VersionedTable.deleteRange]] confined to group 1's range →
+  *    [[VersionedTable.changeFeed]] between the pre-merge and
+  *    post-delete versions. The feed must contain EXACTLY the planted
+  *    update pre/post-image pairs, the inserts, and the deletes —
+  *    and both pruned writes must report rewriting exactly ONE group
+  *    (pinned as `mrg_rewritten`/`del_rewritten` columns).
+  *
+  * Scale posture: both writes are O(groups overlapping the batch
+  * range), not O(table) (the vtable_prune law); the feed itself skips
+  * every group live in BOTH versions — identical files cannot
+  * produce a change under the one-row-per-key invariant all write
+  * paths preserve — so CDC off a 100 TB table costs O(changed
+  * groups) + one keyed join, not a full-table diff.
+  * ChangeFeedSpec pins the skip against the naive full diff, the
+  * empty-rewrite group drop, and the stats-proven no-op delete.
+  */
+object Parity69 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Contiguous base-commit ranges (keys are o_orderkey % 50 == 0,
+    * so at the gate's sf0.01 — keys ≤ 14800 — every slice is
+    * non-empty and the four groups carry disjoint [min,max] stats). */
+  private val Bounds = // lo exclusive, hi inclusive; key 0 exists
+    Seq((-1L, 4000L), (4000L, 8000L), (8000L, 12000L), (12000L, Long.MaxValue))
+
+  val queries: Map[String, Q] = Map(
+    "x1_change_feed" -> { (s, d) =>
+      val target = Scratch.dir("cdf", "feed", d)
+      Scratch.clean(s, target)
+      val src = orders(s, d).filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      var v = 0L
+      Bounds.foreach { case (lo, hi) =>
+        v = VersionedTable.commit(s, target,
+          src.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi), v,
+          statsCol = Some("o_orderkey"))
+      }
+      // updates: keys % 150 == 0 (a subset of the table's % 50 keys),
+      // price + 100, re-cast so the table's column type is stable
+      val updates = orders(s, d)
+        .filter(col("o_orderkey") % 150 === 0 && col("o_orderkey") <= 4000)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 100).cast("decimal(15,2)")
+            .as("o_totalprice"))
+      // inserts: % 50 == 25 keys — disjoint from the base key set,
+      // range-confined to group 0 like the updates
+      val inserts = orders(s, d)
+        .filter(col("o_orderkey") % 50 === 25 && col("o_orderkey") <= 4000)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val (_, mrg) = VersionedTable.mergePruned(s, target,
+        updates.unionByName(inserts), "o_orderkey")
+      val (vTo, del) =
+        VersionedTable.deleteRange(s, target, "o_orderkey", 4001L, 6000L)
+      VersionedTable.changeFeed(s, target, "o_orderkey",
+          fromVersion = v, toVersion = vTo)
+        .withColumn("mrg_rewritten", lit(mrg.toLong))
+        .withColumn("del_rewritten", lit(del.toLong))
+        .orderBy(col("o_orderkey"), col("change_type"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "x1_change_feed" ->
+      """WITH upd AS (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey % 150 = 0 AND o_orderkey <= 4000),
+         ins AS (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey % 50 = 25 AND o_orderkey <= 4000),
+         del AS (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey % 50 = 0
+             AND o_orderkey > 4000 AND o_orderkey <= 6000)
+         SELECT *, CAST(1 AS BIGINT) AS mrg_rewritten,
+                CAST(1 AS BIGINT) AS del_rewritten
+         FROM (
+           SELECT o_orderkey, o_totalprice,
+                  'update_preimage' AS change_type FROM upd
+           UNION ALL
+           SELECT o_orderkey,
+                  CAST(o_totalprice + 100 AS DECIMAL(15,2)),
+                  'update_postimage' FROM upd
+           UNION ALL
+           SELECT o_orderkey, o_totalprice, 'insert' FROM ins
+           UNION ALL
+           SELECT o_orderkey, o_totalprice, 'delete' FROM del)
+         ORDER BY o_orderkey, change_type"""
+  )
+}

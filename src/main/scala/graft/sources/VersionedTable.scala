@@ -343,6 +343,115 @@ object VersionedTable {
       staged = Seq(g.name)), touched.size)
   }
 
+  /** DELETE WHERE key ∈ [lo, hi], stats-pruned copy-on-write form
+    * (the Delta `DELETE FROM t WHERE k BETWEEN …` shape): only live
+    * groups whose [min,max] key stats OVERLAP the range are rewritten
+    * with the complement filter; disjoint groups are carried BY
+    * REFERENCE. When the stats prove NO group overlaps, the call is a
+    * metadata-only no-op (no new version — there is nothing to
+    * publish). A rewrite that empties its group drops the group from
+    * the live set instead of committing a zero-row file. Null keys
+    * are never deleted (a range names values, and NULL is not a
+    * value). Returns (version after the call, rewrittenGroupCount).
+    * 100 TB posture: cost is O(groups overlapping the range), not
+    * O(table) — same skipping law SCALE.md's vtable_prune measures
+    * for [[mergePruned]]. */
+  def deleteRange(spark: SparkSession, path: String, keyCol: String,
+      lo: Long, hi: Long): (Long, Int) = {
+    require(lo <= hi, s"empty delete range [$lo,$hi]")
+    val v = currentVersion(spark, path)
+    val live = liveGroups(spark, path, Some(v))
+    val (touched, carried) = live.partition { g =>
+      (g.lo, g.hi) match {
+        case (Some(glo), Some(ghi)) => glo <= hi && lo <= ghi
+        case _ => true // no stats -> conservative rewrite
+      }
+    }
+    if (touched.isEmpty) return (v, 0)
+    val k = col(keyCol).cast("long")
+    val remaining = touched
+      .map(g => spark.read.parquet(s"$path/data/${g.name}"))
+      .reduce(_ unionByName _)
+      .filter(k.isNull || k < lo || k > hi)
+    val g = stageGroup(spark, path, remaining, Some(keyCol))
+    // stats==None means zero rows OR all-null keys; only drop the
+    // group when a one-row probe confirms it is actually empty
+    val keep =
+      if (g.lo.isEmpty &&
+          spark.read.parquet(s"$path/data/${g.name}").limit(1).isEmpty) {
+        fs(spark, path).delete(new Path(s"$path/data/${g.name}"), true)
+        Seq.empty[Group]
+      } else Seq(g)
+    (commitEntry(spark, path, carried ++ keep, v, replace = true,
+      staged = keep.map(_.name)), touched.size)
+  }
+
+  /** CHANGE DATA FEED between two versions: the row-level
+    * insert / delete / update_preimage / update_postimage changelog a
+    * reader needs to incrementally maintain a downstream copy (the
+    * Delta `table_changes` idea, computed from the two snapshots).
+    * Rows whose key exists in exactly one version emit insert/delete;
+    * keys in both with ANY differing non-key column emit the pre- and
+    * post-image pair; identical rows emit nothing.
+    *
+    * `skipShared` (default on) applies file skipping: a data group in
+    * BOTH versions' live sets contributes identical rows to both
+    * sides and can never produce a change — valid because every write
+    * path here ([[commit]] with key-disjoint appends, [[merge]],
+    * [[mergePruned]], [[deleteRange]], [[optimize]]) preserves
+    * one-row-per-key snapshots, so a key in a shared group appears in
+    * no other group of either version. That turns the diff cost into
+    * O(groups that changed between the versions), not O(table) — the
+    * property that makes a CDC feed off a 100 TB table readable.
+    * Requires both versions to share the key + payload columns
+    * (schema evolution between the versions is the reader's problem,
+    * as in s16/s17). */
+  def changeFeed(spark: SparkSession, path: String, keyCol: String,
+      fromVersion: Long, toVersion: Long,
+      skipShared: Boolean = true): DataFrame = {
+    val fromG = liveGroups(spark, path, Some(fromVersion))
+    val toG = liveGroups(spark, path, Some(toVersion))
+    require(fromG.nonEmpty || toG.nonEmpty,
+      s"changeFeed: no live data at either version ($fromVersion, $toVersion)")
+    val shared =
+      if (skipShared) fromG.map(_.name).toSet intersect toG.map(_.name).toSet
+      else Set.empty[String]
+    // fixed payload column order taken from one real group's footer,
+    // so both sides select identically regardless of file layout —
+    // probed from a NON-shared group when one exists: shared groups
+    // are never opened (the skip must hold for the schema read too)
+    val anyGroup = (toG ++ fromG).map(_.name)
+      .find(!shared(_)).getOrElse(toG.head.name)
+    val payload = spark.read.parquet(s"$path/data/$anyGroup").schema
+    require(payload.fieldNames.contains(keyCol),
+      s"changeFeed: key column $keyCol absent from table schema")
+    val others = payload.fieldNames.filterNot(_ == keyCol).toSeq
+    def side(gs: Seq[Group], tag: String): DataFrame = {
+      val base = gs.filterNot(g => shared(g.name))
+        .map(g => spark.read.parquet(s"$path/data/${g.name}"))
+        .reduceOption(_ unionByName _)
+        .getOrElse(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payload))
+      base.select(col(keyCol), struct(others.map(col): _*).as(tag))
+    }
+    val j = side(fromG, "_o").join(side(toG, "_n"), Seq(keyCol), "full_outer")
+      // unchanged rows drop HERE so the image array below never needs
+      // an empty (hence untyped) branch
+      .filter(col("_o").isNull || col("_n").isNull ||
+        !(col("_o") <=> col("_n")))
+    val img =
+      when(col("_o").isNull,
+        array(struct(col("_n").as("p"), lit("insert").as("t"))))
+      .when(col("_n").isNull,
+        array(struct(col("_o").as("p"), lit("delete").as("t"))))
+      .otherwise(
+        array(struct(col("_o").as("p"), lit("update_preimage").as("t")),
+          struct(col("_n").as("p"), lit("update_postimage").as("t"))))
+    j.select(col(keyCol), explode(img).as("_e"))
+      .select(col(keyCol) +: others.map(c => col(s"_e.p.$c")) :+
+        col("_e.t").as("change_type"): _*)
+  }
+
   /** Delete data groups referenced by NO log entry — the orphans a
     * crashed or IO-failed writer leaves between staging and publish.
     * Groups referenced by ANY version (including replaced ones) are
