@@ -86,6 +86,7 @@ object SparkEntry {
       graft.queries.Parity67.queries ++
       graft.queries.Parity68.queries ++
       graft.queries.Parity69.queries ++
+      graft.queries.Parity70.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -161,5 +162,6 @@ object SparkEntry {
       graft.queries.Parity67.oracles ++
       graft.queries.Parity68.oracles ++
       graft.queries.Parity69.oracles ++
+      graft.queries.Parity70.oracles ++
       graft.queries.ExtQueries.oracles
 }

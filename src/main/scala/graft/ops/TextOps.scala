@@ -251,4 +251,48 @@ object TextOps {
     }
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("en"))
   }
+
+  // ---- encoding repair (mojibake) ----------------------------------
+
+  /** Chars that can only be UTF-8 LEAD bytes misread as Latin-1
+    * (0xC2–0xF4) followed by a char in the continuation-byte range
+    * (0x80–0xBF) — the signature of UTF-8 text decoded as
+    * ISO-8859-1/Windows-1252 ("Ã©" for é, "â€™" for a curly quote). */
+  private val MojibakeMarker = "[\\u00C2-\\u00F4][\\u0080-\\u00BF]"
+
+  /** True Latin-1-decoded mojibake contains ONLY chars ≤ U+00FF (every
+    * byte maps to one such char); anything above proves the string is
+    * NOT a Latin-1 misread and must never be "repaired" (encoding it
+    * to ISO-8859-1 would destroy those chars). */
+  private val NonLatin1 = "[\\u0100-\\uFFFF]"
+
+  /** CREATE the corruption (for fixtures/oracles): re-read the
+    * string's UTF-8 bytes as ISO-8859-1. Total and lossless for any
+    * input (Latin-1 decodes every byte), so `fixMojibake` inverts it
+    * exactly. */
+  def mojibake(text: Column): Column =
+    decode(encode(text, "UTF-8"), "ISO-8859-1")
+
+  /** One repair pass: IF the string bears the mojibake signature
+    * (marker pair present, no char above U+00FF, and its Latin-1
+    * bytes re-parse as valid UTF-8) re-decode those bytes as UTF-8;
+    * otherwise pass through untouched. The validity gate runs BEFORE
+    * the decode (CaseWhen evaluates only the taken branch), so the
+    * strict UTF-8 decoder can never throw, and false positives are
+    * bounded the same way ftfy bounds them: plain text that happens
+    * to contain a real "Ã©" AND nothing outside Latin-1 AND parses as
+    * UTF-8 end-to-end. All built-ins — codegen'd, map-only. */
+  def fixMojibakeOnce(text: Column): Column = {
+    val bytes = encode(text, "ISO-8859-1")
+    when(text.rlike(MojibakeMarker) && !text.rlike(NonLatin1) &&
+        is_valid_utf8(bytes),
+      decode(bytes, "UTF-8")).otherwise(text)
+  }
+
+  /** Encoding repair, ftfy-shape: iterate [[fixMojibakeOnce]] to also
+    * unwind DOUBLE-encoded text (corrupted twice reads back in two
+    * passes); a pass over already-clean text is the identity, so
+    * extra passes are harmless. */
+  def fixMojibake(text: Column, passes: Int = 2): Column =
+    (1 to passes).foldLeft(text)((acc, _) => fixMojibakeOnce(acc))
 }
