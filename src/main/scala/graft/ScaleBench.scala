@@ -762,6 +762,85 @@ object ScaleBench {
         System.err.println(s"""[scalebench] {"vtable_prune":{$js}}""")
       }
 
+      // Contended ingest on ONE table: W writers x A appends each,
+      // optimistic concurrency. The naive loop re-stages the data
+      // group on every lost race (O(W) stagings per commit under
+      // contention -> O(W^2 * A) data writes fleet-wide); the
+      // stage-once form (commitAppendWithRetry) re-publishes the
+      // already-staged group, so a lost race costs one version
+      // lookup + one log CAS. Append entries carry no snapshot
+      // read-dependency, which is what makes the re-publish sound.
+      if (blockOn("commit_contention")) locally {
+        import graft.sources.VersionedTable
+        val batch = spark.read.parquet(s"$src/events.parquet")
+          .filter(col("event_id") < 20000)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .cache()
+        val batchRows = batch.count()
+        def clean(p: String): Unit = {
+          val fsp = new org.apache.hadoop.fs.Path(p)
+          val fsx = fsp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fsx.exists(fsp)) fsx.delete(fsp, true)
+        }
+        val appends = 4
+        def run(writers: Int, stageOnce: Boolean): (Double, Long, Long) = {
+          val p = s"target/ccont_${writers}_$stageOnce"
+          clean(p)
+          VersionedTable.commit(spark, p, batch.limit(1), 0L)
+          val conflicts = new java.util.concurrent.atomic.AtomicLong(0)
+          val stagings = new java.util.concurrent.atomic.AtomicLong(0)
+          val barrier = new java.util.concurrent.CyclicBarrier(writers)
+          val t0 = System.nanoTime()
+          val threads = (0 until writers).map { _ =>
+            new Thread(() => {
+              barrier.await()
+              (0 until appends).foreach { _ =>
+                if (stageOnce) {
+                  stagings.incrementAndGet()
+                  val (_, lost) =
+                    VersionedTable.commitAppendWithRetry(spark, p, batch)
+                  conflicts.addAndGet(lost.toLong)
+                } else {
+                  var done = false
+                  while (!done) {
+                    stagings.incrementAndGet()
+                    val v = VersionedTable.currentVersion(spark, p)
+                    try {
+                      VersionedTable.commit(spark, p, batch, v)
+                      done = true
+                    } catch {
+                      case _: VersionedTable.CommitConflictException =>
+                        conflicts.incrementAndGet()
+                    }
+                  }
+                }
+              }
+            })
+          }
+          threads.foreach(_.start()); threads.foreach(_.join())
+          val sec = (System.nanoTime() - t0) / 1e9
+          // exactly-once: every append is exactly one version
+          val vHead = VersionedTable.currentVersion(spark, p)
+          require(vHead == 1 + writers * appends,
+            s"lost/duplicated commits: head $vHead")
+          val n = VersionedTable.read(spark, p).get.count()
+          require(n == 1 + writers * appends * batchRows,
+            s"content mismatch: $n rows")
+          (sec, conflicts.get(), stagings.get())
+        }
+        val js = Seq(4, 16).map { w =>
+          val (nSec, nConf, nStage) = run(w, stageOnce = false)
+          val (oSec, oConf, oStage) = run(w, stageOnce = true)
+          f""""w$w":{"writers":$w,"appends_per":$appends,""" +
+            f""""naive_sec":$nSec%.2f,"once_sec":$oSec%.2f,""" +
+            f""""naive_conflicts":$nConf,"once_conflicts":$oConf,""" +
+            f""""naive_stagings":$nStage,"once_stagings":$oStage,""" +
+            f""""speedup":${nSec / oSec}%.2f}"""
+        }.mkString(",")
+        batch.unpersist()
+        System.err.println(s"""[scalebench] {"commit_contention":{$js}}""")
+      }
+
       // The fix for mm_phash_pairs' 100x duplicate-class artifact,
       // measured: raw image-level banded pairing (output quadratic in
       // duplicate-class size) vs the class-collapsed form (one

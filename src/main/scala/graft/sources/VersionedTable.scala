@@ -221,6 +221,51 @@ object VersionedTable {
       staged = Seq(g.name), batchId = batchId, arbiterFor = arbiterFor)
   }
 
+  /** APPEND commit with stage-once optimistic retry — the production
+    * form of a contended ingest. An append entry carries no
+    * read-dependency on the snapshot (it is valid at ANY version), so
+    * on a lost race the already-staged data group can be re-published
+    * at the next version verbatim: the retry costs one version
+    * lookup + one log-entry CAS, not a data rewrite. (Replace/merge
+    * commits MUST NOT retry this way — their content derives from the
+    * snapshot they read, so a conflict invalidates the staged data;
+    * that is why [[merge]] surfaces [[CommitConflictException]] to
+    * the caller instead.) Under W contending writers the naive
+    * stage-per-attempt loop performs O(W) stagings per commit —
+    * O(W²·commits) data writes fleet-wide — while this form stays at
+    * one staging per commit (SCALE.md `commit_contention` measures
+    * the gap). Returns (committedVersion, lostRaces); on exhausting
+    * `maxAttempts` the staged group is deleted and the last conflict
+    * rethrown. */
+  def commitAppendWithRetry(spark: SparkSession, path: String,
+      df: DataFrame, statsCol: Option[String] = None,
+      batchId: Option[Long] = None,
+      maxAttempts: Int = 64,
+      arbiterFor: org.apache.hadoop.fs.FileSystem => CommitArbiter =
+        CommitArbiter.forFs): (Long, Int) = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    val g = stageGroup(spark, path, df, statsCol)
+    var conflicts = 0
+    while (true) {
+      val v = currentVersion(spark, path)
+      try {
+        // staged = empty: a lost race must NOT clean the group — it
+        // is re-published on the next attempt
+        return (commitEntry(spark, path, Seq(g), v, replace = false,
+          staged = Seq.empty, batchId = batchId,
+          arbiterFor = arbiterFor), conflicts)
+      } catch {
+        case e: CommitConflictException =>
+          conflicts += 1
+          if (conflicts >= maxAttempts) {
+            fs(spark, path).delete(new Path(s"$path/data/${g.name}"), true)
+            throw e
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** The `batch` tag of the HEAD log entry, if any — the token a
     * streaming sink checks to make a retried micro-batch a no-op
     * (Structured Streaming retries the LAST batch after a failure,

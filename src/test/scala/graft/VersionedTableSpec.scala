@@ -266,6 +266,62 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(new java.io.File(s"$p/data").listFiles().count(_.isDirectory) == 2)
   }
 
+  test("commitAppendWithRetry: 8 threads x 3 appends all land with " +
+      "ONE staging each — stage-once retry republishes the same " +
+      "group after a lost race") {
+    val p = tmp()
+    VersionedTable.commit(spark, p, df(0L -> "base"), 0L)
+    val n = 8
+    val perThread = 3
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until n).map { i =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          (0 until perThread).foreach { j =>
+            val key = 100L + i * perThread + j
+            val (_, lost) = VersionedTable.commitAppendWithRetry(
+              spark, p, df(key -> s"w$i-$j"))
+            conflicts.addAndGet(lost)
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.isEmpty, s"unexpected: ${failures.peek()}")
+    // every append landed exactly once, versions are contiguous
+    val snap = snapshot(p)
+    assert(snap.size == 1 + n * perThread)
+    assert(VersionedTable.currentVersion(spark, p) == 1 + n * perThread)
+    // stage-once: data dir holds EXACTLY one group per commit — lost
+    // races re-published the staged group instead of re-staging (and
+    // no debris was left behind)
+    assert(new java.io.File(s"$p/data").listFiles().count(_.isDirectory)
+      == 1 + n * perThread)
+    // with 8 threads racing, at least one race was genuinely lost
+    // (sanity that the retry path actually ran; overwhelmingly likely)
+    assert(conflicts.get() >= 1,
+      "expected contention on an 8-thread race")
+  }
+
+  test("commitAppendWithRetry exhausting maxAttempts cleans its " +
+      "staged group and rethrows") {
+    val p = tmp()
+    val v1 = VersionedTable.commit(spark, p, df(1L -> "a"), 0L)
+    // an arbiter that always reports a lost race
+    val alwaysLose: org.apache.hadoop.fs.FileSystem => graft.sources.CommitArbiter =
+      _ => (_, _, _) => false
+    intercept[VersionedTable.CommitConflictException] {
+      VersionedTable.commitAppendWithRetry(spark, p, df(2L -> "b"),
+        maxAttempts = 3, arbiterFor = alwaysLose)
+    }
+    assert(VersionedTable.currentVersion(spark, p) == v1)
+    // the staged group was cleaned on final failure
+    assert(new java.io.File(s"$p/data").listFiles().count(_.isDirectory) == 1)
+  }
+
   test("HardLink arbiter primitive is atomic under thread contention " +
       "(the exact failure the old local create(overwrite=false) " +
       "arbiter had: two winners, second truncates first)") {
