@@ -841,6 +841,57 @@ object ScaleBench {
         System.err.println(s"""[scalebench] {"commit_contention":{$js}}""")
       }
 
+      // List ranking arms at three chain lengths: pointer doubling
+      // (ceil(log2 n) self-join rounds, every round a plain keyed
+      // shuffle that distributes) vs the single-partition window
+      // (rank = row_number over the WHOLE chain in ONE task — the
+      // shape that cannot distribute). Locally the window's one
+      // in-memory sort is hard to beat; the block prices how fast the
+      // gap closes as n grows, because on a cluster the window arm is
+      // bounded by ONE task's memory and the doubling arm by the
+      // fleet.
+      if (blockOn("list_rank")) locally {
+        import spark.implicits._
+        def planted(n: Long): DataFrame = {
+          // one chain, label-shuffled so the structure is opaque:
+          // position i (1-based) has node label bitrev-ish hash order;
+          // succ(pos i) = label(pos i-1), root at pos 1
+          val pos = spark.range(1, n + 1).select(
+            col("id").as("p"),
+            xxhash64(col("id")).as("label"))
+          val links = pos.as("x")
+            .join(pos.as("y"), col("x.p") === col("y.p") + 1, "left")
+            .select(col("x.label").as("node"),
+              coalesce(col("y.label"), col("x.label")).as("succ"))
+          links
+        }
+        val js = Seq(100000L, 1000000L, 10000000L).map { n =>
+          val links = planted(n).cache()
+          links.count()
+          val t0 = System.nanoTime()
+          val viaDouble = graft.ops.ListRank.ranks(links)
+            .agg(sum(col("rank"))).head().getLong(0)
+          val dblSec = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          // window arm: global order reconstructed from the pointer
+          // relation is itself the hard part; give the window its
+          // best case (order column already at hand) and STILL time it
+          val viaWindow = spark.range(1, n + 1)
+            .select((org.apache.spark.sql.functions.row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy(col("id")))
+              - 1).cast("long").as("r"))
+            .agg(sum(col("r"))).head().getLong(0)
+          val winSec = (System.nanoTime() - t1) / 1e9
+          links.unpersist()
+          require(viaDouble == viaWindow,
+            s"rank checksum mismatch: $viaDouble vs $viaWindow")
+          val rounds = 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+          f""""n$n":{"rounds":$rounds,"double_sec":$dblSec%.2f,""" +
+            f""""window_sec":$winSec%.2f}"""
+        }.mkString(",")
+        System.err.println(s"""[scalebench] {"list_rank":{$js}}""")
+      }
+
       // The fix for mm_phash_pairs' 100x duplicate-class artifact,
       // measured: raw image-level banded pairing (output quadratic in
       // duplicate-class size) vs the class-collapsed form (one

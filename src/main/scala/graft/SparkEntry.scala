@@ -87,6 +87,7 @@ object SparkEntry {
       graft.queries.Parity68.queries ++
       graft.queries.Parity69.queries ++
       graft.queries.Parity70.queries ++
+      graft.queries.Parity71.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -163,5 +164,6 @@ object SparkEntry {
       graft.queries.Parity68.oracles ++
       graft.queries.Parity69.oracles ++
       graft.queries.Parity70.oracles ++
+      graft.queries.Parity71.oracles ++
       graft.queries.ExtQueries.oracles
 }

@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.Tables._
+import graft.ops.{ListRank, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-14 batch 7: pointer-doubling list ranking — the canonical
+  * O(log n)-round distributed technique for SUCCESSOR-CHAIN data
+  * (linked logs, parent/next pointers, version chains), which no
+  * built-in covers: a window over the chain is the one shape that
+  * cannot distribute (whole list into one task's sort), and a naive
+  * walk is O(n) shuffle rounds.
+  *
+  *  - `x9_list_rank`: build 8 pseudo-random chains over the even
+  *    order keys (chain id and in-chain order both md5-derived, so
+  *    the pointer structure is opaque to the algorithm and
+  *    reconstructible by the oracle), hand [[ListRank.ranks]] ONLY
+  *    the (node, succ) pairs, and hash-check every node's computed
+  *    distance-to-root against the oracle's window replay.
+  *
+  * The fixture constructs the chains with a lag window (any planted
+  * fixture must manufacture pointers somehow); the OPERATOR consumes
+  * nothing but the opaque pair relation — Wyllie doubling, one
+  * self-join per round, ceil(log2(longest chain)) rounds, lineage
+  * truncated per round, convergence detected on the round's own join
+  * (ListRankSpec pins chains/singletons/rootless-cycle refusal;
+  * SCALE.md `list_rank` prices doubling vs the single-partition
+  * window at three chain lengths).
+  */
+object Parity71 {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "x9_list_rank" -> { (s, d) =>
+      val keyed = orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"))
+        .withColumn("m", md5(col("o_orderkey").cast("string")))
+        .withColumn("chain",
+          TextOps.polyHash60(col("o_orderkey").cast("string")) % 8)
+      val w = Window.partitionBy(col("chain"))
+        .orderBy(col("m"), col("o_orderkey"))
+      val seq = keyed.withColumn("prev", lag(col("o_orderkey"), 1).over(w))
+      val links = seq.select(col("o_orderkey").as("node"),
+        coalesce(col("prev"), col("o_orderkey")).as("succ"))
+      ListRank.ranks(links)
+        .join(seq.select(col("o_orderkey"), col("chain")),
+          col("node") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("chain"),
+          col("rank").as("list_rank"))
+        .orderBy(col("o_orderkey"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "x9_list_rank" ->
+      s"""SELECT o_orderkey, chain,
+            ROW_NUMBER() OVER (PARTITION BY chain
+              ORDER BY m, o_orderkey) - 1 AS list_rank
+          FROM (SELECT o_orderkey,
+                  md5(CAST(o_orderkey AS VARCHAR)) AS m,
+                  ${OracleSql.hx15("CAST(o_orderkey AS VARCHAR)")} % 8
+                    AS chain
+                FROM orders WHERE o_orderkey % 2 = 0)
+          ORDER BY o_orderkey"""
+  )
+}

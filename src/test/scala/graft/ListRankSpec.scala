@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.ListRank
+
+/** Pointer-doubling list-ranking contract: exact distance-to-root on
+  * single chains, multiple chains, and singletons; a rootless cycle
+  * (which can never converge) is refused rather than looped on.
+  */
+class ListRankSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def links(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("node", "succ")
+  }
+
+  private def rankMap(df: org.apache.spark.sql.DataFrame) =
+    ListRank.ranks(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("single chain: rank = distance to the self-loop root") {
+    // 0 <- 1 <- 2 <- ... <- 9 (succ points toward the root)
+    val chain = links((0L -> 0L) +: (1L to 9L).map(i => i -> (i - 1)): _*)
+    assert(rankMap(chain) == (0L to 9L).map(i => i -> i).toMap)
+  }
+
+  test("multiple chains of different lengths + singleton roots") {
+    val ls = links(
+      // chain A: 10 <- 11 <- 12
+      10L -> 10L, 11L -> 10L, 12L -> 11L,
+      // chain B: 20 <- 21
+      20L -> 20L, 21L -> 20L,
+      // singleton
+      30L -> 30L)
+    assert(rankMap(ls) == Map(10L -> 0L, 11L -> 1L, 12L -> 2L,
+      20L -> 0L, 21L -> 1L, 30L -> 0L))
+  }
+
+  test("round count is logarithmic: a 33-link chain converges (2^6 " +
+      "coverage) where a naive walk would need 33 rounds") {
+    val n = 33L
+    val chain = links((0L -> 0L) +: (1L to n).map(i => i -> (i - 1)): _*)
+    // maxRounds = 7 is enough for 33 links (ceil(log2 33) = 6, plus
+    // the final no-move round that detects convergence)
+    val r = ListRank.ranks(chain, maxRounds = 7).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == (0L to n).map(i => i -> i).toMap)
+  }
+
+  test("a rootless cycle is refused (would never converge)") {
+    val cycle = links(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    val e = intercept[IllegalArgumentException] {
+      ListRank.ranks(cycle, maxRounds = 8).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+}
