@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   *    update pre/post-image pairs, the inserts, and the deletes —
   *    and both pruned writes must report rewriting exactly ONE group
   *    (pinned as `mrg_rewritten`/`del_rewritten` columns).
+  *  - `x1_feed_apply`: CDC-driven incremental view maintenance — a
+  *    grouped (count, spend) aggregate maintained by applying the
+  *    feed's deltas to the vFrom state, never re-scanning the table,
+  *    hash-matched against the oracle's full recompute at vTo. Money
+  *    rides as exact integer cents end-to-end (the one decimal→double
+  *    conversion step is where the two engines round differently).
   *
   * Scale posture: both writes are O(groups overlapping the batch
   * range), not O(table) (the vtable_prune law); the feed itself skips
@@ -43,39 +49,86 @@ object Parity69 {
   private val Bounds = // lo exclusive, hi inclusive; key 0 exists
     Seq((-1L, 4000L), (4000L, 8000L), (8000L, 12000L), (12000L, Long.MaxValue))
 
+  /** The shared fixture: 4-range base commits → range-confined pruned
+    * MERGE (updates % 150 + inserts % 50 == 25) → pruned range DELETE.
+    * Returns (table path, vFrom, vTo, mergeRewrites, deleteRewrites). */
+  private def buildFeedTable(s: SparkSession, d: String,
+      tag: String): (String, Long, Long, Int, Int) = {
+    val target = Scratch.dir("cdf", tag, d)
+    Scratch.clean(s, target)
+    val src = orders(s, d).filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    var v = 0L
+    Bounds.foreach { case (lo, hi) =>
+      v = VersionedTable.commit(s, target,
+        src.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi), v,
+        statsCol = Some("o_orderkey"))
+    }
+    // updates: keys % 150 == 0 (a subset of the table's % 50 keys),
+    // price + 100, re-cast so the table's column type is stable
+    val updates = orders(s, d)
+      .filter(col("o_orderkey") % 150 === 0 && col("o_orderkey") <= 4000)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + 100).cast("decimal(15,2)")
+          .as("o_totalprice"))
+    // inserts: % 50 == 25 keys — disjoint from the base key set,
+    // range-confined to group 0 like the updates
+    val inserts = orders(s, d)
+      .filter(col("o_orderkey") % 50 === 25 && col("o_orderkey") <= 4000)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val (_, mrg) = VersionedTable.mergePruned(s, target,
+      updates.unionByName(inserts), "o_orderkey")
+    val (vTo, del) =
+      VersionedTable.deleteRange(s, target, "o_orderkey", 4001L, 6000L)
+    (target, v, vTo, mrg, del)
+  }
+
   val queries: Map[String, Q] = Map(
     "x1_change_feed" -> { (s, d) =>
-      val target = Scratch.dir("cdf", "feed", d)
-      Scratch.clean(s, target)
-      val src = orders(s, d).filter(col("o_orderkey") % 50 === 0)
-        .select(col("o_orderkey"), col("o_totalprice"))
-      var v = 0L
-      Bounds.foreach { case (lo, hi) =>
-        v = VersionedTable.commit(s, target,
-          src.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi), v,
-          statsCol = Some("o_orderkey"))
-      }
-      // updates: keys % 150 == 0 (a subset of the table's % 50 keys),
-      // price + 100, re-cast so the table's column type is stable
-      val updates = orders(s, d)
-        .filter(col("o_orderkey") % 150 === 0 && col("o_orderkey") <= 4000)
-        .select(col("o_orderkey"),
-          (col("o_totalprice") + 100).cast("decimal(15,2)")
-            .as("o_totalprice"))
-      // inserts: % 50 == 25 keys — disjoint from the base key set,
-      // range-confined to group 0 like the updates
-      val inserts = orders(s, d)
-        .filter(col("o_orderkey") % 50 === 25 && col("o_orderkey") <= 4000)
-        .select(col("o_orderkey"), col("o_totalprice"))
-      val (_, mrg) = VersionedTable.mergePruned(s, target,
-        updates.unionByName(inserts), "o_orderkey")
-      val (vTo, del) =
-        VersionedTable.deleteRange(s, target, "o_orderkey", 4001L, 6000L)
+      val (target, vFrom, vTo, mrg, del) = buildFeedTable(s, d, "feed")
       VersionedTable.changeFeed(s, target, "o_orderkey",
-          fromVersion = v, toVersion = vTo)
+          fromVersion = vFrom, toVersion = vTo)
         .withColumn("mrg_rewritten", lit(mrg.toLong))
         .withColumn("del_rewritten", lit(del.toLong))
         .orderBy(col("o_orderkey"), col("change_type"))
+    },
+
+    // ---- CDC-driven incremental view maintenance --------------------
+    // The reason a change feed exists: a downstream grouped aggregate
+    // maintained by APPLYING the feed's deltas (+post/+insert,
+    // -pre/-delete) to the vFrom state — never re-scanning the table —
+    // must land on exactly the aggregate a full recompute at vTo
+    // yields (the oracle recomputes it relationally). At 100 TB the
+    // maintenance job's cost is O(changed rows), not O(table).
+    "x1_feed_apply" -> { (s, d) =>
+      val (target, vFrom, vTo, _, _) = buildFeedTable(s, d, "apply")
+      // money kept as exact integer CENTS end-to-end: the maintained
+      // and recomputed aggregates must match to the BIT, and decimal→
+      // double conversion is the one step the two engines round
+      // differently at this magnitude
+      val cents = (Exact.dec2(col("o_totalprice")) * 100).cast("long")
+      def grouped(df: DataFrame) = df
+        .groupBy((col("o_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("spend_cents"))
+      val base = grouped(VersionedTable.read(s, target, Some(vFrom)).get)
+      val deltas = VersionedTable
+        .changeFeed(s, target, "o_orderkey", vFrom, vTo)
+        .groupBy((col("o_orderkey") % 10).as("bucket"))
+        .agg(
+          sum(when(col("change_type") === "insert", 1L)
+            .when(col("change_type") === "delete", -1L)
+            .otherwise(0L)).as("dn"),
+          sum(when(col("change_type")
+              .isin("insert", "update_postimage"), cents)
+            .otherwise(-cents)).as("dspend"))
+      base.join(deltas, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n"),
+          (coalesce(col("spend_cents"), lit(0L)) +
+            coalesce(col("dspend"), lit(0L))).as("spend_cents"))
+        .filter(col("n") > 0)
+        .orderBy(col("bucket"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -103,6 +156,20 @@ object Parity69 {
            SELECT o_orderkey, o_totalprice, 'insert' FROM ins
            UNION ALL
            SELECT o_orderkey, o_totalprice, 'delete' FROM del)
-         ORDER BY o_orderkey, change_type"""
+         ORDER BY o_orderkey, change_type""",
+    "x1_feed_apply" ->
+      """WITH final AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 150 = 0 AND o_orderkey <= 4000
+                       THEN CAST(o_totalprice + 100 AS DECIMAL(15,2))
+                       ELSE o_totalprice END AS p
+           FROM orders
+           WHERE (o_orderkey % 50 = 0
+                  AND NOT (o_orderkey > 4000 AND o_orderkey <= 6000))
+              OR (o_orderkey % 50 = 25 AND o_orderkey <= 4000))
+         SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n,
+                CAST(SUM(CAST(CAST(p AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS spend_cents
+         FROM final GROUP BY 1 ORDER BY bucket"""
   )
 }
