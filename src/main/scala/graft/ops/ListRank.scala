@@ -69,4 +69,44 @@ object ListRank {
         "(rootless cycle in the input, or maxRounds too low)")
     state.select(col("node"), col("dist").as("rank"))
   }
+
+  /** CYCLE LABELING of a functional graph (every node exactly one
+    * successor; self-loops allowed) by min-label doubling — the
+    * cycle-shaped counterpart of [[ranks]]: after k rounds each node
+    * knows the MINIMUM label among its first 2^k successors, and with
+    * 2^k ≥ n that covers the entire forward reach (re-walking a cycle
+    * is idempotent under min), so ceil(log2 n) rounds suffice with NO
+    * convergence action at all. On a permutation (pure cycles) the
+    * returned label IS the strongly-connected-component id — every
+    * node of a cycle reports the cycle's minimum node; on rho-shaped
+    * inputs (tails into cycles) it is the min label forward-reachable,
+    * the standard "which basin am I in" key. Same per-round cost
+    * shape as [[ranks]]: one keyed self-join, lineage truncated.
+    *
+    * Input must be FUNCTIONAL (node unique in `links`); a node with
+    * two successors would duplicate through the self-join. Returns
+    * (node, label). */
+  def cycleLabels(links: DataFrame, checkpointDir: Option[String] = None,
+      maxRounds: Int = 64): DataFrame = {
+    val n = links.count()
+    val rounds =
+      if (n <= 1) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(n - 1) // ceil(log2 n)
+    // unlike ranks(), a short run is silently WRONG (no parked state
+    // to check), so refuse up front rather than underrun
+    require(rounds <= maxRounds,
+      s"cycle labeling needs $rounds rounds for $n links (> maxRounds)")
+    // state: (node, ptr, mn) — mn = min label among positions
+    // [0, 2^k) of the successor walk; ptr = successor 2^k ahead
+    var state = links.select(col("node"), col("succ").as("ptr"),
+      col("node").as("mn"))
+    (0 until rounds).foreach { _ =>
+      val jumped = state.as("a")
+        .join(state.as("b"), col("a.ptr") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.ptr").as("ptr"),
+          least(col("a.mn"), col("b.mn")).as("mn"))
+      state = Iter.truncate(jumped, checkpointDir)
+    }
+    state.select(col("node"), col("mn").as("label"))
+  }
 }

@@ -50,6 +50,37 @@ object Parity71 {
         .select(col("o_orderkey"), col("chain"),
           col("rank").as("list_rank"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // ---- cycle labeling (SCC of a permutation) ----------------------
+    // The same 8 md5-shuffled chains CLOSED into cycles (the first
+    // element's successor is the chain's last element): a permutation
+    // of the even order keys whose strongly connected components ARE
+    // the cycles. ListRank.cycleLabels consumes only the opaque
+    // (node, succ) pairs; every node must report its cycle's minimum
+    // key, which the oracle recomputes as a window MIN per chain.
+    "x9_cycle_label" -> { (s, d) =>
+      val keyed = orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"))
+        .withColumn("m", md5(col("o_orderkey").cast("string")))
+        .withColumn("chain",
+          TextOps.polyHash60(col("o_orderkey").cast("string")) % 8)
+      val w = Window.partitionBy(col("chain"))
+        .orderBy(col("m"), col("o_orderkey"))
+      val seq = keyed
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prev", lag(col("o_orderkey"), 1).over(w))
+      val lastk = seq.groupBy(col("chain"))
+        .agg(max_by(col("o_orderkey"), col("rn")).as("lastk"))
+      val links = seq.join(lastk, Seq("chain"))
+        .select(col("o_orderkey").as("node"),
+          coalesce(col("prev"), col("lastk")).as("succ"))
+      ListRank.cycleLabels(links)
+        .join(seq.select(col("o_orderkey"), col("chain")),
+          col("node") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("chain"),
+          col("label").as("scc_id"))
+        .orderBy(col("o_orderkey"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -59,6 +90,14 @@ object Parity71 {
               ORDER BY m, o_orderkey) - 1 AS list_rank
           FROM (SELECT o_orderkey,
                   md5(CAST(o_orderkey AS VARCHAR)) AS m,
+                  ${OracleSql.hx15("CAST(o_orderkey AS VARCHAR)")} % 8
+                    AS chain
+                FROM orders WHERE o_orderkey % 2 = 0)
+          ORDER BY o_orderkey""",
+    "x9_cycle_label" ->
+      s"""SELECT o_orderkey, chain,
+            MIN(o_orderkey) OVER (PARTITION BY chain) AS scc_id
+          FROM (SELECT o_orderkey,
                   ${OracleSql.hx15("CAST(o_orderkey AS VARCHAR)")} % 8
                     AS chain
                 FROM orders WHERE o_orderkey % 2 = 0)

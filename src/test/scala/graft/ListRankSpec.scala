@@ -56,4 +56,38 @@ class ListRankSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  private def labelMap(df: org.apache.spark.sql.DataFrame) =
+    ListRank.cycleLabels(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("cycleLabels: every node of a cycle reports the cycle's " +
+      "minimum; multiple cycles + fixed points") {
+    val perm = links(
+      // cycle A: 5 -> 9 -> 2 -> 5
+      5L -> 9L, 9L -> 2L, 2L -> 5L,
+      // cycle B: 7 -> 8 -> 7
+      7L -> 8L, 8L -> 7L,
+      // fixed point
+      4L -> 4L)
+    assert(labelMap(perm) == Map(5L -> 2L, 9L -> 2L, 2L -> 2L,
+      7L -> 7L, 8L -> 7L, 4L -> 4L))
+  }
+
+  test("cycleLabels on a rho shape: tail nodes report the min of " +
+      "their forward reach (basin key)") {
+    // tail 10 -> 11 -> into cycle 1 -> 2 -> 3 -> 1
+    val rho = links(10L -> 11L, 11L -> 1L,
+      1L -> 2L, 2L -> 3L, 3L -> 1L)
+    assert(labelMap(rho) ==
+      Map(10L -> 1L, 11L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("cycleLabels refuses an insufficient maxRounds up front " +
+      "(a short run would be silently wrong)") {
+    val perm = links((1L to 40L).map(i => i -> (i % 40 + 1)): _*)
+    intercept[IllegalArgumentException] {
+      ListRank.cycleLabels(perm, maxRounds = 3)
+    }
+  }
 }
