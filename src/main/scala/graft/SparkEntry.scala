@@ -88,6 +88,7 @@ object SparkEntry {
       graft.queries.Parity69.queries ++
       graft.queries.Parity70.queries ++
       graft.queries.Parity71.queries ++
+      graft.queries.Parity72.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -165,5 +166,6 @@ object SparkEntry {
       graft.queries.Parity69.oracles ++
       graft.queries.Parity70.oracles ++
       graft.queries.Parity71.oracles ++
+      graft.queries.Parity72.oracles ++
       graft.queries.ExtQueries.oracles
 }
