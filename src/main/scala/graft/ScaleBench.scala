@@ -892,6 +892,40 @@ object ScaleBench {
         System.err.println(s"""[scalebench] {"list_rank":{$js}}""")
       }
 
+      // SCC cost law: FW-BW min-label peeling is (diameter × n)-shaped
+      // — fixpoint rounds track the component DIAMETER, not component
+      // count or total size. Planted tiers grow n 100× while binary
+      // chords hold every component's diameter at ≤ log2(ring size):
+      // wall-clock should grow ~linearly with n (per-round join size)
+      // plus the extra rounds of the mildly deeper rings.
+      if (blockOn("scc_tiers")) locally {
+        def planted(nGroups: Int, ringSz: Int): (DataFrame, DataFrame) = {
+          val n = nGroups.toLong * ringSz
+          val nodes = spark.range(0, n).select(col("id").as("v"))
+          val g = col("v") % nGroups
+          val r = expr(s"v DIV $nGroups") // 0..ringSz-1 within group
+          val chords = Iterator.iterate(1)(_ * 2)
+            .takeWhile(_ < ringSz).toSeq
+          val edges = chords.map { step =>
+            nodes.select(col("v").as("u"),
+              (g + ((r + step) % ringSz) * nGroups).as("w"))
+          }.reduce(_ unionByName _)
+          (nodes, edges)
+        }
+        val js = Seq((16, 32), (16, 320), (160, 320)).map {
+          case (ng, rs) =>
+            val (nodes, edges) = planted(ng, rs)
+            val t0 = System.nanoTime()
+            val ids = graft.ops.Scc.components(nodes, edges)
+            val nScc = ids.select(col("scc_id")).distinct().count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            require(nScc == ng, s"expected $ng components, got $nScc")
+            f""""n${ng * rs}":{"groups":$ng,"ring":$rs,""" +
+              f""""scc_sec":$sec%.2f}"""
+        }.mkString(",")
+        System.err.println(s"""[scalebench] {"scc_tiers":{$js}}""")
+      }
+
       // The fix for mm_phash_pairs' 100x duplicate-class artifact,
       // measured: raw image-level banded pairing (output quadratic in
       // duplicate-class size) vs the class-collapsed form (one
