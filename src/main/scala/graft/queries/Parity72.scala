@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * the undirected case, `ListRank.cycleLabels` the functional case;
   * this is the arbitrary-out-degree directed case).
   *
-  *  - `x9_scc`: plant 16 strongly connected 32-rings (binary chord
-  *    steps +1/+2/+4/+8/+16 keep each component's diameter ≤ 5) over the first
-  *    512 customer keys, plus ONE one-way DAG edge between two
+  *  - `x9_scc`: plant 16 strongly connected 16-rings (binary chord
+  *    steps +1/+2/+4/+8 keep each component's diameter ≤ 4; the
+  *    bigger tiers live in SCALE.md `scc_tiers`) over the first
+  *    256 customer keys, plus ONE one-way DAG edge between two
   *    components — which must NOT merge them (direction matters: the
   *    exact mistake an undirected CC would make). The operator
   *    consumes only the opaque (u, w) edge pairs;
@@ -34,7 +35,7 @@ object Parity72 {
 
   val queries: Map[String, Q] = Map(
     "x9_scc" -> { (s, d) =>
-      val nodes = customer(s, d).filter(col("c_custkey") <= 512)
+      val nodes = customer(s, d).filter(col("c_custkey") <= 256)
         .select(col("c_custkey").as("v"))
       val gw = Window.partitionBy(col("g")).orderBy(col("v"))
       val gr = nodes.withColumn("g", col("v") % 16)
@@ -44,7 +45,7 @@ object Parity72 {
       // ring + binary chords: r -> (r + step) % sz within each group;
       // powers of two reach any offset in ≤ log2(sz) hops, so each
       // component's diameter (= fixpoint round count) stays ≤ 5
-      val edges = Seq(1, 2, 4, 8, 16).map { step =>
+      val edges = Seq(1, 2, 4, 8).map { step =>
         grs.as("s").join(grs.as("t"),
             col("s.g") === col("t.g") &&
               col("t.r") === (col("s.r") + step) % col("s.sz"))
@@ -63,6 +64,6 @@ object Parity72 {
     "x9_scc" ->
       """SELECT c_custkey AS v,
            MIN(c_custkey) OVER (PARTITION BY c_custkey % 16) AS scc_id
-         FROM customer WHERE c_custkey <= 512 ORDER BY v"""
+         FROM customer WHERE c_custkey <= 256 ORDER BY v"""
   )
 }
