@@ -43,6 +43,15 @@ object ListRank {
     // parked-check at the end (which doubles as the rootless-cycle
     // refusal — a cycle never parks).
     val n = links.count()
+    // refuse DANGLING pointers up front (succ values that are not
+    // nodes): the self-join would silently DROP such rows mid-
+    // iteration — surviving nodes would "converge" with wrong ranks
+    // and the vanished ones would just be missing from the output
+    val dangling = links.as("x").join(links.as("y"),
+      col("x.succ") === col("y.node"), "left_anti").count()
+    require(dangling == 0,
+      s"$dangling dangling successor pointer(s): succ values that are " +
+        "not nodes")
     val bound =
       if (n <= 1) 0
       else 64 - java.lang.Long.numberOfLeadingZeros(n - 1) // ceil(log2 n)
@@ -89,6 +98,13 @@ object ListRank {
   def cycleLabels(links: DataFrame, checkpointDir: Option[String] = None,
       maxRounds: Int = 64): DataFrame = {
     val n = links.count()
+    // same dangling-pointer refusal as ranks(): the self-join would
+    // silently drop rows whose succ is not a node
+    val dangling = links.as("x").join(links.as("y"),
+      col("x.succ") === col("y.node"), "left_anti").count()
+    require(dangling == 0,
+      s"$dangling dangling successor pointer(s): succ values that are " +
+        "not nodes")
     val rounds =
       if (n <= 1) 0
       else 64 - java.lang.Long.numberOfLeadingZeros(n - 1) // ceil(log2 n)

@@ -261,10 +261,13 @@ object TextOps {
   private val MojibakeMarker = "[\\u00C2-\\u00F4][\\u0080-\\u00BF]"
 
   /** True Latin-1-decoded mojibake contains ONLY chars ≤ U+00FF (every
-    * byte maps to one such char); anything above proves the string is
-    * NOT a Latin-1 misread and must never be "repaired" (encoding it
-    * to ISO-8859-1 would destroy those chars). */
-  private val NonLatin1 = "[\\u0100-\\uFFFF]"
+    * byte maps to one such char); ANY code point above — BMP or
+    * supplementary (emoji) — proves the string is NOT a Latin-1
+    * misread and must never be "repaired" (encoding it to ISO-8859-1
+    * would destroy those chars). Negated class, not [\\u0100-\\uFFFF]:
+    * a range capped at U+FFFF misses supplementary-plane code points,
+    * and web text is full of them. */
+  private val NonLatin1 = "[^\\u0000-\\u00FF]"
 
   /** CREATE the corruption (for fixtures/oracles): re-read the
     * string's UTF-8 bytes as ISO-8859-1. Total and lossless for any
@@ -295,4 +298,8 @@ object TextOps {
     * extra passes are harmless. */
   def fixMojibake(text: Column, passes: Int = 2): Column =
     (1 to passes).foldLeft(text)((acc, _) => fixMojibakeOnce(acc))
+  // NOTE each pass references its input ~4x (two rlike, encode,
+  // otherwise), so the expression tree grows 4^passes — fine at the
+  // default 2 passes under codegen subexpression elimination; for
+  // more passes bind each pass to a named column instead.
 }

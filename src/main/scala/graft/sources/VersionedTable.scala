@@ -166,13 +166,27 @@ object VersionedTable {
     }
     // the winner of a checkpoint-boundary version consolidates the
     // live set — derived, idempotent metadata (only one writer ever
-    // holds version `next`, so overwrite is race-free)
+    // holds version `next`, so no same-name contention). Published
+    // via write-temp-then-RENAME, never create+write in place: with
+    // contended appends (commitAppendWithRetry) other writers read
+    // the log concurrently, and a reader catching the checkpoint
+    // between create and close would fold a TORN live set — rename is
+    // atomic on local/HDFS, so the name only ever points at complete
+    // bytes. A crash before rename leaves only a dot-prefixed temp
+    // (invisible to the chk-v listing).
     if (next % CheckpointInterval == 0) {
       val live = liveGroups(spark, path, Some(next))
       val chk = new Path(logDir(path), f"chk-v$next%08d.json")
+      val tmp = new Path(logDir(path),
+        s".tmp-chk-${java.util.UUID.randomUUID()}")
       val body = s"""{"version":$next,${groupsJson(live)}}"""
-      val out = f.create(chk, true)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
+      try {
+        val out = f.create(tmp, true)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        f.rename(tmp, chk)
+      } finally {
+        if (f.exists(tmp)) f.delete(tmp, false)
+      }
     }
     next
   }
@@ -314,14 +328,20 @@ object VersionedTable {
     }
   }
 
+  /** One relation over a set of data groups (None when empty) — the
+    * single place the group-file read lives (read / mergePruned /
+    * deleteRange / changeFeed / optimize all route here). */
+  private def readGroups(spark: SparkSession, path: String,
+      gs: Seq[Group]): Option[DataFrame] =
+    gs.map(g => spark.read.parquet(s"$path/data/${g.name}"))
+      .reduceOption(_ unionByName _)
+
   /** Read the table as of `asOfVersion` (None = latest). Returns
     * None when no version exists yet. */
   def read(spark: SparkSession, path: String,
       asOfVersion: Option[Long] = None): Option[DataFrame] = {
     val live = liveGroups(spark, path, asOfVersion)
-    if (live.isEmpty) None
-    else Some(live.map(g => spark.read.parquet(s"$path/data/${g.name}"))
-      .reduce(_ unionByName _))
+    readGroups(spark, path, live)
   }
 
   /** MERGE (upsert by key), full-rewrite form: rows of `updates`
@@ -374,9 +394,7 @@ object VersionedTable {
         case _ => true // no stats -> conservative rewrite
       }
     }
-    val touchedDf = touched
-      .map(g => spark.read.parquet(s"$path/data/${g.name}"))
-      .reduceOption(_ unionByName _)
+    val touchedDf = readGroups(spark, path, touched)
     val rewritten = touchedDf match {
       case Some(t) =>
         t.join(updates.select(col(keyCol)).distinct(), Seq(keyCol),
@@ -414,9 +432,7 @@ object VersionedTable {
     }
     if (touched.isEmpty) return (v, 0)
     val k = col(keyCol).cast("long")
-    val remaining = touched
-      .map(g => spark.read.parquet(s"$path/data/${g.name}"))
-      .reduce(_ unionByName _)
+    val remaining = readGroups(spark, path, touched).get
       .filter(k.isNull || k < lo || k > hi)
     val g = stageGroup(spark, path, remaining, Some(keyCol))
     // stats==None means zero rows OR all-null keys; only drop the
@@ -463,8 +479,10 @@ object VersionedTable {
       else Set.empty[String]
     // fixed payload column order taken from one real group's footer,
     // so both sides select identically regardless of file layout —
-    // probed from a NON-shared group when one exists: shared groups
-    // are never opened (the skip must hold for the schema read too)
+    // probed from a NON-shared group when one exists. Shared groups'
+    // DATA is never read; only the degenerate all-shared diff (e.g.
+    // self-diff) touches a shared group at all, and then just its
+    // footer for the schema of the (empty) result.
     val anyGroup = (toG ++ fromG).map(_.name)
       .find(!shared(_)).getOrElse(toG.head.name)
     val payload = spark.read.parquet(s"$path/data/$anyGroup").schema
@@ -472,14 +490,19 @@ object VersionedTable {
       s"changeFeed: key column $keyCol absent from table schema")
     val others = payload.fieldNames.filterNot(_ == keyCol).toSeq
     def side(gs: Seq[Group], tag: String): DataFrame = {
-      val base = gs.filterNot(g => shared(g.name))
-        .map(g => spark.read.parquet(s"$path/data/${g.name}"))
-        .reduceOption(_ unionByName _)
+      val base = readGroups(spark, path, gs.filterNot(g => shared(g.name)))
         .getOrElse(spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payload))
-      base.select(col(keyCol), struct(others.map(col): _*).as(tag))
+      base.select(col(keyCol).as(s"_k$tag"),
+        struct(others.map(col): _*).as(tag))
     }
-    val j = side(fromG, "_o").join(side(toG, "_n"), Seq(keyCol), "full_outer")
+    // NULL-SAFE key match: a plain equi-join never matches NULL keys,
+    // which would split an unchanged null-key row into a spurious
+    // delete+insert pair. NULL is treated as one key value here — the
+    // same one-row-per-key reading the write paths apply.
+    val j = side(fromG, "_o").join(side(toG, "_n"),
+        col("_k_o") <=> col("_k_n"), "full_outer")
+      .withColumn(keyCol, coalesce(col("_k_o"), col("_k_n")))
       // unchanged rows drop HERE so the image array below never needs
       // an empty (hence untyped) branch
       .filter(col("_o").isNull || col("_n").isNull ||
@@ -596,8 +619,7 @@ object VersionedTable {
       f.getContentSummary(new Path(s"$path/data/${g.name}")).getLength
     }.sum
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val snapshot = live.map(g => spark.read.parquet(s"$path/data/${g.name}"))
-      .reduce(_ unionByName _)
+    val snapshot = readGroups(spark, path, live).get
     val committed = commit(spark, path, snapshot.repartition(nFiles), v,
       replace = true, statsCol = statsCol)
     (committed, nFiles.toLong)

@@ -149,6 +149,29 @@ class ChangeFeedSpec extends AnyFunSuite {
       Set(7L -> "delete"))
   }
 
+  test("changeFeed is null-safe on the key: an unchanged null-key " +
+      "row emits NOTHING (not a spurious delete+insert pair), and " +
+      "skip on/off agree") {
+    val p = tmp()
+    import spark.implicits._
+    val withNull = Seq((java.lang.Long.valueOf(5L), "e"),
+      (null.asInstanceOf[java.lang.Long], "n")).toDF("k", "v")
+    val v1 = VersionedTable.commit(spark, p, withNull, 0L,
+      statsCol = Some("k"))
+    // deleteRange keeps the null row, drops 5 -> the null row is
+    // UNCHANGED between v1 and v2 but lives in a REWRITTEN group
+    val (v2, _) = VersionedTable.deleteRange(spark, p, "k", 5L, 5L)
+    def feed(skip: Boolean) =
+      VersionedTable.changeFeed(spark, p, "k", v1, v2, skipShared = skip)
+        .collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          r.getString(1), r.getString(2))).toSet
+    val expected = Set((Some(5L), "e", "delete"))
+    assert(feed(skip = true) == expected,
+      "the untouched null-key row must not appear in the feed")
+    assert(feed(skip = false) == expected)
+  }
+
   test("changeFeed upsert writing an IDENTICAL value emits no " +
       "update pair (value-diff, not write-log, semantics)") {
     val p = tmp()

@@ -57,6 +57,25 @@ class ListRankSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("dangling successor pointers are refused up front — the " +
+      "self-join would silently drop those rows mid-iteration") {
+    // node 3 does not exist; node 0 is a real root so the survivors
+    // WOULD park and a converge-only check would pass wrongly
+    val broken = links(0L -> 0L, 1L -> 0L, 2L -> 3L)
+    val e = intercept[IllegalArgumentException] {
+      ListRank.ranks(broken).collect()
+    }
+    assert(e.getMessage.contains("dangling"))
+    // single dangling link (the bound-0-rounds edge): also refused
+    intercept[IllegalArgumentException] {
+      ListRank.ranks(links(1L -> 2L)).collect()
+    }
+    // cycleLabels applies the same refusal
+    intercept[IllegalArgumentException] {
+      ListRank.cycleLabels(links(1L -> 1L, 2L -> 9L)).collect()
+    }
+  }
+
   private def labelMap(df: org.apache.spark.sql.DataFrame) =
     ListRank.cycleLabels(df).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -61,6 +61,14 @@ class MojibakeSpec extends AnyFunSuite {
     assert(fixAll(Seq(guarded)) == Seq(guarded))
   }
 
+  test("a supplementary-plane char (emoji) blocks the repair like " +
+      "any other above-Latin-1 char — never destroyed to '?'") {
+    // marker pair present, every OTHER char <= U+00FF, but the emoji
+    // (U+1F600, outside the BMP) proves this is not a Latin-1 misread
+    val s = "legit Ã© pair 😀 kept"
+    assert(fixAll(Seq(s)) == Seq(s))
+  }
+
   test("Latin-1 bytes that do NOT re-parse as UTF-8 are left alone " +
       "(the strict decoder is never reached)") {
     // 'Ã' followed by a non-continuation char: marker regex misses;
