@@ -42,12 +42,17 @@ object ListRank {
     // convergence action (half the jobs): one n-count up front, one
     // parked-check at the end (which doubles as the rootless-cycle
     // refusal — a cycle never parks).
-    val n = links.count()
+    // truncate the input once: the dangling check, the n-count, and
+    // the loop's round 0 all reference it, and an expensive upstream
+    // plan (window-built fixtures) must not re-execute per reference
+    val lk = Iter.truncate(links.select(col("node"), col("succ")),
+      checkpointDir)
+    val n = lk.count()
     // refuse DANGLING pointers up front (succ values that are not
     // nodes): the self-join would silently DROP such rows mid-
     // iteration — surviving nodes would "converge" with wrong ranks
     // and the vanished ones would just be missing from the output
-    val dangling = links.as("x").join(links.as("y"),
+    val dangling = lk.as("x").join(lk.as("y"),
       col("x.succ") === col("y.node"), "left_anti").count()
     require(dangling == 0,
       s"$dangling dangling successor pointer(s): succ values that are " +
@@ -57,7 +62,7 @@ object ListRank {
       else 64 - java.lang.Long.numberOfLeadingZeros(n - 1) // ceil(log2 n)
     val rounds = math.min(bound, maxRounds)
     // state: (node, ptr, dist); roots start parked at dist 0
-    var state = links.select(col("node"), col("succ").as("ptr"),
+    var state = lk.select(col("node"), col("succ").as("ptr"),
       when(col("succ") === col("node"), lit(0L)).otherwise(lit(1L))
         .as("dist"))
     (0 until rounds).foreach { _ =>
@@ -97,10 +102,12 @@ object ListRank {
     * (node, label). */
   def cycleLabels(links: DataFrame, checkpointDir: Option[String] = None,
       maxRounds: Int = 64): DataFrame = {
-    val n = links.count()
+    val lk = Iter.truncate(links.select(col("node"), col("succ")),
+      checkpointDir)
+    val n = lk.count()
     // same dangling-pointer refusal as ranks(): the self-join would
     // silently drop rows whose succ is not a node
-    val dangling = links.as("x").join(links.as("y"),
+    val dangling = lk.as("x").join(lk.as("y"),
       col("x.succ") === col("y.node"), "left_anti").count()
     require(dangling == 0,
       s"$dangling dangling successor pointer(s): succ values that are " +
@@ -114,7 +121,7 @@ object ListRank {
       s"cycle labeling needs $rounds rounds for $n links (> maxRounds)")
     // state: (node, ptr, mn) — mn = min label among positions
     // [0, 2^k) of the successor walk; ptr = successor 2^k ahead
-    var state = links.select(col("node"), col("succ").as("ptr"),
+    var state = lk.select(col("node"), col("succ").as("ptr"),
       col("node").as("mn"))
     (0 until rounds).foreach { _ =>
       val jumped = state.as("a")
