@@ -892,6 +892,53 @@ object ScaleBench {
         System.err.println(s"""[scalebench] {"list_rank":{$js}}""")
       }
 
+      // Change-feed file skipping, measured: diff two versions of a
+      // many-group table where ONE group changed. skip=true reads the
+      // two differing groups; skip=false full-outer-joins the whole
+      // table against itself. The gap is the O(changed groups) vs
+      // O(table) law that makes CDC off a 100 TB table readable.
+      if (blockOn("feed_tiers")) locally {
+        import graft.sources.VersionedTable
+        val js = Seq(10 -> "target/sf1", 100 -> "target/sf10").map {
+          case (c, dir) =>
+            val ev = spark.read.parquet(s"$dir/events.parquet")
+              .select(col("event_id"), col("user_id"), col("event_type"))
+            val p = s"target/feedt_x$c"
+            val fsp = new org.apache.hadoop.fs.Path(p)
+            val fsx = fsp.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            if (fsx.exists(fsp)) fsx.delete(fsp, true)
+            var v = 0L
+            (0 until c).foreach { i =>
+              v = VersionedTable.commit(spark, p,
+                ev.filter(col("event_id") >= i * Offset &&
+                  col("event_id") < (i + 1) * Offset),
+                v, statsCol = Some("event_id"))
+            }
+            // one range-confined update batch -> one rewritten group
+            val updates = ev
+              .filter(col("event_id") < Offset && col("event_id") % 10 === 7)
+              .withColumn("event_type", concat(lit("v2_"), col("event_type")))
+            val (vTo, rewritten) =
+              VersionedTable.mergePruned(spark, p, updates, "event_id")
+            def timeFeed(skip: Boolean): (Double, Long) = {
+              val t0 = System.nanoTime()
+              val n = VersionedTable
+                .changeFeed(spark, p, "event_id", v, vTo, skipShared = skip)
+                .count()
+              ((System.nanoTime() - t0) / 1e9, n)
+            }
+            val (skipSec, nSkip) = timeFeed(skip = true)
+            val (fullSec, nFull) = timeFeed(skip = false)
+            require(nSkip == nFull, s"skip changed the feed: $nSkip/$nFull")
+            f""""x$c":{"groups":$c,"rewritten":$rewritten,""" +
+              f""""changes":$nSkip,"skip_sec":$skipSec%.2f,""" +
+              f""""full_sec":$fullSec%.2f,""" +
+              f""""speedup":${fullSec / skipSec}%.2f}"""
+        }.mkString(",")
+        System.err.println(s"""[scalebench] {"feed_tiers":{$js}}""")
+      }
+
       // SCC cost law: FW-BW min-label peeling is (diameter × n)-shaped
       // — fixpoint rounds track the component DIAMETER, not component
       // count or total size. Planted tiers grow n 100× while binary
