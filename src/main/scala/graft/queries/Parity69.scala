@@ -129,6 +129,31 @@ object Parity69 {
             coalesce(col("dspend"), lit(0L))).as("spend_cents"))
         .filter(col("n") > 0)
         .orderBy(col("bucket"))
+    },
+
+    // ---- schema evolution THROUGH the commit protocol ----------------
+    // Widening the table is just committing wider data: the narrow v1
+    // generation and the widened v2 generation coexist as immutable
+    // groups, and the reconciling read returns NULL o_orderstatus for
+    // pre-widening rows — no table rewrite (the s16/s17 evolution
+    // posture, applied through the versioned table's own read path;
+    // time travel to v1 keeps the narrow schema, VersionedTableSpec).
+    "x1_schema_evolve" -> { (s, d) =>
+      val target = Scratch.dir("cdf", "evolve", d)
+      Scratch.clean(s, target)
+      val narrow = orders(s, d).filter(col("o_orderkey") % 70 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val wide = orders(s, d).filter(col("o_orderkey") % 70 === 35)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val v1 = VersionedTable.commit(s, target, narrow, 0L,
+        statsCol = Some("o_orderkey"))
+      VersionedTable.commit(s, target, wide, v1,
+        statsCol = Some("o_orderkey"))
+      VersionedTable.read(s, target).get
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -170,6 +195,12 @@ object Parity69 {
          SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n,
                 CAST(SUM(CAST(CAST(p AS DECIMAL(18,2)) * 100 AS BIGINT))
                   AS BIGINT) AS spend_cents
-         FROM final GROUP BY 1 ORDER BY bucket"""
+         FROM final GROUP BY 1 ORDER BY bucket""",
+    "x1_schema_evolve" ->
+      """SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 70 = 35 THEN o_orderstatus END
+             AS o_orderstatus
+         FROM orders WHERE o_orderkey % 35 = 0
+         ORDER BY o_orderkey"""
   )
 }

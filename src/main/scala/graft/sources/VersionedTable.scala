@@ -330,11 +330,18 @@ object VersionedTable {
 
   /** One relation over a set of data groups (None when empty) — the
     * single place the group-file read lives (read / mergePruned /
-    * deleteRange / changeFeed / optimize all route here). */
+    * deleteRange / changeFeed / optimize all route here). Reads are
+    * SCHEMA-RECONCILING across commit generations (the Delta
+    * mergeSchema idea, same posture as the s16 evolution row): a
+    * column a group predates reads as NULL, so widening a table is
+    * just committing wider data — no table rewrite. Column order
+    * follows the oldest live group; time travel to a pre-widening
+    * version naturally returns the narrow schema (only narrow groups
+    * are live there). */
   private def readGroups(spark: SparkSession, path: String,
       gs: Seq[Group]): Option[DataFrame] =
     gs.map(g => spark.read.parquet(s"$path/data/${g.name}"))
-      .reduceOption(_ unionByName _)
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
 
   /** Read the table as of `asOfVersion` (None = latest). Returns
     * None when no version exists yet. */

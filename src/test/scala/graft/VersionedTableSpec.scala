@@ -266,6 +266,32 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(new java.io.File(s"$p/data").listFiles().count(_.isDirectory) == 2)
   }
 
+  test("schema evolution across commits: widening is just committing " +
+      "wider data — reads reconcile (NULL for pre-widening rows), " +
+      "time travel keeps the narrow schema, merge still works") {
+    import spark.implicits._
+    val p = tmp()
+    val v1 = VersionedTable.commit(spark, p, df(1L -> "a", 2L -> "b"), 0L)
+    val wide = Seq((3L, "c", 30), (4L, "d", 40)).toDF("k", "v", "extra")
+    VersionedTable.commit(spark, p, wide, v1)
+    val read = VersionedTable.read(spark, p).get
+    assert(read.columns.toSeq == Seq("k", "v", "extra"))
+    val rows = read.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(30)), (4L, "d", Some(40))))
+    // time travel to the pre-widening version: narrow schema
+    assert(VersionedTable.read(spark, p, Some(v1)).get
+      .columns.toSeq == Seq("k", "v"))
+    // merge with the WIDE schema upserts across both generations
+    VersionedTable.merge(spark, p,
+      Seq((1L, "A2", 10), (5L, "e", 50)).toDF("k", "v", "extra"), "k")
+    val merged = VersionedTable.read(spark, p).get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged == Map(1L -> "A2", 2L -> "b", 3L -> "c",
+      4L -> "d", 5L -> "e"))
+  }
+
   test("commitAppendWithRetry: 8 threads x 3 appends all land with " +
       "ONE staging each — stage-once retry republishes the same " +
       "group after a lost race") {
