@@ -154,6 +154,48 @@ object Parity69 {
         .select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderstatus"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // ---- re-clustering OPTIMIZE restores pruning --------------------
+    // Interleaved ingest ((key DIV 50) % 4 round-robin) leaves every
+    // group's [min,max] spanning the WHOLE key range, so a pruned
+    // MERGE degenerates to rewrite-everything (mrg_frag = 4 = all
+    // groups). optimizeClustered re-cuts the snapshot into 4 disjoint
+    // key spans (n_groups = 4, content hash-preserved), after which
+    // the same-shaped range-confined batch touches exactly ONE group
+    // (mrg_clustered = 1). Compaction is not enough at 100 TB —
+    // CLUSTERED compaction is what keeps upserts O(touched).
+    "x1_recluster" -> { (s, d) =>
+      val target = Scratch.dir("cdf", "reclu", d)
+      Scratch.clean(s, target)
+      val src = orders(s, d).filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      var v = 0L
+      (0 until 4).foreach { i =>
+        v = VersionedTable.commit(s, target,
+          src.filter(expr("(o_orderkey DIV 50) % 4") === i), v,
+          statsCol = Some("o_orderkey"))
+      }
+      val updates = orders(s, d)
+        .filter(col("o_orderkey") % 150 === 0 && col("o_orderkey") <= 4000)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 100).cast("decimal(15,2)")
+            .as("o_totalprice"))
+      val (_, mrgFrag) = VersionedTable.mergePruned(s, target,
+        updates, "o_orderkey")
+      val (_, nGroups) = VersionedTable.optimizeClustered(s, target,
+        "o_orderkey", Seq(4000L, 8000L, 12000L))
+      val inserts = orders(s, d)
+        .filter(col("o_orderkey") % 50 === 25 && col("o_orderkey") <= 4000)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val (_, mrgClu) = VersionedTable.mergePruned(s, target,
+        inserts, "o_orderkey")
+      VersionedTable.read(s, target).get
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("mrg_frag", lit(mrgFrag.toLong))
+        .withColumn("n_groups", lit(nGroups.toLong))
+        .withColumn("mrg_clustered", lit(mrgClu.toLong))
+        .orderBy(col("o_orderkey"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -201,6 +243,18 @@ object Parity69 {
            CASE WHEN o_orderkey % 70 = 35 THEN o_orderstatus END
              AS o_orderstatus
          FROM orders WHERE o_orderkey % 35 = 0
+         ORDER BY o_orderkey""",
+    "x1_recluster" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 150 = 0 AND o_orderkey <= 4000
+                THEN CAST(o_totalprice + 100 AS DECIMAL(15,2))
+                ELSE o_totalprice END AS o_totalprice,
+           CAST(4 AS BIGINT) AS mrg_frag,
+           CAST(4 AS BIGINT) AS n_groups,
+           CAST(1 AS BIGINT) AS mrg_clustered
+         FROM orders
+         WHERE o_orderkey % 50 = 0
+            OR (o_orderkey % 50 = 25 AND o_orderkey <= 4000)
          ORDER BY o_orderkey"""
   )
 }

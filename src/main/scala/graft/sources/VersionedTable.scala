@@ -631,4 +631,51 @@ object VersionedTable {
       replace = true, statsCol = statsCol)
     (committed, nFiles.toLong)
   }
+
+  /** OPTIMIZE with RE-CLUSTERING: rewrite the snapshot as one group
+    * per key span (split points in `boundaries`, ascending; span i is
+    * (b_{i-1}, b_i], the first span also takes null keys), each group
+    * carrying its own [min,max] stats. This is what restores
+    * stats-pruned MERGE/DELETE on a FRAGMENTED table: ingest that
+    * interleaves keys across commits leaves every group's stats
+    * spanning the whole key range, so pruning degenerates to
+    * rewrite-everything — and the plain [[optimize]] makes it WORSE
+    * (one group = one all-covering span). After re-clustering, a
+    * range-confined batch touches O(overlapping spans) groups again
+    * (spec-pinned; the same reasoning as Delta's OPTIMIZE ZORDER).
+    * Empty spans are dropped, not committed as zero-row groups.
+    * Production callers derive `boundaries` from a quantile sketch of
+    * the key (approxQuantile / t-digest); taking them as an argument
+    * keeps this method deterministic. Returns
+    * (committedVersion, groupCount). */
+  def optimizeClustered(spark: SparkSession, path: String,
+      keyCol: String, boundaries: Seq[Long]): (Long, Int) = {
+    require(boundaries.nonEmpty, "need at least one split point")
+    require(boundaries == boundaries.sorted &&
+      boundaries.distinct.size == boundaries.size,
+      s"boundaries must be strictly ascending: $boundaries")
+    val v = currentVersion(spark, path)
+    val live = liveGroups(spark, path, Some(v))
+    require(live.nonEmpty, "optimizeClustered on an empty table")
+    val snap = readGroups(spark, path, live).get
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val k = col(keyCol).cast("long")
+      val spans: Seq[org.apache.spark.sql.Column] =
+        (k.isNull || k <= boundaries.head) +:
+          boundaries.sliding(2).filter(_.size == 2)
+            .map(w => k > w(0) && k <= w(1)).toSeq :+
+          (k > boundaries.last)
+      val staged = spans.flatMap { pred =>
+        val g = stageGroup(spark, path, snap.filter(pred), Some(keyCol))
+        if (g.lo.isEmpty &&
+            spark.read.parquet(s"$path/data/${g.name}").limit(1).isEmpty) {
+          fs(spark, path).delete(new Path(s"$path/data/${g.name}"), true)
+          None
+        } else Some(g)
+      }
+      (commitEntry(spark, path, staged, v, replace = true,
+        staged = staged.map(_.name)), staged.size)
+    } finally snap.unpersist()
+  }
 }

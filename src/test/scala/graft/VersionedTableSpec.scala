@@ -292,6 +292,35 @@ class VersionedTableSpec extends AnyFunSuite {
       4L -> "d", 5L -> "e"))
   }
 
+  test("optimizeClustered: re-cuts the snapshot into disjoint key " +
+      "spans, preserving content and restoring stats pruning that " +
+      "fragmentation destroyed; empty spans are dropped") {
+    import spark.implicits._
+    val p = tmp()
+    // INTERLEAVED ingest: both groups span [1,2,3,4] -> all stats
+    // overlap any range
+    val v1 = VersionedTable.commit(spark, p, df(1L -> "a", 3L -> "c"), 0L,
+      statsCol = Some("k"))
+    VersionedTable.commit(spark, p, df(2L -> "b", 4L -> "d"), v1,
+      statsCol = Some("k"))
+    // key 3 sits inside BOTH groups' [min,max] spans
+    val (_, frag) = VersionedTable.mergePruned(spark, p,
+      df(3L -> "C2"), "k")
+    assert(frag == 2, "fragmented: a 1-key batch rewrites EVERY group")
+    // re-cluster into (-inf,2], (2,9], (9,inf) — last span empty
+    val (_, n) = VersionedTable.optimizeClustered(spark, p, "k",
+      Seq(2L, 9L))
+    assert(n == 2, "empty span dropped, two clustered groups")
+    assert(snapshot(p) == Map(1L -> "a", 2L -> "b", 3L -> "C2", 4L -> "d"))
+    val (_, clu) = VersionedTable.mergePruned(spark, p,
+      df(3L -> "C3"), "k")
+    assert(clu == 1, "clustered: the same-shaped batch touches ONE group")
+    assert(snapshot(p) == Map(1L -> "a", 2L -> "b", 3L -> "C3", 4L -> "d"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.optimizeClustered(spark, p, "k", Seq(9L, 2L))
+    }
+  }
+
   test("commitAppendWithRetry: 8 threads x 3 appends all land with " +
       "ONE staging each — stage-once retry republishes the same " +
       "group after a lost race") {
