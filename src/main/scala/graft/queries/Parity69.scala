@@ -196,6 +196,31 @@ object Parity69 {
         .withColumn("n_groups", lit(nGroups.toLong))
         .withColumn("mrg_clustered", lit(mrgClu.toLong))
         .orderBy(col("o_orderkey"))
+    },
+
+    // ---- stats-pruned point/range read -------------------------------
+    // The read-side counterpart of mergePruned (the group skipping a
+    // DSv2 filter-pushdown binding would do): a range lookup on the
+    // 4-group clustered table opens EXACTLY the one group whose stats
+    // overlap [4500, 7500] — pinned as groups_opened — then applies
+    // the exact row filter.
+    "x1_read_pruned" -> { (s, d) =>
+      val target = Scratch.dir("cdf", "rdprune", d)
+      Scratch.clean(s, target)
+      val src = orders(s, d).filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      var v = 0L
+      Bounds.foreach { case (lo, hi) =>
+        v = VersionedTable.commit(s, target,
+          src.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi), v,
+          statsCol = Some("o_orderkey"))
+      }
+      val (df, opened) =
+        VersionedTable.readRange(s, target, "o_orderkey", 4500L, 7500L)
+      df.get
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("groups_opened", lit(opened.toLong))
+        .orderBy(col("o_orderkey"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -255,6 +280,13 @@ object Parity69 {
          FROM orders
          WHERE o_orderkey % 50 = 0
             OR (o_orderkey % 50 = 25 AND o_orderkey <= 4000)
+         ORDER BY o_orderkey""",
+    "x1_read_pruned" ->
+      """SELECT o_orderkey, o_totalprice,
+           CAST(1 AS BIGINT) AS groups_opened
+         FROM orders
+         WHERE o_orderkey % 50 = 0
+           AND o_orderkey BETWEEN 4500 AND 7500
          ORDER BY o_orderkey"""
   )
 }

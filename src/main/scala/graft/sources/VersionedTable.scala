@@ -413,6 +413,32 @@ object VersionedTable {
       staged = Seq(g.name)), touched.size)
   }
 
+  /** Stats-pruned READ: the read-side counterpart of [[mergePruned]]
+    * — open only the live groups whose [min,max] key stats overlap
+    * [lo, hi], then apply the exact row filter. This is the group-
+    * skipping a DataSource V2 `SupportsPushDownFilters` binding would
+    * perform; exposed as an API so point/range lookups on a 100 TB
+    * key-clustered table cost O(overlapping groups), not O(table)
+    * (the read-side law `feed_tiers` measures for the change feed).
+    * Groups without stats are conservatively opened. Returns None on
+    * an empty table; the second element counts the groups actually
+    * opened (spec-pinned). */
+  def readRange(spark: SparkSession, path: String, keyCol: String,
+      lo: Long, hi: Long,
+      asOfVersion: Option[Long] = None): (Option[DataFrame], Int) = {
+    require(lo <= hi, s"empty read range [$lo,$hi]")
+    val live = liveGroups(spark, path, asOfVersion)
+    val overlapping = live.filter { g =>
+      (g.lo, g.hi) match {
+        case (Some(glo), Some(ghi)) => glo <= hi && lo <= ghi
+        case _ => true // no stats -> conservative open
+      }
+    }
+    val k = col(keyCol).cast("long")
+    (readGroups(spark, path, overlapping)
+      .map(_.filter(k >= lo && k <= hi)), overlapping.size)
+  }
+
   /** DELETE WHERE key ∈ [lo, hi], stats-pruned copy-on-write form
     * (the Delta `DELETE FROM t WHERE k BETWEEN …` shape): only live
     * groups whose [min,max] key stats OVERLAP the range are rewritten

@@ -321,6 +321,26 @@ class VersionedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("readRange opens only groups whose stats overlap; zero-overlap " +
+      "reads touch no files; stats-less groups open conservatively") {
+    val p = tmp()
+    var v = 0L
+    Seq(df(1L -> "a", 3L -> "c"), df(10L -> "j", 12L -> "l"),
+      df(20L -> "t", 22L -> "w")).foreach { b =>
+      v = VersionedTable.commit(spark, p, b, v, statsCol = Some("k"))
+    }
+    val (r1, n1) = VersionedTable.readRange(spark, p, "k", 10L, 21L)
+    assert(n1 == 2)
+    assert(r1.get.collect().map(_.getLong(0)).toSet == Set(10L, 12L, 20L))
+    val (r2, n2) = VersionedTable.readRange(spark, p, "k", 50L, 60L)
+    assert(r2.isEmpty && n2 == 0, "stats prove a miss: no file opened")
+    // a group without stats must be opened conservatively
+    VersionedTable.commit(spark, p, df(15L -> "o"), v) // no statsCol
+    val (r3, n3) = VersionedTable.readRange(spark, p, "k", 20L, 22L)
+    assert(n3 == 2, "stats-less group opened + the overlapping one")
+    assert(r3.get.collect().map(_.getLong(0)).toSet == Set(20L, 22L))
+  }
+
   test("commitAppendWithRetry: 8 threads x 3 appends all land with " +
       "ONE staging each — stage-once retry republishes the same " +
       "group after a lost race") {
