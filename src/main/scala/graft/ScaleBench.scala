@@ -872,6 +872,12 @@ object ScaleBench {
           val viaDouble = graft.ops.ListRank.ranks(links)
             .agg(sum(col("rank"))).head().getLong(0)
           val dblSec = (System.nanoTime() - t0) / 1e9
+          val tC = System.nanoTime()
+          val viaContract = graft.ops.ListRank.ranksByContraction(links)
+            .agg(sum(col("rank"))).head().getLong(0)
+          val ctrSec = (System.nanoTime() - tC) / 1e9
+          require(viaContract == viaDouble,
+            s"contraction checksum mismatch: $viaContract vs $viaDouble")
           val t1 = System.nanoTime()
           // window arm: global order reconstructed from the pointer
           // relation is itself the hard part; give the window its
@@ -887,7 +893,7 @@ object ScaleBench {
             s"rank checksum mismatch: $viaDouble vs $viaWindow")
           val rounds = 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
           f""""n$n":{"rounds":$rounds,"double_sec":$dblSec%.2f,""" +
-            f""""window_sec":$winSec%.2f}"""
+            f""""contract_sec":$ctrSec%.2f,"window_sec":$winSec%.2f}"""
         }.mkString(",")
         System.err.println(s"""[scalebench] {"list_rank":{$js}}""")
       }

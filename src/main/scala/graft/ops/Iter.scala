@@ -34,9 +34,17 @@ private[graft] object Iter {
         // partitions instead of recomputing the round's joins — this
         // also keeps convergence accumulators single-counted
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try df.checkpoint(eager = true)
+        // capStats: Spark copies the ORIGIN plan's statistics through
+        // the checkpoint, so iterative self-joins square sizeInBytes
+        // every round — by round ~25 the stats visitor grinds on
+        // million-digit BigIntegers; capping bounds the product while
+        // keeping small-state broadcast planning (see Bridge.capStats)
+        try org.apache.spark.sql.graft.Bridge.capStats(
+          df.checkpoint(eager = true))
         finally df.unpersist(blocking = false)
-      case None => df.localCheckpoint(eager = true)
+      case None =>
+        org.apache.spark.sql.graft.Bridge.capStats(
+          df.localCheckpoint(eager = true))
     }
 
   /** Order-independent 64-bit mix for edge-set checksums accumulated

@@ -84,6 +84,106 @@ object ListRank {
     state.select(col("node"), col("dist").as("rank"))
   }
 
+  /** List ranking by INDEPENDENT-SET CONTRACTION (the O(n)-WORK form,
+    * JaJa §3; [[ranks]] is Wyllie doubling, O(n log n) work at
+    * O(log n) depth): per round, a deterministic per-round coin
+    * (hash parity of (node, round)) selects every non-root node whose
+    * coin is heads and whose successor's coin is tails — no two
+    * ADJACENT nodes can both be selected, so splicing them out is a
+    * single-hop pointer fix: each survivor pointing at a spliced node
+    * re-points to the spliced node's successor and absorbs its link
+    * weight. ~1/4 of the list contracts per round; total touched rows
+    * across all rounds telescope to O(n). The spliced sets are then
+    * EXPANDED in reverse round order — rank(v) = rank(successor at
+    * splice time) + absorbed weight — each expansion a join sized by
+    * that round's splice set.
+    *
+    * Trade vs [[ranks]]: ~2·log_{4/3}(n) rounds (contract + expand)
+    * against Wyllie's log2(n), but geometrically SHRINKING data per
+    * round against Wyllie's constant n — work-bound beats depth-bound
+    * once n is large enough that per-round data cost dominates the
+    * per-round fixed floor (SCALE.md `list_rank` measures the
+    * crossover). Works on in-trees like [[ranks]] (a spliced node's
+    * many predecessors all re-point in the same fix-up join).
+    * Bit-equal to [[ranks]] by oracle and spec. */
+  def ranksByContraction(links: DataFrame,
+      checkpointDir: Option[String] = None,
+      maxRounds: Int = 300): DataFrame = {
+    val lk = Iter.truncate(links.select(col("node"), col("succ")),
+      checkpointDir)
+    val dangling = lk.as("x").join(lk.as("y"),
+      col("x.succ") === col("y.node"), "left_anti").count()
+    require(dangling == 0,
+      s"$dangling dangling successor pointer(s): succ values that are " +
+        "not nodes")
+    // state: (node, succ, w) — w = distance from node to its CURRENT
+    // successor; roots are self-loops with w = 0
+    var cur = Iter.truncate(lk.select(col("node"), col("succ"),
+      when(col("succ") === col("node"), lit(0L)).otherwise(lit(1L))
+        .as("w")), checkpointDir)
+    val spliced = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var round = 0
+    var active = cur.filter(col("node") =!= col("succ")).count()
+    // convergence polled every CheckEvery rounds, not every round: a
+    // post-convergence round splices nothing and is harmless, so the
+    // poll cadence trades ≤3 wasted cheap rounds for 3/4 of the
+    // count jobs
+    val CheckEvery = 4
+    while (active > 0) {
+      require(round < maxRounds,
+        s"contraction did not converge in $maxRounds rounds " +
+          "(rootless cycle in the input?)")
+      val coin = (c: org.apache.spark.sql.Column) =>
+        pmod(xxhash64(c, lit(round)), lit(2)) === 0
+      // the coin is a pure hash of the node ID, so the successor's
+      // coin comes straight from the succ VALUE — no join to mark
+      val m = cur.withColumn("sel",
+        coin(col("node")) && !coin(col("succ")) &&
+          col("node") =!= col("succ"))
+      val spl = m.filter(col("sel")).select(col("node"), col("succ"),
+        col("w"))
+      // survivors re-point through spliced successors (never two in a
+      // row — the coin rule forbids adjacent selections)
+      val next = m.filter(!col("sel"))
+        .join(spl.select(col("node").as("sn"), col("succ").as("ss"),
+          col("w").as("sw")), col("succ") === col("sn"), "left")
+        .select(col("node"), coalesce(col("ss"), col("succ")).as("succ"),
+          (col("w") + coalesce(col("sw"), lit(0L))).as("w"))
+      cur = Iter.truncate(next, checkpointDir)
+      spliced += spl
+      round += 1
+      if (round % CheckEvery == 0)
+        active = cur.filter(col("node") =!= col("succ")).count()
+    }
+    // a ROOTLESS CYCLE contracts to a self-loop with ACCUMULATED
+    // weight — distinguishable from a true root (w = 0) and refused
+    // rather than silently ranked against a fake root
+    val fake = cur.filter(col("node") === col("succ") &&
+      col("w") =!= 0L).count()
+    require(fake == 0,
+      s"$fake rootless cycle(s) in the input (contracted to weighted " +
+        "self-loops)")
+    // expansion, reverse order: a spliced node's splice-time successor
+    // survived to the NEXT round, so by induction its rank is already
+    // assigned when we get there. The lookup relation only GROWS, so
+    // it is re-truncated every few rounds (the in-between unions keep
+    // the plan a shallow union of checkpoints). NOTE the lookup join
+    // is O(n) PER ROUND — the honest cost of realizing contraction on
+    // a shuffle engine; SCALE.md's list_rank reading prices it.
+    var ranks = cur.select(col("node"), lit(0L).as("rank"))
+    var sinceTrunc = 0
+    spliced.reverseIterator.foreach { spl =>
+      val add = spl.join(ranks.select(col("node").as("rn"),
+          col("rank").as("rr")), col("succ") === col("rn"))
+        .select(col("node"), (col("rr") + col("w")).as("rank"))
+      ranks = ranks.unionByName(Iter.truncate(add, checkpointDir))
+      sinceTrunc += 1
+      if (sinceTrunc % CheckEvery == 0)
+        ranks = Iter.truncate(ranks, checkpointDir)
+    }
+    Iter.truncate(ranks, checkpointDir)
+  }
+
   /** CYCLE LABELING of a functional graph (every node exactly one
     * successor; self-loops allowed) by min-label doubling — the
     * cycle-shaped counterpart of [[ranks]]: after k rounds each node

@@ -52,6 +52,31 @@ object Parity71 {
         .orderBy(col("o_orderkey"))
     },
 
+    // ---- the O(n)-WORK arm, pinned bit-equal ------------------------
+    // Same fixture, same oracle: independent-set contraction (splice
+    // ~1/4 of the list per round, expand in reverse) — more rounds
+    // than Wyllie but geometrically shrinking data, the form that
+    // wins once per-round DATA cost dominates the per-round fixed
+    // floor (SCALE.md list_rank measures the crossover).
+    "x9_list_rank_contract" -> { (s, d) =>
+      val keyed = orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"))
+        .withColumn("m", md5(col("o_orderkey").cast("string")))
+        .withColumn("chain",
+          TextOps.polyHash60(col("o_orderkey").cast("string")) % 8)
+      val w = Window.partitionBy(col("chain"))
+        .orderBy(col("m"), col("o_orderkey"))
+      val seq = keyed.withColumn("prev", lag(col("o_orderkey"), 1).over(w))
+      val links = seq.select(col("o_orderkey").as("node"),
+        coalesce(col("prev"), col("o_orderkey")).as("succ"))
+      ListRank.ranksByContraction(links)
+        .join(seq.select(col("o_orderkey"), col("chain")),
+          col("node") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("chain"),
+          col("rank").as("list_rank"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ---- cycle labeling (SCC of a permutation) ----------------------
     // The same 8 md5-shuffled chains CLOSED into cycles (the first
     // element's successor is the chain's last element): a permutation
@@ -85,6 +110,17 @@ object Parity71 {
 
   val oracles: Map[String, String] = Map(
     "x9_list_rank" ->
+      s"""SELECT o_orderkey, chain,
+            ROW_NUMBER() OVER (PARTITION BY chain
+              ORDER BY m, o_orderkey) - 1 AS list_rank
+          FROM (SELECT o_orderkey,
+                  md5(CAST(o_orderkey AS VARCHAR)) AS m,
+                  ${OracleSql.hx15("CAST(o_orderkey AS VARCHAR)")} % 8
+                    AS chain
+                FROM orders WHERE o_orderkey % 2 = 0)
+          ORDER BY o_orderkey""",
+    // identical semantics, different algorithm — same replay
+    "x9_list_rank_contract" ->
       s"""SELECT o_orderkey, chain,
             ROW_NUMBER() OVER (PARTITION BY chain
               ORDER BY m, o_orderkey) - 1 AS list_rank

@@ -76,6 +76,37 @@ class ListRankSpec extends AnyFunSuite {
     }
   }
 
+  private def rankMapC(df: org.apache.spark.sql.DataFrame) =
+    ListRank.ranksByContraction(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("contraction arm: identical ranks to Wyllie on a single " +
+      "chain, multiple chains, and an in-tree") {
+    val chain = links((0L -> 0L) +: (1L to 40L).map(i => i -> (i - 1)): _*)
+    assert(rankMapC(chain) == rankMap(chain))
+    val multi = links(10L -> 10L, 11L -> 10L, 12L -> 11L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L)
+    assert(rankMapC(multi) == Map(10L -> 0L, 11L -> 1L, 12L -> 2L,
+      20L -> 0L, 21L -> 1L, 30L -> 0L))
+    // in-tree: two branches sharing a parent (many preds re-point
+    // through one spliced node)
+    val tree = links(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L)
+    assert(rankMapC(tree) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("contraction arm refuses rootless cycles and dangling " +
+      "pointers like Wyllie") {
+    val e = intercept[IllegalArgumentException] {
+      ListRank.ranksByContraction(
+        links(1L -> 2L, 2L -> 3L, 3L -> 1L), maxRounds = 40).collect()
+    }
+    assert(e.getMessage.contains("rootless cycle"))
+    intercept[IllegalArgumentException] {
+      ListRank.ranksByContraction(links(1L -> 2L)).collect()
+    }
+  }
+
   private def labelMap(df: org.apache.spark.sql.DataFrame) =
     ListRank.cycleLabels(df).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
