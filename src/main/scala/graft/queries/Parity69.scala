@@ -49,11 +49,11 @@ object Parity69 {
   private val Bounds = // lo exclusive, hi inclusive; key 0 exists
     Seq((-1L, 4000L), (4000L, 8000L), (8000L, 12000L), (12000L, Long.MaxValue))
 
-  /** The shared fixture: 4-range base commits → range-confined pruned
-    * MERGE (updates % 150 + inserts % 50 == 25) → pruned range DELETE.
-    * Returns (table path, vFrom, vTo, mergeRewrites, deleteRewrites). */
-  private def buildFeedTable(s: SparkSession, d: String,
-      tag: String): (String, Long, Long, Int, Int) = {
+  /** Base fixture shared by every row in this file: the %50 keys
+    * committed as four contiguous-range groups (edit ONCE — three
+    * queries replay it). Returns (table path, version after build). */
+  private def buildBaseTable(s: SparkSession, d: String,
+      tag: String): (String, Long) = {
     val target = Scratch.dir("cdf", tag, d)
     Scratch.clean(s, target)
     val src = orders(s, d).filter(col("o_orderkey") % 50 === 0)
@@ -64,20 +64,33 @@ object Parity69 {
         src.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi), v,
         statsCol = Some("o_orderkey"))
     }
-    // updates: keys % 150 == 0 (a subset of the table's % 50 keys),
-    // price + 100, re-cast so the table's column type is stable
-    val updates = orders(s, d)
+    (target, v)
+  }
+
+  /** Updates: keys % 150 == 0 (a subset of the table's % 50 keys),
+    * price + 100, re-cast so the table's column type is stable. */
+  private def updatesBatch(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
       .filter(col("o_orderkey") % 150 === 0 && col("o_orderkey") <= 4000)
       .select(col("o_orderkey"),
         (col("o_totalprice") + 100).cast("decimal(15,2)")
           .as("o_totalprice"))
-    // inserts: % 50 == 25 keys — disjoint from the base key set,
-    // range-confined to group 0 like the updates
-    val inserts = orders(s, d)
+
+  /** Inserts: % 50 == 25 keys — disjoint from the base key set,
+    * range-confined to group 0 like the updates. */
+  private def insertsBatch(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
       .filter(col("o_orderkey") % 50 === 25 && col("o_orderkey") <= 4000)
       .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** The feed fixture: base table → range-confined pruned MERGE
+    * (updates + inserts) → pruned range DELETE. Returns
+    * (table path, vFrom, vTo, mergeRewrites, deleteRewrites). */
+  private def buildFeedTable(s: SparkSession, d: String,
+      tag: String): (String, Long, Long, Int, Int) = {
+    val (target, v) = buildBaseTable(s, d, tag)
     val (_, mrg) = VersionedTable.mergePruned(s, target,
-      updates.unionByName(inserts), "o_orderkey")
+      updatesBatch(s, d).unionByName(insertsBatch(s, d)), "o_orderkey")
     val (vTo, del) =
       VersionedTable.deleteRange(s, target, "o_orderkey", 4001L, 6000L)
     (target, v, vTo, mrg, del)
@@ -149,7 +162,7 @@ object Parity69 {
       val v1 = VersionedTable.commit(s, target, narrow, 0L,
         statsCol = Some("o_orderkey"))
       VersionedTable.commit(s, target, wide, v1,
-        statsCol = Some("o_orderkey"))
+        statsCol = Some("o_orderkey"), allowEvolution = true)
       VersionedTable.read(s, target).get
         .select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderstatus"))
@@ -176,20 +189,12 @@ object Parity69 {
           src.filter(expr("(o_orderkey DIV 50) % 4") === i), v,
           statsCol = Some("o_orderkey"))
       }
-      val updates = orders(s, d)
-        .filter(col("o_orderkey") % 150 === 0 && col("o_orderkey") <= 4000)
-        .select(col("o_orderkey"),
-          (col("o_totalprice") + 100).cast("decimal(15,2)")
-            .as("o_totalprice"))
       val (_, mrgFrag) = VersionedTable.mergePruned(s, target,
-        updates, "o_orderkey")
+        updatesBatch(s, d), "o_orderkey")
       val (_, nGroups) = VersionedTable.optimizeClustered(s, target,
         "o_orderkey", Seq(4000L, 8000L, 12000L))
-      val inserts = orders(s, d)
-        .filter(col("o_orderkey") % 50 === 25 && col("o_orderkey") <= 4000)
-        .select(col("o_orderkey"), col("o_totalprice"))
       val (_, mrgClu) = VersionedTable.mergePruned(s, target,
-        inserts, "o_orderkey")
+        insertsBatch(s, d), "o_orderkey")
       VersionedTable.read(s, target).get
         .select(col("o_orderkey"), col("o_totalprice"))
         .withColumn("mrg_frag", lit(mrgFrag.toLong))
@@ -205,16 +210,7 @@ object Parity69 {
     // overlap [4500, 7500] — pinned as groups_opened — then applies
     // the exact row filter.
     "x1_read_pruned" -> { (s, d) =>
-      val target = Scratch.dir("cdf", "rdprune", d)
-      Scratch.clean(s, target)
-      val src = orders(s, d).filter(col("o_orderkey") % 50 === 0)
-        .select(col("o_orderkey"), col("o_totalprice"))
-      var v = 0L
-      Bounds.foreach { case (lo, hi) =>
-        v = VersionedTable.commit(s, target,
-          src.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi), v,
-          statsCol = Some("o_orderkey"))
-      }
+      val (target, _) = buildBaseTable(s, d, "rdprune")
       val (df, opened) =
         VersionedTable.readRange(s, target, "o_orderkey", 4500L, 7500L)
       df.get

@@ -195,6 +195,46 @@ object VersionedTable {
     * stats when `statsCol` names a long-castable column (one cheap
     * min/max agg over the just-written parquet — columnar stats
     * reads, no full materialization). */
+  /** Write-side schema gate: a batch introducing columns the table
+    * does not know is refused unless the caller passed
+    * `allowEvolution = true` — otherwise a typo'd or mis-wired
+    * DataFrame would silently widen the table and every later
+    * reconciling read would return NULLs where data was expected
+    * (Delta gates the same way with mergeSchema). Costs one
+    * footer-level schema resolution of the live set per write; no-op
+    * on an empty table. */
+  private def requireKnownColumns(spark: SparkSession, path: String,
+      df: DataFrame, allowEvolution: Boolean): Unit = {
+    if (allowEvolution) return
+    val live = liveGroups(spark, path, None)
+    if (live.isEmpty) return
+    // best-effort guard: if the live set cannot be schema-resolved
+    // right now (e.g. a concurrent writer's group not yet visible),
+    // do not block the commit — the conflict/read paths surface real
+    // problems; this gate only exists to catch mis-schema'd batches
+    val known = scala.util.Try(
+      readGroups(spark, path, live).get.schema.fieldNames.toSet)
+      .getOrElse(return)
+    val fresh = df.schema.fieldNames.filterNot(known)
+    require(fresh.isEmpty,
+      s"batch introduces column(s) ${fresh.mkString(", ")} the table " +
+        "does not have — pass allowEvolution = true to widen the " +
+        "schema intentionally (mis-schema'd batches would otherwise " +
+        "silently corrupt every read)")
+  }
+
+  /** Drop a just-staged group that turned out EMPTY (stats==None is
+    * zero rows OR all-null keys; the one-row probe disambiguates) —
+    * shared by the rewrite paths so the subtle distinction lives in
+    * one place. Returns the group to keep, if any. */
+  private def dropIfEmpty(spark: SparkSession, path: String,
+      g: Group): Option[Group] =
+    if (g.lo.isEmpty &&
+        spark.read.parquet(s"$path/data/${g.name}").limit(1).isEmpty) {
+      fs(spark, path).delete(new Path(s"$path/data/${g.name}"), true)
+      None
+    } else Some(g)
+
   private def stageGroup(spark: SparkSession, path: String,
       df: DataFrame, statsCol: Option[String]): Group = {
     val name = java.util.UUID.randomUUID().toString
@@ -223,8 +263,10 @@ object VersionedTable {
       expectedVersion: Long, replace: Boolean = false,
       statsCol: Option[String] = None,
       batchId: Option[Long] = None,
+      allowEvolution: Boolean = false,
       arbiterFor: org.apache.hadoop.fs.FileSystem => CommitArbiter =
         CommitArbiter.forFs): Long = {
+    requireKnownColumns(spark, path, df, allowEvolution)
     val g = stageGroup(spark, path, df, statsCol)
     // append entries carry only the new group; a replace entry with
     // one group IS the whole new live set. `arbiterFor` is an
@@ -258,6 +300,7 @@ object VersionedTable {
       arbiterFor: org.apache.hadoop.fs.FileSystem => CommitArbiter =
         CommitArbiter.forFs): (Long, Int) = {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    requireKnownColumns(spark, path, df, allowEvolution = false)
     val g = stageGroup(spark, path, df, statsCol)
     var conflicts = 0
     while (true) {
@@ -358,16 +401,17 @@ object VersionedTable {
     * [[CommitConflictException]] for the retry semantics. Returns the
     * committed version. */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
-      keyCol: String): Long = {
+      keyCol: String, allowEvolution: Boolean = false): Long = {
+    requireKnownColumns(spark, path, updates, allowEvolution)
     val v = currentVersion(spark, path)
     val merged = read(spark, path, Some(v)) match {
       case Some(cur) =>
         cur.join(updates.select(col(keyCol)).distinct(), Seq(keyCol),
-          "left_anti").unionByName(updates)
+          "left_anti").unionByName(updates, allowMissingColumns = true)
       case None => updates
     }
     commit(spark, path, merged, v, replace = true,
-      statsCol = Some(keyCol))
+      statsCol = Some(keyCol), allowEvolution = allowEvolution)
   }
 
   /** MERGE (upsert by key), stats-pruned copy-on-write form: only
@@ -380,7 +424,8 @@ object VersionedTable {
     * difference SCALE.md's vtable_prune block measures. Returns
     * (committedVersion, rewrittenGroupCount). */
   def mergePruned(spark: SparkSession, path: String, updates: DataFrame,
-      keyCol: String): (Long, Int) = {
+      keyCol: String, allowEvolution: Boolean = false): (Long, Int) = {
+    requireKnownColumns(spark, path, updates, allowEvolution)
     val v = currentVersion(spark, path)
     val live = liveGroups(spark, path, Some(v))
     if (live.isEmpty)
@@ -404,8 +449,12 @@ object VersionedTable {
     val touchedDf = readGroups(spark, path, touched)
     val rewritten = touchedDf match {
       case Some(t) =>
+        // reconciling union: on a mixed-schema table (or a widening
+        // batch under allowEvolution) the touched generation and the
+        // batch may differ in columns — absent ones read as NULL,
+        // the same posture readGroups applies
         t.join(updates.select(col(keyCol)).distinct(), Seq(keyCol),
-          "left_anti").unionByName(updates)
+          "left_anti").unionByName(updates, allowMissingColumns = true)
       case None => updates
     }
     val g = stageGroup(spark, path, rewritten, Some(keyCol))
@@ -468,14 +517,7 @@ object VersionedTable {
     val remaining = readGroups(spark, path, touched).get
       .filter(k.isNull || k < lo || k > hi)
     val g = stageGroup(spark, path, remaining, Some(keyCol))
-    // stats==None means zero rows OR all-null keys; only drop the
-    // group when a one-row probe confirms it is actually empty
-    val keep =
-      if (g.lo.isEmpty &&
-          spark.read.parquet(s"$path/data/${g.name}").limit(1).isEmpty) {
-        fs(spark, path).delete(new Path(s"$path/data/${g.name}"), true)
-        Seq.empty[Group]
-      } else Seq(g)
+    val keep = dropIfEmpty(spark, path, g).toSeq
     (commitEntry(spark, path, carried ++ keep, v, replace = true,
       staged = keep.map(_.name)), touched.size)
   }
@@ -510,24 +552,47 @@ object VersionedTable {
     val shared =
       if (skipShared) fromG.map(_.name).toSet intersect toG.map(_.name).toSet
       else Set.empty[String]
-    // fixed payload column order taken from one real group's footer,
-    // so both sides select identically regardless of file layout —
-    // probed from a NON-shared group when one exists. Shared groups'
-    // DATA is never read; only the degenerate all-shared diff (e.g.
-    // self-diff) touches a shared group at all, and then just its
-    // footer for the schema of the (empty) result.
-    val anyGroup = (toG ++ fromG).map(_.name)
-      .find(!shared(_)).getOrElse(toG.head.name)
-    val payload = spark.read.parquet(s"$path/data/$anyGroup").schema
+    // payload schema RECONCILED across every group whose data this
+    // feed reads (footer-only schema reads): on a mixed-schema table
+    // — a supported state since readGroups reconciles generations —
+    // probing a single group would either drop changes confined to a
+    // wider column or crash selecting a column one side lacks. Shared
+    // groups' DATA is never read; only the degenerate all-shared diff
+    // (e.g. self-diff) touches a shared group at all, and then just
+    // one footer for the schema of the (empty) result.
+    val probeGroups = {
+      val nonShared = (toG ++ fromG).filterNot(g => shared(g.name))
+      if (nonShared.nonEmpty) nonShared else Seq((toG ++ fromG).head)
+    }
+    val payload = probeGroups
+      .map(g => spark.read.parquet(s"$path/data/${g.name}").schema)
+      .reduce { (a, b) =>
+        val have = a.fieldNames.toSet
+        b.foldLeft(a) { (acc, f) =>
+          if (have(f.name)) {
+            require(a(f.name).dataType == f.dataType,
+              s"changeFeed: column ${f.name} has conflicting types " +
+                s"across generations (${a(f.name).dataType} vs " +
+                s"${f.dataType}) — reconcile with a widening read first")
+            acc
+          } else acc.add(f)
+        }
+      }
     require(payload.fieldNames.contains(keyCol),
       s"changeFeed: key column $keyCol absent from table schema")
-    val others = payload.fieldNames.filterNot(_ == keyCol).toSeq
+    val others = payload.fields.filterNot(_.name == keyCol).toSeq
     def side(gs: Seq[Group], tag: String): DataFrame = {
       val base = readGroups(spark, path, gs.filterNot(g => shared(g.name)))
         .getOrElse(spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payload))
+      // columns this side's generations predate read as typed NULLs,
+      // so both sides build the SAME struct shape
+      val haveCols = base.columns.toSet
+      def typed(f: org.apache.spark.sql.types.StructField) =
+        if (haveCols(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
       base.select(col(keyCol).as(s"_k$tag"),
-        struct(others.map(col): _*).as(tag))
+        struct(others.map(f => typed(f).as(f.name)): _*).as(tag))
     }
     // NULL-SAFE key match: a plain equi-join never matches NULL keys,
     // which would split an unchanged null-key row into a spurious
@@ -549,7 +614,7 @@ object VersionedTable {
         array(struct(col("_o").as("p"), lit("update_preimage").as("t")),
           struct(col("_n").as("p"), lit("update_postimage").as("t"))))
     j.select(col(keyCol), explode(img).as("_e"))
-      .select(col(keyCol) +: others.map(c => col(s"_e.p.$c")) :+
+      .select(col(keyCol) +: others.map(f => col(s"_e.p.${f.name}")) :+
         col("_e.t").as("change_type"): _*)
   }
 
@@ -692,13 +757,13 @@ object VersionedTable {
           boundaries.sliding(2).filter(_.size == 2)
             .map(w => k > w(0) && k <= w(1)).toSeq :+
           (k > boundaries.last)
+      // NOTE one pass over the persisted snapshot PER SPAN (write +
+      // stats + empty probe) — fine while spans are few; a production
+      // binding would do one range-partitioned write and lift per-span
+      // stats from the footers
       val staged = spans.flatMap { pred =>
         val g = stageGroup(spark, path, snap.filter(pred), Some(keyCol))
-        if (g.lo.isEmpty &&
-            spark.read.parquet(s"$path/data/${g.name}").limit(1).isEmpty) {
-          fs(spark, path).delete(new Path(s"$path/data/${g.name}"), true)
-          None
-        } else Some(g)
+        dropIfEmpty(spark, path, g)
       }
       (commitEntry(spark, path, staged, v, replace = true,
         staged = staged.map(_.name)), staged.size)

@@ -49,7 +49,11 @@ object Bridge {
           lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
           lr.isStreaming, lr.stream)(
           df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-          Some(capped)))
+          Some(capped),
+          // carry the origin constraints too (non-null/filter facts
+          // Catalyst uses for filter inference) — only the SIZE
+          // estimate needed capping
+          Some(lr.constraints)))
       case _ => df
     }
   }

@@ -172,6 +172,46 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(feed(skip = false) == expected)
   }
 
+  test("changeFeed on a MIXED-SCHEMA table: changes confined to a " +
+      "wider-generation column are emitted (payload reconciled " +
+      "across generations, not probed from one group), and skip " +
+      "on/off agree in rows AND schema") {
+    import spark.implicits._
+    val p = tmp()
+    val v1 = VersionedTable.commit(spark, p, df(1L -> "a", 2L -> "b"), 0L,
+      statsCol = Some("k"))
+    val wide = Seq((10L, "j", 100), (11L, "l", 110))
+      .toDF("k", "v", "extra")
+    val v2 = VersionedTable.commit(spark, p, wide, v1,
+      statsCol = Some("k"), allowEvolution = true)
+    // change ONLY the wide column on one wide key; narrow group
+    // untouched (shared -> skipped)
+    VersionedTable.mergePruned(spark, p,
+      Seq((11L, "l", 999)).toDF("k", "v", "extra"), "k")
+    val vTo = VersionedTable.currentVersion(spark, p)
+    def feed(skip: Boolean) =
+      VersionedTable.changeFeed(spark, p, "k", v2, vTo, skipShared = skip)
+    val expect = Set(
+      (11L, "l", Some(110), "update_preimage"),
+      (11L, "l", Some(999), "update_postimage"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        r.getString(3))).toSet
+    assert(feed(skip = true).columns.toSeq ==
+      Seq("k", "v", "extra", "change_type"))
+    assert(rows(feed(skip = true)) == expect,
+      "the extra-only change must not vanish")
+    assert(feed(skip = false).columns.toSeq ==
+      feed(skip = true).columns.toSeq, "schema equal across skip arms")
+    assert(rows(feed(skip = false)) == expect)
+    // and the cross-generation diff (v1 -> v2): the wide rows are
+    // inserts whose narrow-side struct carries a typed NULL extra
+    val crossGen = rows(VersionedTable.changeFeed(spark, p, "k", v1, v2))
+    assert(crossGen == Set((10L, "j", Some(100), "insert"),
+      (11L, "l", Some(110), "insert")))
+  }
+
   test("changeFeed upsert writing an IDENTICAL value emits no " +
       "update pair (value-diff, not write-log, semantics)") {
     val p = tmp()

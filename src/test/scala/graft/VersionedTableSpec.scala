@@ -273,7 +273,13 @@ class VersionedTableSpec extends AnyFunSuite {
     val p = tmp()
     val v1 = VersionedTable.commit(spark, p, df(1L -> "a", 2L -> "b"), 0L)
     val wide = Seq((3L, "c", 30), (4L, "d", 40)).toDF("k", "v", "extra")
-    VersionedTable.commit(spark, p, wide, v1)
+    // widening is gated: the unflagged commit refuses, names the column
+    val refused = intercept[IllegalArgumentException] {
+      VersionedTable.commit(spark, p, wide, v1)
+    }
+    assert(refused.getMessage.contains("extra") &&
+      refused.getMessage.contains("allowEvolution"))
+    VersionedTable.commit(spark, p, wide, v1, allowEvolution = true)
     val read = VersionedTable.read(spark, p).get
     assert(read.columns.toSeq == Seq("k", "v", "extra"))
     val rows = read.collect().map(r => (r.getLong(0), r.getString(1),
@@ -284,12 +290,21 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, p, Some(v1)).get
       .columns.toSeq == Seq("k", "v"))
     // merge with the WIDE schema upserts across both generations
+    // (no flag needed: 'extra' is known to the table by now)
     VersionedTable.merge(spark, p,
       Seq((1L, "A2", 10), (5L, "e", 50)).toDF("k", "v", "extra"), "k")
     val merged = VersionedTable.read(spark, p).get.collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(merged == Map(1L -> "A2", 2L -> "b", 3L -> "c",
       4L -> "d", 5L -> "e"))
+    // the PRUNED merge path also reconciles: a narrow-schema batch
+    // touching wide groups must not crash (absent column -> NULL)
+    import spark.implicits._
+    VersionedTable.mergePruned(spark, p,
+      Seq((3L, "C9")).toDF("k", "v"), "k")
+    val after = VersionedTable.read(spark, p).get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after(3L) == "C9")
   }
 
   test("optimizeClustered: re-cuts the snapshot into disjoint key " +
