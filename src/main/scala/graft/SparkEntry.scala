@@ -89,6 +89,7 @@ object SparkEntry {
       graft.queries.Parity70.queries ++
       graft.queries.Parity71.queries ++
       graft.queries.Parity72.queries ++
+      graft.queries.Parity73.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -167,5 +168,6 @@ object SparkEntry {
       graft.queries.Parity70.oracles ++
       graft.queries.Parity71.oracles ++
       graft.queries.Parity72.oracles ++
+      graft.queries.Parity73.oracles ++
       graft.queries.ExtQueries.oracles
 }
