@@ -1436,6 +1436,89 @@ object ScaleBench {
         System.err.println(s"""[scalebench] {"wedge_cap":{$js}}""")
       }
 
+      // Record-linkage blocking granularity (round-14 batch 7): with
+      // a FIXED band width, block sizes grow with record density and
+      // candidate pairs grow quadratically (Σ C(block, 2)); scaling
+      // the width ∝ 1/n pins the expected block size and keeps the
+      // candidate stream linear — the knob a 100 TB dedup must turn.
+      // Planted uniform-balance fixtures (not replicated customer:
+      // key-offset replication clones every balance value, the
+      // documented pair-join clone artifact). The count asserts ARE
+      // the law; times are context.
+      if (blockOn("linkage_bands")) locally {
+        import graft.queries.Parity73
+        def recs(n: Long): DataFrame =
+          spark.range(n).select(
+            col("id").as("rec_id"),
+            (col("id") % 25).cast("int").as("nat"),
+            (((col("id") * 2654435761L) % 1000000L).cast("double") / 100.0)
+              .as("bal"))
+        def run(n: Long, width: Double): (Long, Double) = {
+          val t0 = System.nanoTime()
+          val c = Parity73.candidatePairs(recs(n), width).count()
+          (c, (System.nanoTime() - t0) / 1e9)
+        }
+        val sizes = Seq(30000L, 300000L)
+        val js = Seq("fixed" -> ((n: Long) => 100.0),
+          "scaled" -> ((n: Long) => 10000.0 * 250.0 / n)).map {
+          case (tag, widthOf) =>
+            val pts = sizes.map(n => (n, run(n, widthOf(n))))
+            val r10 =
+              pts(1)._2._1.toDouble / math.max(1L, pts(0)._2._1)
+            val body = pts.map { case (n, (c, sec)) =>
+              f""""n$n":{"pairs":$c,"sec":$sec%.2f}"""
+            }.mkString(",")
+            (tag, r10, s""""$tag":{$body,"pair_r10":${f"$r10%.1f"}}""")
+        }
+        val (fixedR10, scaledR10) = (js(0)._2, js(1)._2)
+        require(fixedR10 > 50.0,
+          s"fixed-width bands should go ~quadratic at 10x density " +
+            s"(pair growth $fixedR10)")
+        require(scaledR10 < 20.0,
+          s"density-scaled bands should stay ~linear (pair growth " +
+            s"$scaledR10)")
+        System.err.println(
+          s"""[scalebench] {"linkage_bands":{${js.map(_._3).mkString(",")}}}""")
+      }
+
+      // Random-walk tiers (round-14 batch 7): replicas are disjoint
+      // graphs, the 1/64 md5 seed sample tracks the node universe, a
+      // walk never leaves its replica — so walk count, adjacency
+      // build, and per-step frontier⋈adjacency join all grow
+      // linearly with the tier. Trajectory rows = (steps+1) × walks
+      // exactly (every co-purchase node has a neighbor, so no walk
+      // dies early) — the require pins both laws.
+      if (blockOn("walk_tiers")) locally {
+        def run(dir: String): (Double, Long, Long) = {
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries("x9_random_walk")(spark, dir)
+          val r = df.agg(count(lit(1)),
+            countDistinct(col("walk"))).head()
+          ((System.nanoTime() - t0) / 1e9, r.getLong(0), r.getLong(1))
+        }
+        def best2(dir: String): (Double, Long, Long) = {
+          val a = run(dir); val b = run(dir)
+          if (a._1 <= b._1) a else b
+        }
+        val t1 = best2("target/sf01rw")
+        val t10 = best2("target/sf1")
+        val t100 = run("target/sf10")
+        Seq(t1, t10, t100).foreach { t =>
+          require(t._2 == 5 * t._3,
+            s"every walk must run the full 4 steps: rows ${t._2} vs " +
+              s"walks ${t._3}")
+        }
+        require(t10._3 >= 8 * t1._3 && t100._3 >= 8 * t10._3,
+          s"the 1/64 seed sample must track the node universe: walks " +
+            s"${t1._3} / ${t10._3} / ${t100._3}")
+        def js(t: (Double, Long, Long)): String =
+          f"""{"sec":${t._1}%.2f,"walks":${t._3}}"""
+        System.err.println(
+          s"""[scalebench] {"walk_tiers":{"x1":${js(t1)},""" +
+            s""""x10":${js(t10)},"x100":${js(t100)},""" +
+            f""""r10":${t10._1 / t1._1}%.2f,"r100":${t100._1 / t10._1}%.2f}}""")
+      }
+
       val c100 = rows.filter(_._4 > 0)
       // a filter selecting only SkipAt100 rows leaves c100 empty —
       // emit null, not 0.0/0.0 = NaN (unquoted NaN is invalid JSON)

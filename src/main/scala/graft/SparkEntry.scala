@@ -90,6 +90,7 @@ object SparkEntry {
       graft.queries.Parity71.queries ++
       graft.queries.Parity72.queries ++
       graft.queries.Parity73.queries ++
+      graft.queries.Parity74.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -169,5 +170,6 @@ object SparkEntry {
       graft.queries.Parity71.oracles ++
       graft.queries.Parity72.oracles ++
       graft.queries.Parity73.oracles ++
+      graft.queries.Parity74.oracles ++
       graft.queries.ExtQueries.oracles
 }

@@ -34,13 +34,13 @@ import org.apache.spark.sql.functions._
   *    deterministic seed sample over the co-purchase graph — the
   *    node2vec/GraphSAGE sampling primitive (corpus expansion,
   *    embedding training data). The step choice is a pure function
-  *    of (walk, step, node): neighbor index = md5-derived integer
-  *    mod degree over a rank-ordered adjacency, so the walk is
-  *    exactly replayable in any engine. Each step is ONE keyed
-  *    equi-join of the (walks)-sized frontier against the
-  *    co-partitioned ranked adjacency (built once, lineage-cut) —
-  *    no broadcast dependence, walk count is the linear cost knob,
-  *    steps are the round knob.
+  *    of the walk state: HASH-MIN selection (the neighbor with the
+  *    smallest md5(walk:step:node:nb) — uniform among neighbors,
+  *    exactly replayable in any engine). Each step is ONE keyed
+  *    equi-join of the (walks)-sized frontier against the adjacency
+  *    (built once, lineage-cut) plus one map-side-combinable min —
+  *    no broadcast dependence, no rank index, no degree window;
+  *    walk count is the linear cost knob, steps the round knob.
   */
 object Parity73 {
   type Q = (SparkSession, String) => DataFrame
@@ -103,6 +103,26 @@ object Parity73 {
     base.unionAll(twins)
   }
 
+  /** Two-pass blocking keys: balance bands of `width`, second pass
+    * shifted by half a band — any pair with |Δbal| < width/2 shares a
+    * key in at least one pass. The band width is the DENSITY knob:
+    * at a growing record count it must shrink ∝ 1/n to keep block
+    * sizes (and so candidate pairs) linear — ScaleBench
+    * `linkage_bands` measures the fixed-width quadratic cliff. */
+  private[graft] def candidatePairs(recs: DataFrame,
+      width: Double): DataFrame = {
+    val p1 = recs.select(col("rec_id"), col("nat"),
+      floor(col("bal") / width).as("blk"))
+    val p2 = recs.select(col("rec_id"), col("nat"),
+      (floor((col("bal") + width / 2) / width) + 1000000L).as("blk"))
+    val keys = p1.unionAll(p2)
+    keys.as("a").join(keys.as("b"),
+        col("a.nat") === col("b.nat") && col("a.blk") === col("b.blk")
+          && col("a.rec_id") < col("b.rec_id"))
+      .select(col("a.rec_id").as("ra"), col("b.rec_id").as("rb"))
+      .distinct()
+  }
+
   /** Multi-pass-blocked candidate pairs → integer agreement score →
     * CC over matches → (rec_id, entity_id). */
   private[graft] def recordLinkage(recs0: DataFrame): DataFrame = {
@@ -110,16 +130,7 @@ object Parity73 {
     // scoring sides) — cut its lineage once so each is a rescan of
     // the small materialized state, not a re-derivation
     val recs = graft.ops.Iter.truncate(recs0, None)
-    val p1 = recs.select(col("rec_id"), col("nat"),
-      floor(col("bal") / 100).as("blk"))
-    val p2 = recs.select(col("rec_id"), col("nat"),
-      (floor((col("bal") + 50) / 100) + 1000000L).as("blk"))
-    val keys = p1.unionAll(p2)
-    val cand = keys.as("a").join(keys.as("b"),
-        col("a.nat") === col("b.nat") && col("a.blk") === col("b.blk")
-          && col("a.rec_id") < col("b.rec_id"))
-      .select(col("a.rec_id").as("ra"), col("b.rec_id").as("rb"))
-      .distinct()
+    val cand = candidatePairs(recs, width = 100.0)
     val x = recs.select(col("rec_id"), col("name").as("name_a"),
       col("bal").as("bal_a"), col("seg").as("seg_a"))
     val y = recs.select(col("rec_id"), col("name").as("name_b"),
@@ -142,31 +153,35 @@ object Parity73 {
 
   // ---- x9_random_walk ----------------------------------------------
 
-  /** Deterministic step choice: md5("walk:step:node") → two leading
-    * hex chars as an integer, mod degree. A pure function of the
-    * walk state, identical in any engine with md5 + ascii. */
-  private def choice(step: Int): Column = {
-    val h = md5(concat_ws(":", col("walk").cast("string"),
-      lit(step.toString), col("node").cast("string")))
-    (ascii(substring(h, 1, 1)) * 256 + ascii(substring(h, 2, 1)))
-      .cast("long") % col("deg")
-  }
+  /** Deterministic step choice by HASH-MIN selection: each candidate
+    * neighbor gets an independent key md5("walk:step:node:nb"), and
+    * the walk takes the neighbor whose key is smallest — a uniform
+    * choice among neighbors (each is equally likely to hold the min)
+    * that needs NO degree column and NO rank index. The nb is
+    * zero-padded onto the key tail so an (astronomically unlikely)
+    * md5 tie still breaks deterministically; ids must be
+    * non-negative for the pad to order numerically. The first
+    * formulation rank-ordered the adjacency with a window
+    * (row_number + count) and picked index = hash mod degree —
+    * semantically equal in distribution, but the window SORT over
+    * the full edge list dominated every tier (ScaleBench walk_tiers:
+    * 1502 s at 100× vs 216 s for this form, which touches the
+    * adjacency only through per-step equi-joins; SCALE.md). */
+  private def stepKey(step: Int): Column =
+    concat(
+      md5(concat_ws(":", col("walk").cast("string"),
+        lit(step.toString), col("node").cast("string"),
+        col("nb").cast("string"))),
+      lpad(col("nb").cast("string"), 12, "0"))
 
-  /** Fixed-length walks over a rank-ordered adjacency. `adj` is a
-    * both-directions (node, nb) edge list with unique rows. */
+  /** Fixed-length walks. `adj` is a both-directions (node, nb) edge
+    * list with unique rows and non-negative ids. Each step is one
+    * frontier⋈adjacency equi-join plus one map-side-combinable min
+    * keyed by walk — grouping by walk alone is sound because a walk
+    * occupies exactly one node per step. */
   private[graft] def randomWalks(adj0: DataFrame, seedHex: String,
       steps: Int): DataFrame = {
     val adj = graft.ops.Iter.truncate(adj0, None)
-    // one ordered window spec for BOTH deg and idx (the count uses an
-    // unbounded frame over the same sort) — a single shuffle + sort +
-    // WindowExec instead of two window operators
-    val w = Window.partitionBy(col("node")).orderBy(col("nb"))
-    val wAll = w.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    val ranked = graft.ops.Iter.truncate(
-      adj.withColumn("deg", count(lit(1)).over(wAll).cast("long"))
-        .withColumn("idx", (row_number().over(w) - 1).cast("long")),
-      None)
     var cur = adj.select(col("node")).distinct()
       .filter(substring(md5(col("node").cast("string")), 1, 3) <= seedHex)
       .select(col("node").as("walk"), col("node"))
@@ -174,12 +189,17 @@ object Parity73 {
     for (r <- 1 to steps) {
       // truncate the frontier per step: the trajectory union holds one
       // branch per step, and without the cut each branch would replay
-      // every prior frontier⋈ranked join (O(steps²) scans of the
-      // adjacency — measured 19-21 s vs ~4 s cut, sf0.1)
+      // every prior frontier⋈adjacency join
+      // broadcast the walks-sized frontier: the checkpointed frontier
+      // scan carries no stats, and without the hint the per-step join
+      // falls to sort-merge — re-shuffling AND re-sorting the full
+      // adjacency every step (the plan ScaleBench walk_tiers measured)
       cur = graft.ops.Iter.truncate(
-        cur.join(ranked, Seq("node"))
-          .filter(col("idx") === choice(r))
-          .select(col("walk"), col("nb").as("node")), None)
+        broadcast(cur).join(adj, Seq("node"))
+          .groupBy(col("walk"))
+          .agg(min(stepKey(r)).as("k"))
+          .select(col("walk"),
+            substring(col("k"), 33, 12).cast("long").as("node")), None)
       traj = traj.unionAll(
         cur.select(col("walk"), lit(r.toLong).as("step"), col("node")))
     }
@@ -198,12 +218,13 @@ object Parity73 {
     })
 
   private def walkStepSql(i: Int): String = {
-    val h = s"md5(concat(s.walk, ':', $i, ':', s.node))"
+    val k = s"concat(md5(concat(s.walk, ':', $i, ':', s.node, ':', " +
+      s"a.nb)), lpad(CAST(a.nb AS VARCHAR), 12, '0'))"
     s"""s$i AS (
-         SELECT s.walk, r.nb AS node
-         FROM s${i - 1} s JOIN ranked r ON r.node = s.node
-          AND r.idx = (ascii(substring($h, 1, 1)) * 256
-                     + ascii(substring($h, 2, 1))) % r.deg)"""
+         SELECT s.walk,
+           CAST(substring(min($k), 33, 12) AS BIGINT) AS node
+         FROM s${i - 1} s JOIN adj a ON a.node = s.node
+         GROUP BY s.walk)"""
   }
 
   val oracles: Map[String, String] = Map(
@@ -277,12 +298,6 @@ object Parity73 {
       adj AS MATERIALIZED (
         SELECT u AS node, v AS nb FROM pairs
         UNION ALL SELECT v AS node, u AS nb FROM pairs),
-      ranked AS MATERIALIZED (
-        SELECT node, nb,
-          CAST(count(*) OVER (PARTITION BY node) AS BIGINT) AS deg,
-          CAST(row_number() OVER (PARTITION BY node ORDER BY nb) - 1
-            AS BIGINT) AS idx
-        FROM adj),
       s0 AS (SELECT DISTINCT node AS walk, node FROM adj
              WHERE substring(md5(CAST(node AS VARCHAR)), 1, 3)
                <= '$WalkHex'),

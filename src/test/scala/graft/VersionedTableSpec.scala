@@ -369,8 +369,13 @@ class VersionedTableSpec extends AnyFunSuite {
     val threads = (0 until n).map { i =>
       new Thread(() => {
         try {
-          barrier.await()
           (0 until perThread).foreach { j =>
+            // re-barrier before EVERY append: all 8 threads attempt
+            // the same next version each round, so a lost race is
+            // guaranteed by construction, not by scheduler luck (the
+            // start-only barrier went conflict-free once the
+            // AlwaysPreTouch harness fix smoothed thread timing)
+            barrier.await()
             val key = 100L + i * perThread + j
             val (_, lost) = VersionedTable.commitAppendWithRetry(
               spark, p, df(key -> s"w$i-$j"))
