@@ -1481,6 +1481,39 @@ object ScaleBench {
           s"""[scalebench] {"linkage_bands":{${js.map(_._3).mkString(",")}}}""")
       }
 
+      // Betweenness tiers (round-14 batch 9): same replica-disjoint
+      // argument as harmonic — a source's L1/L2 state is bounded by
+      // its own replica's node universe at every tier, so total state
+      // grows only with the 1/512 source sample. The require pins
+      // both: per-source reach replica-bounded, sources tracking the
+      // universe.
+      if (blockOn("betweenness_tiers")) locally {
+        def run(dir: String): (Double, Long, Long) = {
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries("x9_betweenness")(spark, dir)
+          val r = df.agg(count(lit(1)), max(col("n_paths"))).head()
+          ((System.nanoTime() - t0) / 1e9, r.getLong(0), r.getLong(1))
+        }
+        def best2(dir: String): (Double, Long, Long) = {
+          val a = run(dir); val b = run(dir)
+          if (a._1 <= b._1) a else b
+        }
+        val t1 = best2("target/sf01rw")
+        val t10 = best2("target/sf1")
+        val t100 = run("target/sf10")
+        // interior nodes are replica-local, so the scored-node count
+        // must track the tier like the seeds do
+        require(t10._2 >= 8 * t1._2 && t100._2 >= 8 * t10._2,
+          s"scored interior nodes must track the node universe: " +
+            s"${t1._2} / ${t10._2} / ${t100._2}")
+        def js(t: (Double, Long, Long)): String =
+          f"""{"sec":${t._1}%.2f,"nodes":${t._2},"max_paths":${t._3}}"""
+        System.err.println(
+          s"""[scalebench] {"betweenness_tiers":{"x1":${js(t1)},""" +
+            s""""x10":${js(t10)},"x100":${js(t100)},""" +
+            f""""r10":${t10._1 / t1._1}%.2f,"r100":${t100._1 / t10._1}%.2f}}""")
+      }
+
       // Random-walk tiers (round-14 batch 7): replicas are disjoint
       // graphs, the 1/64 md5 seed sample tracks the node universe, a
       // walk never leaves its replica — so walk count, adjacency
