@@ -174,11 +174,24 @@ object Parity73 {
         col("nb").cast("string"))),
       lpad(col("nb").cast("string"), 12, "0"))
 
+  /** One walk step, un-truncated (PlanShapeSpec pins this plan): the
+    * walks-sized frontier is explicitly BROADCAST — the checkpointed
+    * frontier scan carries no stats, and without the hint the join
+    * falls to sort-merge, re-shuffling AND re-sorting the full
+    * adjacency every step (the plan ScaleBench walk_tiers measured) —
+    * and the hash-min choice is a map-side-combinable min keyed by
+    * walk. Grouping by walk alone is sound because a walk occupies
+    * exactly one node per step. */
+  private[graft] def walkStep(cur: DataFrame, adj: DataFrame,
+      r: Int): DataFrame =
+    broadcast(cur).join(adj, Seq("node"))
+      .groupBy(col("walk"))
+      .agg(min(stepKey(r)).as("k"))
+      .select(col("walk"),
+        substring(col("k"), 33, 12).cast("long").as("node"))
+
   /** Fixed-length walks. `adj` is a both-directions (node, nb) edge
-    * list with unique rows and non-negative ids. Each step is one
-    * frontier⋈adjacency equi-join plus one map-side-combinable min
-    * keyed by walk — grouping by walk alone is sound because a walk
-    * occupies exactly one node per step. */
+    * list with unique rows and non-negative ids. */
   private[graft] def randomWalks(adj0: DataFrame, seedHex: String,
       steps: Int): DataFrame = {
     val adj = graft.ops.Iter.truncate(adj0, None)
@@ -190,16 +203,7 @@ object Parity73 {
       // truncate the frontier per step: the trajectory union holds one
       // branch per step, and without the cut each branch would replay
       // every prior frontier⋈adjacency join
-      // broadcast the walks-sized frontier: the checkpointed frontier
-      // scan carries no stats, and without the hint the per-step join
-      // falls to sort-merge — re-shuffling AND re-sorting the full
-      // adjacency every step (the plan ScaleBench walk_tiers measured)
-      cur = graft.ops.Iter.truncate(
-        broadcast(cur).join(adj, Seq("node"))
-          .groupBy(col("walk"))
-          .agg(min(stepKey(r)).as("k"))
-          .select(col("walk"),
-            substring(col("k"), 33, 12).cast("long").as("node")), None)
+      cur = graft.ops.Iter.truncate(walkStep(cur, adj, r), None)
       traj = traj.unionAll(
         cur.select(col("walk"), lit(r.toLong).as("step"), col("node")))
     }

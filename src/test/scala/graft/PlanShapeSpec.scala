@@ -557,4 +557,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("dynamicpruning"),
       "no dynamic partition pruning on the fact scan:\n" + p)
   }
+
+  test("x9_random_walk step: frontier broadcasts (no adjacency " +
+      "re-sort) and the hash-min agg is partial before its exchange") {
+    import spark.implicits._
+    val adj = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("node", "nb")
+    val cur = Seq((1L, 1L)).toDF("walk", "node")
+    val p = queries.Parity73.walkStep(cur, adj, 1)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin"),
+      "walk step fell to a sort-merge join (adjacency re-sorted " +
+        "per step):\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.matches("(?s).*HashAggregate.*partial_min.*"),
+      "hash-min not map-side combined:\n" + p)
+  }
 }
