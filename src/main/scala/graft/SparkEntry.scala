@@ -92,6 +92,7 @@ object SparkEntry {
       graft.queries.Parity73.queries ++
       graft.queries.Parity74.queries ++
       graft.queries.Parity75.queries ++
+      graft.queries.Parity76.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -173,5 +174,6 @@ object SparkEntry {
       graft.queries.Parity73.oracles ++
       graft.queries.Parity74.oracles ++
       graft.queries.Parity75.oracles ++
+      graft.queries.Parity76.oracles ++
       graft.queries.ExtQueries.oracles
 }

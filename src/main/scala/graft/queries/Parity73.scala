@@ -180,8 +180,10 @@ object Parity73 {
     * falls to sort-merge, re-shuffling AND re-sorting the full
     * adjacency every step (the plan ScaleBench walk_tiers measured) —
     * and the hash-min choice is a map-side-combinable min keyed by
-    * walk. Grouping by walk alone is sound because a walk occupies
-    * exactly one node per step. */
+    * walk (a partial SortAggregate — the string key keeps it off the
+    * hash-aggregate path, but only one row per walk crosses the
+    * exchange). Grouping by walk alone is sound because a walk
+    * occupies exactly one node per step. */
   private[graft] def walkStep(cur: DataFrame, adj: DataFrame,
       r: Int): DataFrame =
     broadcast(cur).join(adj, Seq("node"))

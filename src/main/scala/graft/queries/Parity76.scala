@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.Tables._
+import graft.sources.VersionedTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-14 batch 9: the two remaining table-management verbs a
+  * production lakehouse speaks — RESTORE and SHALLOW CLONE — both
+  * metadata-only commits through the versioned-table protocol
+  * (reference: the warehouse's Snowflake substrate exposes the same
+  * verbs as `UNDROP`/time-travel restore and zero-copy cloning;
+  * its incremental loads are the tables these verbs manage,
+  * `dags/dbt_dag.py`, `include/sql/copy_into_*.sql`).
+  *
+  *  - `x1_restore`: base commit → MERGE (updates + inserts) → range
+  *    DELETE → [[VersionedTable.restore]] back to the post-merge
+  *    version. The head read must be EXACTLY the merged state — the
+  *    deleted range resurfaces, the rollback is itself a new version
+  *    (pinned as `head_version` = 4) and no data was staged or moved
+  *    to get there (VersionedTableSpec pins the metadata-only
+  *    property and the vacuum re-pinning).
+  *  - `x1_clone_shallow`: 4-group key-clustered source →
+  *    [[VersionedTable.cloneShallow]] → range-confined pruned MERGE
+  *    into the CLONE. The clone diverges (planted +1000 on one key
+  *    span), the source must read back UNCHANGED, the pruned merge
+  *    must have rewritten exactly ONE group (`clone_rewrites` — key
+  *    stats carry over the clone boundary), and at clone time the
+  *    clone held ZERO local data groups (`local_groups_at_clone` —
+  *    the zero-copy property, measured from the filesystem).
+  *
+  * Scale posture: both verbs cost O(live groups) metadata + one
+  * log-entry CAS regardless of table size — "roll back the bad
+  * backfill" and "give the experiment a writable branch" are O(1)
+  * operations on a 100 TB table. SCALE.md's restore_clone block
+  * measures the flat-vs-table-size law.
+  */
+object Parity76 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Same contiguous spans as Parity69: four range-disjoint base
+    * commits so group stats make pruning decidable. */
+  private val Bounds =
+    Seq((-1L, 4000L), (4000L, 8000L), (8000L, 12000L), (12000L, Long.MaxValue))
+
+  private def baseRows(s: SparkSession, d: String): DataFrame =
+    orders(s, d).filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  val queries: Map[String, Q] = Map(
+    // ---- RESTORE TABLE TO VERSION ----------------------------------
+    "x1_restore" -> { (s, d) =>
+      val target = Scratch.dir("rst", "restore", d)
+      Scratch.clean(s, target)
+      val v1 = VersionedTable.commit(s, target, baseRows(s, d), 0L,
+        statsCol = Some("o_orderkey"))
+      val updates = orders(s, d)
+        .filter(col("o_orderkey") % 150 === 0 && col("o_orderkey") <= 4000)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 100).cast("decimal(15,2)")
+            .as("o_totalprice"))
+      val inserts = orders(s, d)
+        .filter(col("o_orderkey") % 50 === 25 && col("o_orderkey") <= 4000)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val v2 = VersionedTable.merge(s, target,
+        updates.unionByName(inserts), "o_orderkey")
+      VersionedTable.deleteRange(s, target, "o_orderkey", 4001L, 6000L)
+      val v4 = VersionedTable.restore(s, target, v2)
+      VersionedTable.read(s, target).get
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("head_version", lit(v4))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ---- SHALLOW CLONE + independent divergence --------------------
+    "x1_clone_shallow" -> { (s, d) =>
+      val src = Scratch.dir("rst", "clonesrc", d)
+      val dst = Scratch.dir("rst", "clonedst", d)
+      Scratch.clean(s, src); Scratch.clean(s, dst)
+      var v = 0L
+      Bounds.foreach { case (lo, hi) =>
+        v = VersionedTable.commit(s, src,
+          baseRows(s, d)
+            .filter(col("o_orderkey") > lo && col("o_orderkey") <= hi), v,
+          statsCol = Some("o_orderkey"))
+      }
+      // cloneShallow requires an absolute source path (a relative ref
+      // would resolve against the clone's own data dir)
+      val srcAbs = new java.io.File(src).getAbsolutePath
+      VersionedTable.cloneShallow(s, srcAbs, dst)
+      // zero-copy pin: at clone time the clone owns NO local data
+      val dataDir = new java.io.File(dst, "data")
+      val localAtClone =
+        Option(dataDir.list()).map(_.length.toLong).getOrElse(0L)
+      // diverge the CLONE on one key span — stats carried over the
+      // clone boundary must confine the rewrite to that span's group
+      val bump = orders(s, d)
+        .filter(col("o_orderkey") % 50 === 0 &&
+          col("o_orderkey") > 8000 && col("o_orderkey") <= 12000)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 1000).cast("decimal(15,2)")
+            .as("o_totalprice"))
+      val (_, rewrites) =
+        VersionedTable.mergePruned(s, dst, bump, "o_orderkey")
+      val srcHead = VersionedTable.read(s, srcAbs).get
+        .select(col("o_orderkey"), col("o_totalprice").as("src_price"))
+      val cloneHead = VersionedTable.read(s, dst).get
+        .select(col("o_orderkey"), col("o_totalprice").as("clone_price"))
+      srcHead.join(cloneHead, Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey"), col("src_price"), col("clone_price"),
+          (!(col("src_price") <=> col("clone_price")))
+            .cast("int").as("diverged"))
+        .withColumn("clone_rewrites", lit(rewrites.toLong))
+        .withColumn("local_groups_at_clone", lit(localAtClone))
+        .orderBy(col("o_orderkey"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "x1_restore" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey % 50 = 0),
+         merged AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 150 = 0 AND o_orderkey <= 4000
+                       THEN CAST(o_totalprice + 100 AS DECIMAL(15,2))
+                       ELSE o_totalprice END AS o_totalprice
+           FROM base
+           UNION ALL
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey % 50 = 25 AND o_orderkey <= 4000)
+         SELECT o_orderkey, o_totalprice,
+                CAST(4 AS BIGINT) AS head_version
+         FROM merged ORDER BY o_orderkey""",
+    "x1_clone_shallow" ->
+      """SELECT o_orderkey,
+                o_totalprice AS src_price,
+                CASE WHEN o_orderkey > 8000 AND o_orderkey <= 12000
+                     THEN CAST(o_totalprice + 1000 AS DECIMAL(15,2))
+                     ELSE o_totalprice END AS clone_price,
+                CAST(CASE WHEN o_orderkey > 8000 AND o_orderkey <= 12000
+                     THEN 1 ELSE 0 END AS INTEGER) AS diverged,
+                CAST(1 AS BIGINT) AS clone_rewrites,
+                CAST(0 AS BIGINT) AS local_groups_at_clone
+         FROM orders WHERE o_orderkey % 50 = 0
+         ORDER BY o_orderkey"""
+  )
+}

@@ -80,6 +80,17 @@ object VersionedTable {
 
   private def logDir(path: String) = s"$path/_log"
 
+  /** Resolve a group reference to its parquet directory. A PLAIN name
+    * (staged uuid) lives under this table's own data dir; an ABSOLUTE
+    * reference (leading '/' or a URI scheme) points into ANOTHER
+    * table's data dir — the representation [[cloneShallow]] commits,
+    * zero-copy. Local maintenance ([[vacuum]]) lists only the local
+    * data dir, so external references are structurally outside its
+    * reach: a clone can never reclaim its source's files. */
+  private[sources] def groupPath(path: String, name: String): String =
+    if (name.startsWith("/") || name.contains("://")) name
+    else s"$path/data/$name"
+
   /** A live file group: name + optional [min,max] stats of the
     * table's clustering/merge key. */
   final case class Group(name: String, lo: Option[Long], hi: Option[Long])
@@ -383,7 +394,7 @@ object VersionedTable {
     * are live there). */
   private def readGroups(spark: SparkSession, path: String,
       gs: Seq[Group]): Option[DataFrame] =
-    gs.map(g => spark.read.parquet(s"$path/data/${g.name}"))
+    gs.map(g => spark.read.parquet(groupPath(path, g.name)))
       .reduceOption(_.unionByName(_, allowMissingColumns = true))
 
   /** Read the table as of `asOfVersion` (None = latest). Returns
@@ -565,7 +576,7 @@ object VersionedTable {
       if (nonShared.nonEmpty) nonShared else Seq((toG ++ fromG).head)
     }
     val payload = probeGroups
-      .map(g => spark.read.parquet(s"$path/data/${g.name}").schema)
+      .map(g => spark.read.parquet(groupPath(path, g.name)).schema)
       .reduce { (a, b) =>
         val have = a.fieldNames.toSet
         b.foldLeft(a) { (acc, f) =>
@@ -714,7 +725,7 @@ object VersionedTable {
     if (live.isEmpty) return (0L, 0L)
     val f = fs(spark, path)
     val bytes = live.map { g =>
-      f.getContentSummary(new Path(s"$path/data/${g.name}")).getLength
+      f.getContentSummary(new Path(groupPath(path, g.name))).getLength
     }.sum
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val snapshot = readGroups(spark, path, live).get
@@ -768,5 +779,76 @@ object VersionedTable {
       (commitEntry(spark, path, staged, v, replace = true,
         staged = staged.map(_.name)), staged.size)
     } finally snap.unpersist()
+  }
+
+  /** RESTORE TABLE TO VERSION (the Delta `RESTORE` verb): publish a
+    * replace commit whose live set IS the live set at `toVersion` —
+    * a metadata-only operation (no data staged, no data moved; cost
+    * is one log resolution + one log-entry CAS regardless of table
+    * size — the property that makes "roll back the bad backfill" on
+    * a 100 TB table an O(1) fix). The rollback is itself a new
+    * version: history after `toVersion` stays readable, and because
+    * the restore ENTRY re-references the old groups, [[vacuum]] keeps
+    * pinning them even after [[expireVersions]] later drops the
+    * original entries. Refuses a version behind the retention horizon
+    * (its entry is gone, so its live set cannot be resolved — a
+    * silent empty-set restore would otherwise TRUNCATE the table).
+    * Throws [[CommitConflictException]] on a lost race (no staged
+    * data to clean; just re-read and retry). Returns the committed
+    * version. */
+  def restore(spark: SparkSession, path: String, toVersion: Long,
+      arbiterFor: org.apache.hadoop.fs.FileSystem => CommitArbiter =
+        CommitArbiter.forFs): Long = {
+    val v = currentVersion(spark, path)
+    require(toVersion >= 1 && toVersion <= v,
+      s"restore target v$toVersion outside committed range [1, $v]")
+    val f = fs(spark, path)
+    val entry = new Path(logDir(path), f"v$toVersion%08d.json")
+    val chk = new Path(logDir(path), f"chk-v$toVersion%08d.json")
+    require(f.exists(entry) || f.exists(chk),
+      s"restore target v$toVersion is behind the retention horizon " +
+        "(expireVersions dropped its log entry) — its live set can " +
+        "no longer be resolved")
+    val target = liveGroups(spark, path, Some(toVersion))
+    // belt-and-braces: vacuum never reclaims referenced groups, so a
+    // missing directory means external tampering — refuse loudly
+    // rather than commit a snapshot that cannot be read
+    target.foreach { g =>
+      require(f.exists(new Path(groupPath(path, g.name))),
+        s"data group ${g.name} referenced by v$toVersion is missing " +
+          "on disk — cannot restore")
+    }
+    commitEntry(spark, path, target, v, replace = true,
+      staged = Seq.empty, arbiterFor = arbiterFor)
+  }
+
+  /** SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE` verb):
+    * initialize `dst` with a single replace commit whose groups
+    * reference `src`'s live data files BY ABSOLUTE PATH — zero data
+    * copied, cost O(live groups) metadata regardless of table size.
+    * The clone then evolves independently: writes/merges/deletes
+    * stage dst-local groups; [[optimize]] localizes the whole
+    * snapshot (after which no src reference remains live); clone
+    * [[vacuum]] lists only dst's own data dir and can never reclaim
+    * src files. The inverse is NOT guarded (same caveat as Delta):
+    * src-side vacuum/expiry knows nothing of clones, so dropping
+    * src history that the clone still references breaks the clone —
+    * run [[optimize]] on the clone first if src retention is
+    * shorter than the clone's life. Key stats carry over, so pruned
+    * MERGE/DELETE work on the clone from the first write. `src` must
+    * be an absolute path (a relative ref would resolve against the
+    * CLONE's data dir). Returns the clone's committed version (1). */
+  def cloneShallow(spark: SparkSession, src: String, dst: String,
+      asOfVersion: Option[Long] = None): Long = {
+    require(src.startsWith("/") || src.contains("://"),
+      s"clone source must be an absolute path: $src")
+    require(currentVersion(spark, dst) == 0,
+      s"clone target $dst already has commits")
+    val live = liveGroups(spark, src, asOfVersion)
+    require(live.nonEmpty,
+      s"clone source $src has no live data" +
+        asOfVersion.fold("")(v => s" at v$v"))
+    val refs = live.map(g => g.copy(name = groupPath(src, g.name)))
+    commitEntry(spark, dst, refs, 0L, replace = true, staged = Seq.empty)
   }
 }

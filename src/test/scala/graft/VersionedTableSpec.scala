@@ -537,4 +537,100 @@ class VersionedTableSpec extends AnyFunSuite {
       java.nio.file.Paths.get(dir, "e.json")), "UTF-8")
     assert(got == "first", "loser must not clobber the winner")
   }
+
+  private def dataGroupCount(p: String): Int =
+    Option(new java.io.File(p, "data").list()).map(_.length).getOrElse(0)
+
+  test("restore publishes the target live set as a NEW metadata-only " +
+      "version: content equals time travel, no data staged, history " +
+      "after the target stays readable") {
+    val p = tmp()
+    val v1 = VersionedTable.commit(spark, p, df(1L -> "a"), 0L)
+    val v2 = VersionedTable.commit(spark, p, df(2L -> "b"), v1)
+    val v3 = VersionedTable.commit(spark, p, df(9L -> "bad"), v2,
+      replace = true)
+    val before = dataGroupCount(p)
+    val v4 = VersionedTable.restore(spark, p, v2)
+    assert(v4 == v3 + 1, "the rollback is itself a new version")
+    assert(snapshot(p) == Map(1L -> "a", 2L -> "b"),
+      "head must be exactly the restored snapshot")
+    assert(dataGroupCount(p) == before,
+      "restore must not stage or move any data")
+    assert(snapshot(p, Some(v3)) == Map(9L -> "bad"),
+      "the rolled-back version stays readable (restore is not erasure)")
+    assert(snapshot(p, Some(v4)) == snapshot(p, Some(v2)))
+  }
+
+  test("restore refuses a target behind the retention horizon, and a " +
+      "restore entry re-pins its groups against expiry + vacuum") {
+    val p = tmp()
+    val v1 = VersionedTable.commit(spark, p, df(1L -> "a"), 0L)
+    val v2 = VersionedTable.commit(spark, p, df(2L -> "b"), v1)
+    VersionedTable.commit(spark, p, df(9L -> "z"), v2, replace = true)
+    val v4 = VersionedTable.restore(spark, p, v1)
+    // expiry drops v1/v2's entries; the horizon checkpoint + the
+    // restore entry both still reference group A, so vacuum keeps it
+    VersionedTable.expireVersions(spark, p, keepLast = 2)
+    assert(VersionedTable.vacuum(spark, p, minAgeMs = 0).isEmpty,
+      "every group is still referenced by some entry or checkpoint")
+    assert(snapshot(p) == Map(1L -> "a"),
+      "restored head reads intact after expiry + vacuum")
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.restore(spark, p, v1)
+    }
+    assert(err.getMessage.contains("retention horizon"))
+    assert(VersionedTable.currentVersion(spark, p) == v4,
+      "the refused restore must not have committed anything")
+  }
+
+  test("cloneShallow: zero-copy branch — reads the source snapshot, " +
+      "diverges independently, clone-side vacuum cannot reach source " +
+      "files, optimize localizes the clone") {
+    val p = tmp()
+    val c = tmp()
+    val v1 = VersionedTable.commit(spark, p, df(1L -> "a", 2L -> "b"), 0L)
+    VersionedTable.commit(spark, p, df(3L -> "c"), v1)
+    VersionedTable.cloneShallow(spark, p, c)
+    assert(dataGroupCount(c) == 0, "shallow clone copies no data")
+    assert(snapshot(c) == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // diverge the clone; the source must not move
+    VersionedTable.merge(spark, c, df(2L -> "B2", 4L -> "d"), "k")
+    assert(snapshot(c) == Map(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d"))
+    assert(snapshot(p) == Map(1L -> "a", 2L -> "b", 3L -> "c"),
+      "source unchanged by clone-side writes")
+    // clone vacuum lists only its own data dir: source files are
+    // structurally out of reach (and the clone's own merge output is
+    // referenced, so nothing goes at all)
+    assert(VersionedTable.vacuum(spark, c, minAgeMs = 0).isEmpty)
+    assert(snapshot(p) == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // optimize rewrites the clone's snapshot into LOCAL groups: the
+    // head entry carries no external reference afterwards
+    VersionedTable.optimize(spark, c, statsCol = Some("k"))
+    val head = VersionedTable.currentVersion(spark, c)
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(c, "_log", f"v$head%08d.json")), "UTF-8")
+    assert(!raw.contains(p),
+      "optimized clone must no longer reference source paths:\n" + raw)
+    assert(snapshot(c) == Map(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d"))
+  }
+
+  test("cloneShallow clones a PAST version with asOfVersion; refuses " +
+      "a non-empty target, an empty source, and a relative source") {
+    val p = tmp()
+    val c = tmp()
+    val v1 = VersionedTable.commit(spark, p, df(1L -> "a"), 0L)
+    VersionedTable.commit(spark, p, df(2L -> "b"), v1)
+    VersionedTable.cloneShallow(spark, p, c, asOfVersion = Some(v1))
+    assert(snapshot(c) == Map(1L -> "a"),
+      "asOf clone branches from the historical snapshot")
+    intercept[IllegalArgumentException] {
+      VersionedTable.cloneShallow(spark, p, c) // target has commits
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.cloneShallow(spark, tmp(), tmp()) // empty source
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.cloneShallow(spark, "rel/path", tmp())
+    }
+  }
 }
