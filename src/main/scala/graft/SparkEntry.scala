@@ -93,6 +93,7 @@ object SparkEntry {
       graft.queries.Parity74.queries ++
       graft.queries.Parity75.queries ++
       graft.queries.Parity76.queries ++
+      graft.queries.Parity77.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -175,5 +176,6 @@ object SparkEntry {
       graft.queries.Parity74.oracles ++
       graft.queries.Parity75.oracles ++
       graft.queries.Parity76.oracles ++
+      graft.queries.Parity77.oracles ++
       graft.queries.ExtQueries.oracles
 }
