@@ -1552,6 +1552,97 @@ object ScaleBench {
             f""""r10":${t10._1 / t1._1}%.2f,"r100":${t100._1 / t10._1}%.2f}}""")
       }
 
+      // k-truss tiers (round-14 batch 10): each peel round is one
+      // support pass of the x9_triangles kernel (orientation-bounded
+      // adjacency intersection exploded to the triangle stream) — 4
+      // passes per run. Replication keeps replicas disjoint, so the
+      // surviving truss and its support mass must grow linearly with
+      // the tier. 100x is deliberately skipped: the kernel's
+      // linearity through two decades is already pinned by
+      // x9_triangles' Subset row (10.9 s → 101.0 s); 4 passes ≈ 7 min
+      // would re-measure the same law.
+      if (blockOn("ktruss_tiers")) locally {
+        def run(dir: String): (Double, Long, Long) = {
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries("x9_ktruss")(spark, dir)
+          val r = df.agg(count(lit(1)), sum(col("sup"))).head()
+          ((System.nanoTime() - t0) / 1e9, r.getLong(0), r.getLong(1))
+        }
+        def best2(dir: String): (Double, Long, Long) = {
+          val a = run(dir); val b = run(dir)
+          if (a._1 <= b._1) a else b
+        }
+        val t1 = best2("target/sf01rw")
+        val t10 = best2("target/sf1")
+        require(t10._2 >= 8 * t1._2 && t10._2 <= 12 * t1._2,
+          s"disjoint replicas: surviving truss edges must track the " +
+            s"tier linearly: ${t1._2} -> ${t10._2}")
+        require(t10._3 >= 8 * t1._3,
+          s"support mass must track the tier: ${t1._3} -> ${t10._3}")
+        def js(t: (Double, Long, Long)): String =
+          f"""{"sec":${t._1}%.2f,"edges":${t._2},"support_sum":${t._3}}"""
+        System.err.println(
+          s"""[scalebench] {"ktruss_tiers":{"x1":${js(t1)},""" +
+            s""""x10":${js(t10)},""" +
+            f""""r10":${t10._1 / t1._1}%.2f}}""")
+      }
+
+      // Restore/clone law (round-14 batch 9): both verbs are
+      // metadata-only — cost is one log resolution + one entry CAS,
+      // independent of table SIZE (the structural requires pin the
+      // zero-data property; the printed seconds carry the flat-law
+      // reading: 100x the rows, same restore/clone cost).
+      if (blockOn("restore_clone")) locally {
+        import graft.sources.VersionedTable
+        def clean(p: String): Unit = {
+          val path = new org.apache.hadoop.fs.Path(p)
+          val f = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (f.exists(path)) f.delete(path, true)
+        }
+        def dataGroups(p: String): Int =
+          Option(new java.io.File(p, "data").list()).map(_.length)
+            .getOrElse(0)
+        def timed[A](f: => A): (A, Double) = {
+          val t0 = System.nanoTime(); val a = f
+          (a, (System.nanoTime() - t0) / 1e9)
+        }
+        val out = Seq(1L, 10L, 100L).map { c =>
+          val rows = 100000L * c
+          val p = s"target/rc_src_$c"
+          val dst = s"target/rc_dst_$c"
+          clean(p); clean(dst)
+          // 8 contiguous-range commits so stats-pruned paths stay
+          // exercised on the clone
+          var v = 0L
+          val slice = rows / 8
+          (0L until 8L).foreach { i =>
+            v = VersionedTable.commit(spark, p,
+              spark.range(i * slice, (i + 1) * slice)
+                .select(col("id").as("k"), (col("id") * 7).as("pay")),
+              v, statsCol = Some("k"))
+          }
+          val groupsBefore = dataGroups(p)
+          val (_, restoreSec) = timed(VersionedTable.restore(spark, p, 4L))
+          require(dataGroups(p) == groupsBefore,
+            "restore staged data — must be metadata-only")
+          val srcAbs = new java.io.File(p).getAbsolutePath
+          val (_, cloneSec) =
+            timed(VersionedTable.cloneShallow(spark, srcAbs, dst))
+          require(dataGroups(dst) == 0,
+            "shallow clone copied data — must be zero-copy")
+          // the clone must actually read (plan-time check only: one
+          // cheap count over the referenced groups at the 1x tier)
+          if (c == 1L)
+            require(VersionedTable.read(spark, dst).get.count() ==
+              4L * slice, "clone of the restored v4 reads half the keys")
+          (c, rows, restoreSec, cloneSec)
+        }
+        val js = out.map { case (c, rows, r, cl) =>
+          f""""x$c":{"rows":$rows,"restore_sec":$r%.3f,"clone_sec":$cl%.3f}"""
+        }.mkString(",")
+        System.err.println(s"""[scalebench] {"restore_clone":{$js}}""")
+      }
+
       val c100 = rows.filter(_._4 > 0)
       // a filter selecting only SkipAt100 rows leaves c100 empty —
       // emit null, not 0.0/0.0 = NaN (unquoted NaN is invalid JSON)
