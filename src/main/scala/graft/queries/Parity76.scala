@@ -113,6 +113,47 @@ object Parity76 {
         .withColumn("clone_rewrites", lit(rewrites.toLong))
         .withColumn("local_groups_at_clone", lit(localAtClone))
         .orderBy(col("o_orderkey"))
+    },
+
+    // ---- OPTIMISTIC REBASE: merge over a disjoint concurrent append
+    // The common 100 TB race — a MERGE running while append-ingest
+    // lands elsewhere in the keyspace — resolved by LOGICAL conflict
+    // detection: the merge pins snapshot v4, an append (key-disjoint
+    // from everything the merge reads or writes) lands as v5, and
+    // mergePrunedRebase folds it into its own replace entry instead
+    // of throwing — one metadata CAS, zero data movement, pinned as
+    // exactly one rebase + one rewritten group.
+    "x1_merge_rebase" -> { (s, d) =>
+      val target = Scratch.dir("rst", "rebase", d)
+      Scratch.clean(s, target)
+      var v = 0L
+      Bounds.foreach { case (lo, hi) =>
+        v = VersionedTable.commit(s, target,
+          baseRows(s, d)
+            .filter(col("o_orderkey") > lo && col("o_orderkey") <= hi), v,
+          statsCol = Some("o_orderkey"))
+      }
+      // interloper: lands AFTER the merge's pinned snapshot, keys
+      // disjoint from the merge's touched span (8000, 12000]
+      VersionedTable.commit(s, target,
+        orders(s, d)
+          .filter(col("o_orderkey") % 50 === 25 && col("o_orderkey") <= 4000)
+          .select(col("o_orderkey"), col("o_totalprice")),
+        v, statsCol = Some("o_orderkey"))
+      val bump = orders(s, d)
+        .filter(col("o_orderkey") % 50 === 0 &&
+          col("o_orderkey") > 8000 && col("o_orderkey") <= 12000)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 1000).cast("decimal(15,2)")
+            .as("o_totalprice"))
+      val (cv, rewrites, rebases) = VersionedTable.mergePrunedRebase(
+        s, target, bump, "o_orderkey", fromVersion = Some(v))
+      VersionedTable.read(s, target).get
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("head_version", lit(cv))
+        .withColumn("rewrites", lit(rewrites.toLong))
+        .withColumn("rebases", lit(rebases.toLong))
+        .orderBy(col("o_orderkey"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -143,6 +184,21 @@ object Parity76 {
                 CAST(1 AS BIGINT) AS clone_rewrites,
                 CAST(0 AS BIGINT) AS local_groups_at_clone
          FROM orders WHERE o_orderkey % 50 = 0
-         ORDER BY o_orderkey"""
+         ORDER BY o_orderkey""",
+    "x1_merge_rebase" ->
+      """WITH merged AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey > 8000 AND o_orderkey <= 12000
+                       THEN CAST(o_totalprice + 1000 AS DECIMAL(15,2))
+                       ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 50 = 0
+           UNION ALL
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey % 50 = 25 AND o_orderkey <= 4000)
+         SELECT o_orderkey, o_totalprice,
+                CAST(6 AS BIGINT) AS head_version,
+                CAST(1 AS BIGINT) AS rewrites,
+                CAST(1 AS BIGINT) AS rebases
+         FROM merged ORDER BY o_orderkey"""
   )
 }

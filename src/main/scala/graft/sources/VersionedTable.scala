@@ -473,6 +473,114 @@ object VersionedTable {
       staged = Seq(g.name)), touched.size)
   }
 
+  /** The raw log entries in (from, to], oldest first. */
+  private def entriesBetween(spark: SparkSession, path: String,
+      from: Long, to: Long): Seq[Entry] = {
+    val f = fs(spark, logDir(path))
+    (from + 1 to to).map { v =>
+      val raw = readJson(f, new Path(logDir(path), f"v$v%08d.json"))
+      Entry(v, parseGroups(raw), jsonField(raw, "replace").toBoolean)
+    }
+  }
+
+  /** MERGE (stats-pruned) with OPTIMISTIC REBASE — logical conflict
+    * detection instead of version-number conflict detection (the
+    * Delta/Snowflake OCC model). [[mergePruned]] loses its race to
+    * ANY concurrent commit, even one that touched completely
+    * unrelated keys, and the caller's retry re-reads and re-rewrites
+    * the touched groups — O(data) per lost race. At 100 TB the
+    * common race is a MERGE running while append-ingest lands
+    * elsewhere in the keyspace, and that race costs nothing
+    * semantically: this form re-checks the interloper commits, and
+    * when every one is (a) an APPEND (replace=false) and (b)
+    * stats-DISJOINT from everything this merge read or wrote (the
+    * touched groups' ranges and the update range), it FOLDS the
+    * interloper groups into its own replace entry and re-publishes
+    * at the new head — one metadata CAS per rebase, zero data
+    * movement, serializable outcome (the result equals interloper-
+    * then-merge, because disjointness means the merge would have
+    * read the same touched rows and written the same output).
+    * Anything else — a replace/rewrite interloper, an overlapping or
+    * stats-less append — is a REAL conflict: the staged group is
+    * cleaned and [[CommitConflictException]] propagates for the
+    * caller's full re-derive. `fromVersion` (default: current head)
+    * pins the snapshot the merge reads — a caller that planned its
+    * batch against a known version passes it so commits that landed
+    * since are handled by the same fold-or-conflict check instead of
+    * being silently merged over. Returns
+    * (committedVersion, rewrittenGroupCount, rebases). */
+  def mergePrunedRebase(spark: SparkSession, path: String,
+      updates: DataFrame, keyCol: String,
+      maxRebases: Int = 16,
+      fromVersion: Option[Long] = None): (Long, Int, Int) = {
+    requireKnownColumns(spark, path, updates, allowEvolution = false)
+    val v0 = fromVersion.getOrElse(currentVersion(spark, path))
+    val live = liveGroups(spark, path, Some(v0))
+    val r = updates.agg(min(col(keyCol).cast("long")),
+      max(col(keyCol).cast("long"))).head()
+    // degenerate inputs keep mergePruned's exact semantics; the
+    // version-race path there is what this method generalizes
+    if (live.isEmpty || r.isNullAt(0)) {
+      val (cv, rw) = mergePruned(spark, path, updates, keyCol)
+      return (cv, rw, 0)
+    }
+    val (uLo, uHi) = (r.getLong(0), r.getLong(1))
+    val (touched, carried0) = live.partition { g =>
+      (g.lo, g.hi) match {
+        case (Some(lo), Some(hi)) => lo <= uHi && uLo <= hi
+        case _ => true
+      }
+    }
+    // the key span this merge READ (touched groups) or WRITES (the
+    // update range): an interloper inside it is a real conflict. A
+    // stats-less touched group has an UNKNOWN row range, so no
+    // disjointness can be proven and every race is a real conflict.
+    val unbounded = touched.exists(g => g.lo.isEmpty || g.hi.isEmpty)
+    val protLo = (uLo +: touched.flatMap(_.lo)).min
+    val protHi = (uHi +: touched.flatMap(_.hi)).max
+    val rewritten = readGroups(spark, path, touched) match {
+      case Some(t) =>
+        t.join(updates.select(col(keyCol)).distinct(), Seq(keyCol),
+          "left_anti").unionByName(updates, allowMissingColumns = true)
+      case None => updates
+    }
+    val g = stageGroup(spark, path, rewritten, Some(keyCol))
+    var carried = carried0
+    var expected = v0
+    var rebases = 0
+    while (true) {
+      try {
+        // staged = empty: a lost race must NOT clean the group — the
+        // fold path re-publishes it (the commitAppendWithRetry rule);
+        // real conflicts below delete it explicitly
+        return (commitEntry(spark, path, carried :+ g, expected,
+          replace = true, staged = Seq.empty), touched.size, rebases)
+      } catch {
+        case e: CommitConflictException =>
+          val now = currentVersion(spark, path)
+          val folded = entriesBetween(spark, path, expected, now)
+            .forall { entry =>
+              val foldable = !entry.replace && !unbounded &&
+                entry.groups.forall { ig =>
+                (ig.lo, ig.hi) match {
+                  case (Some(lo), Some(hi)) => hi < protLo || lo > protHi
+                  case _ => false // stats-less append: can't prove disjoint
+                }
+              }
+              if (foldable) carried = carried ++ entry.groups
+              foldable
+            }
+          rebases += 1
+          if (!folded || rebases > maxRebases) {
+            fs(spark, path).delete(new Path(s"$path/data/${g.name}"), true)
+            throw e
+          }
+          expected = now
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Stats-pruned READ: the read-side counterpart of [[mergePruned]]
     * — open only the live groups whose [min,max] key stats overlap
     * [lo, hi], then apply the exact row filter. This is the group-

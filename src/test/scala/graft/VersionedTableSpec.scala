@@ -633,4 +633,112 @@ class VersionedTableSpec extends AnyFunSuite {
       VersionedTable.cloneShallow(spark, "rel/path", tmp())
     }
   }
+
+  private def kdf(rows: (Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("k", "pay")
+  }
+
+  private def ksnapshot(path: String) =
+    VersionedTable.read(spark, path).get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("mergePrunedRebase FOLDS a disjoint concurrent append: one " +
+      "metadata retry, no data rewrite, serializable outcome") {
+    val p = tmp()
+    val v1 = VersionedTable.commit(spark, p, kdf(1L -> 10, 2L -> 20),
+      0L, statsCol = Some("k"))
+    val v2 = VersionedTable.commit(spark, p, kdf(100L -> 1, 101L -> 1),
+      v1, statsCol = Some("k"))
+    // interloper lands AFTER the merge's pinned snapshot v2
+    VersionedTable.commit(spark, p, kdf(500L -> 5), v2,
+      statsCol = Some("k"))
+    val groupsBefore = dataGroupCount(p)
+    val (v, rewrites, rebases) = VersionedTable.mergePrunedRebase(
+      spark, p, kdf(2L -> 99, 3L -> 30), "k",
+      fromVersion = Some(v2))
+    assert(rebases == 1 && rewrites == 1,
+      s"one fold over the disjoint append, one touched group: " +
+        s"$rebases / $rewrites")
+    assert(v == 4L)
+    assert(dataGroupCount(p) == groupsBefore + 1,
+      "exactly the one rewritten group was staged")
+    assert(ksnapshot(p) == Map(1L -> 10L, 2L -> 99L, 3L -> 30L,
+      100L -> 1L, 101L -> 1L, 500L -> 5L),
+      "result equals interloper-then-merge")
+  }
+
+  test("mergePrunedRebase treats an OVERLAPPING append and a REPLACE " +
+      "interloper as real conflicts: staged group cleaned, " +
+      "CommitConflictException surfaces") {
+    val p = tmp()
+    val v1 = VersionedTable.commit(spark, p, kdf(1L -> 10, 2L -> 20),
+      0L, statsCol = Some("k"))
+    // overlapping append: key 3 sits inside the merge's update range
+    VersionedTable.commit(spark, p, kdf(3L -> 30), v1,
+      statsCol = Some("k"))
+    val before = dataGroupCount(p)
+    intercept[VersionedTable.CommitConflictException] {
+      VersionedTable.mergePrunedRebase(spark, p,
+        kdf(2L -> 99, 4L -> 40), "k", fromVersion = Some(v1))
+    }
+    assert(dataGroupCount(p) == before,
+      "refused rebase must clean its staged group")
+    assert(ksnapshot(p) == Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+    // replace interloper (an optimize) can invalidate ANY read —
+    // never folded, even when stats look disjoint
+    val p2 = tmp()
+    val w1 = VersionedTable.commit(spark, p2, kdf(1L -> 10, 2L -> 20),
+      0L, statsCol = Some("k"))
+    VersionedTable.commit(spark, p2, kdf(100L -> 1), w1,
+      replace = true, statsCol = Some("k"))
+    intercept[VersionedTable.CommitConflictException] {
+      VersionedTable.mergePrunedRebase(spark, p2, kdf(2L -> 99), "k",
+        fromVersion = Some(w1))
+    }
+  }
+
+  test("mergePrunedRebase under a GENUINE race: disjoint appenders " +
+      "land concurrently with the merge; everything commits, content " +
+      "is the serial union") {
+    val p = tmp()
+    val v1 = VersionedTable.commit(spark, p,
+      kdf((1L to 8L).map(k => k -> k * 10): _*), 0L,
+      statsCol = Some("k"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appenders = (0 until 4).map { i =>
+      new Thread(() => {
+        try {
+          // each appender owns a far-away key range, disjoint from
+          // the merge's [2, 3] span and from each other
+          VersionedTable.commitAppendWithRetry(spark, p,
+            kdf((1000L + i) -> i.toLong), statsCol = Some("k"))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    val merger = new Thread(() => {
+      try {
+        var done = false
+        while (!done) {
+          try {
+            VersionedTable.mergePrunedRebase(spark, p,
+              kdf(2L -> 99, 3L -> 98), "k")
+            done = true
+          } catch {
+            // an append winning the CAS in the same instant the fold
+            // re-publishes is still possible; full re-derive is the
+            // documented fallback
+            case _: VersionedTable.CommitConflictException =>
+          }
+        }
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    (appenders :+ merger).foreach(_.start())
+    (appenders :+ merger).foreach(_.join(120000))
+    assert(errs.isEmpty, s"unexpected failures: $errs")
+    val want = (1L to 8L).map(k => k -> k * 10).toMap ++
+      Map(2L -> 99L, 3L -> 98L) ++
+      (0 until 4).map(i => (1000L + i) -> i.toLong).toMap
+    assert(ksnapshot(p) == want)
+  }
 }
