@@ -253,8 +253,10 @@ object Parity19 {
       nodeEstCache.computeIfAbsent(d,
         _ => customer(s, d).count() + supplier(s, d).count()))
 
-  private[graft] def pagerankQ(s: SparkSession, d: String,
-      msg: Boolean): DataFrame = {
+  /** The customer↔supplier order graph: symmetrized weighted edge
+    * list carrying per-source out-weight — shared by both pagerank
+    * arms and Parity77's personalized variant. */
+  private[graft] def orderGraphE2(s: SparkSession, d: String): DataFrame = {
     val eo = lineitem(s, d)
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
@@ -263,7 +265,13 @@ object Parity19 {
     val edges = und.groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    val e2 = edges.join(outw, Seq("src"))
+    edges.join(outw, Seq("src"))
+  }
+
+  private[graft] def pagerankQ(s: SparkSession, d: String,
+      msg: Boolean): DataFrame = {
+    val e2 = orderGraphE2(s, d)
+    val edges = e2
     // message arm: pre-partition the edges on the join key and CACHE
     // them — an InMemoryRelation keeps its child's hashpartitioning
     // statically, so every round's shuffle-hash join reuses it and

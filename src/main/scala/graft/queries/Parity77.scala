@@ -93,11 +93,69 @@ object Parity77 {
         coalesce(col("sup"), lit(0L)).as("sup"))
   }
 
+  private val PrT = 1000000000000L // total mass, pico units
+  private val PprIters = 5
+
+  /** Personalized PageRank over the customer↔supplier order graph
+    * (the recsys/similar-entity primitive): identical fixed-point
+    * integer arithmetic to `x9_pagerank`, but the 15% teleport mass
+    * returns to a SEED SET (customers with custkey % 100 == 0)
+    * instead of spreading uniformly — rank becomes proximity to the
+    * seeds, zero for nodes the seeds cannot reach. Broadcast arm
+    * only: the vector is node-bounded exactly like pagerank's, and
+    * the msg-arm trade (plus the advisor that picks it) is already
+    * shipped on the uniform variant — personalization changes the
+    * restart vector, not the exchange. */
+  private def pprQ(s: SparkSession, d: String): DataFrame = {
+    val e2 = graft.ops.Iter.truncate(Parity19.orderGraphE2(s, d), None)
+    val isSeed = (col("node") % 2 === 0) &&
+      (expr("node DIV 2") % 100 === 0)
+    ppr(e2, isSeed)
+      .select(
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("kind"),
+        expr("node DIV 2").as("entity_key"),
+        col("node").as("node_id"), col("seed"),
+        col("r").as("rank_pico"))
+      .orderBy(col("node_id"))
+  }
+
+  /** The seeded fixed-point core over any (src, dst, w, wout) edge
+    * relation; exposed for the spec's planted-graph pins. Returns
+    * (node, seed, ns, r). */
+  private[graft] def ppr(e2: DataFrame, isSeed: Column): DataFrame = {
+    val nodes = e2.select(col("src").as("node")).distinct()
+    val base = graft.ops.Iter.truncate(
+      nodes.withColumn("seed", isSeed.cast("int"))
+        .crossJoin(broadcast(nodes.filter(isSeed)
+          .agg(count(lit(1)).as("ns")))), None)
+    // all mass starts AT the seeds; non-seeds rank 0
+    var rank = base.select(col("node"), col("seed"), col("ns"),
+      expr(s"CASE WHEN seed = 1 THEN $PrT DIV ns ELSE 0 END").as("r"))
+    for (_ <- 1 to PprIters) {
+      val vec = rank.filter(col("r") > 0)
+        .select(col("node").as("csrc"), col("r"))
+      val contrib = graft.ops.Exchange
+        .vecJoin(vec, e2, col("csrc") === col("src"), msg = false)
+        .select(col("dst"),
+          expr("(((r * 85) DIV 100) * w) DIV wout").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
+      rank = graft.ops.Iter.truncate(
+        base.join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"), col("seed"), col("ns"),
+            (expr(s"CASE WHEN seed = 1 THEN (($PrT DIV ns) * 15) DIV 100" +
+              " ELSE 0 END") +
+              coalesce(col("cin"), lit(0L))).as("r")), None)
+    }
+    rank
+  }
+
   val queries: Map[String, Q] = Map(
     "x9_ktruss" -> { (s, d) =>
       ktruss(Parity24.edges(s, d), TrussK, TrussRounds)
         .orderBy(col("u"), col("v"))
-    })
+    },
+    "x9_ppr" -> (pprQ(_, _)))
 
   /** Support CTEs for edge set `e$i`: degrees → orientation →
     * apex-enumerated triangles (closure join on the ORIENTED b→c
@@ -128,7 +186,43 @@ object Parity77 {
          JOIN sup$i s ON s.u = e.u AND s.v = e.v
          WHERE s.sup >= $keep)"""
 
+  private val pprSteps: String = (1 to PprIters).map { i =>
+    s"""s$i AS (SELECT e2.dst AS node,
+         CAST(sum((((r.r * 85) // 100) * e2.w) // e2.wout) AS BIGINT) AS cin
+       FROM r${i - 1} r JOIN e2 ON r.node = e2.src GROUP BY e2.dst),
+     r$i AS (SELECT n.node, n.seed,
+         CASE WHEN n.seed = 1 THEN (($PrT // ns.ns) * 15) // 100
+              ELSE 0 END + coalesce(s$i.cin, 0) AS r
+       FROM sd n CROSS JOIN ns LEFT JOIN s$i ON s$i.node = n.node)"""
+  }.mkString(",\n     ")
+
   val oracles: Map[String, String] = Map(
+    "x9_ppr" ->
+      s"""WITH eo AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         und AS (SELECT src, dst FROM eo
+           UNION ALL SELECT dst, src FROM eo),
+         e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+           FROM und GROUP BY src, dst),
+         ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout
+           FROM e GROUP BY src),
+         e2 AS (SELECT e.src, e.dst, e.w, ow.wout
+           FROM e JOIN ow USING (src)),
+         nodes AS (SELECT DISTINCT src AS node FROM e),
+         sd AS (SELECT node,
+             CASE WHEN node % 2 = 0 AND (node // 2) % 100 = 0
+                  THEN 1 ELSE 0 END AS seed
+           FROM nodes),
+         ns AS (SELECT count(*) AS ns FROM sd WHERE seed = 1),
+         r0 AS (SELECT node, seed,
+             CASE WHEN seed = 1 THEN $PrT // ns ELSE 0 END AS r
+           FROM sd CROSS JOIN ns),
+         $pprSteps
+         SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS kind,
+           node // 2 AS entity_key, node AS node_id, seed,
+           CAST(r AS BIGINT) AS rank_pico
+         FROM r$PprIters ORDER BY node_id""",
     "x9_ktruss" -> {
       val keep = TrussK - 2
       val rounds = (0 until TrussRounds)

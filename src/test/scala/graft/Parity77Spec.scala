@@ -78,4 +78,46 @@ class Parity77Spec extends AnyFunSuite {
     assert(c1.nonEmpty && c2.isEmpty,
       s"the wave takes two rounds: after r1 $c1, after r2 $c2")
   }
+
+  import org.apache.spark.sql.functions.{col, count, lit, sum}
+
+  /** Symmetrized unit-weight (src, dst, w, wout) edge relation. */
+  private def e2of(es: (Long, Long)*): DataFrame = {
+    import spark.implicits._
+    val und = es.toDF("src", "dst")
+      .unionAll(es.map(_.swap).toDF("src", "dst"))
+    val e = und.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+    e.join(e.groupBy(col("src")).agg(sum(col("w")).as("wout")),
+      Seq("src"))
+  }
+
+  private def pprOf(e2: DataFrame,
+      seed: org.apache.spark.sql.Column): Map[Long, Long] =
+    graft.queries.Parity77.ppr(e2, seed)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("r")).toMap
+
+  test("personalized PageRank: rank is proximity to the seed — " +
+      "monotone along a path, zero beyond the seed's component, " +
+      "mass near-conserved") {
+    val r = pprOf(e2of(1L -> 2L, 2L -> 3L, 3L -> 4L),
+      col("node") === 1L)
+    // the path is BIPARTITE: without a lazy step, mass oscillates
+    // between the parity classes each push, so decay-with-distance
+    // holds WITHIN a parity side after any fixed round count (the
+    // real order graph has odd cycles and no such oscillation)
+    assert(r(2L) > r(4L) && r(1L) > r(3L),
+      s"rank must decay with distance within a parity side: $r")
+    // symmetric neighbors are exchangeable: equal rank by symmetry
+    val st = pprOf(e2of(0L -> 1L, 0L -> 2L, 0L -> 3L),
+      col("node") === 0L)
+    assert(st(1L) == st(2L) && st(2L) == st(3L),
+      s"symmetric leaves must tie: $st")
+    val d = pprOf(e2of(1L -> 2L, 3L -> 4L), col("node") === 1L)
+    assert(d(3L) == 0L && d(4L) == 0L,
+      s"the seed's teleport never reaches the other component: $d")
+    val total = d(1L) + d(2L)
+    assert(total > 990000000000L && total <= 1000000000000L,
+      s"mass stays in the seed component, minus DIV truncation: $total")
+  }
 }
