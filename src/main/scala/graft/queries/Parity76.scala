@@ -154,6 +154,34 @@ object Parity76 {
         .withColumn("rewrites", lit(rewrites.toLong))
         .withColumn("rebases", lit(rebases.toLong))
         .orderBy(col("o_orderkey"))
+    },
+
+    // ---- COLUMN MAPPING: metadata-only RENAME + DROP ---------------
+    // Schema changes on a 100 TB table must not rewrite data: rename
+    // o_totalprice→price and drop o_orderstatus are two pure-metadata
+    // commits; the pre-rename generation maps at read time, the
+    // post-rename append writes the new name physically, and the
+    // reconciling read unions both generations under the logical
+    // schema (VersionedTableSchemaSpec pins metadata-only, era-true
+    // time travel, expiry/restore/clone carry).
+    "x1_rename_drop" -> { (s, d) =>
+      val target = Scratch.dir("rst", "rendrop", d)
+      Scratch.clean(s, target)
+      val v1 = VersionedTable.commit(s, target,
+        orders(s, d).filter(col("o_orderkey") % 50 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus")), 0L)
+      val v2 = VersionedTable.renameColumn(s, target,
+        "o_totalprice", "price")
+      val v3 = VersionedTable.dropColumn(s, target, "o_orderstatus")
+      val v4 = VersionedTable.commit(s, target,
+        orders(s, d)
+          .filter(col("o_orderkey") % 50 === 25 && col("o_orderkey") <= 4000)
+          .select(col("o_orderkey"), col("o_totalprice").as("price")), v3)
+      VersionedTable.read(s, target).get
+        .select(col("o_orderkey"), col("price"))
+        .withColumn("head_version", lit(v4))
+        .orderBy(col("o_orderkey"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -199,6 +227,15 @@ object Parity76 {
                 CAST(6 AS BIGINT) AS head_version,
                 CAST(1 AS BIGINT) AS rewrites,
                 CAST(1 AS BIGINT) AS rebases
-         FROM merged ORDER BY o_orderkey"""
+         FROM merged ORDER BY o_orderkey""",
+    "x1_rename_drop" ->
+      """SELECT o_orderkey, price, CAST(4 AS BIGINT) AS head_version
+         FROM (
+           SELECT o_orderkey, o_totalprice AS price FROM orders
+           WHERE o_orderkey % 50 = 0
+           UNION ALL
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey % 50 = 25 AND o_orderkey <= 4000)
+         ORDER BY o_orderkey"""
   )
 }

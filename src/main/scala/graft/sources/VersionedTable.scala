@@ -98,7 +98,50 @@ object VersionedTable {
   private case class Entry(version: Long, groups: Seq[Group],
       replace: Boolean)
 
+  /** Column-mapping state — the metadata that makes RENAME/DROP
+    * COLUMN zero-rewrite operations (the Delta columnMapping idea,
+    * name-keyed): `renames` maps a group's PHYSICAL column name to
+    * its current LOGICAL name (applied per group, only when the
+    * group predates the rename — i.e. has the physical name and not
+    * the logical one); `drops` masks logical columns at read time.
+    * Snapshot semantics: the latest log entry (or checkpoint) that
+    * carries schema fields holds the FULL current state. */
+  final case class SchemaState(renames: Seq[(String, String)],
+      drops: Seq[String]) {
+    def isEmpty: Boolean = renames.isEmpty && drops.isEmpty
+    /** Map a single group's physical frame to logical columns. */
+    def apply(df: DataFrame): DataFrame = {
+      val renamed = renames.foldLeft(df) { case (d, (phys, logical)) =>
+        val have = d.columns.toSet
+        if (have(phys) && !have(logical)) d.withColumnRenamed(phys, logical)
+        else d
+      }
+      drops.foldLeft(renamed) { (d, c) =>
+        if (d.columns.contains(c)) d.drop(c) else d
+      }
+    }
+  }
+  val EmptySchemaState: SchemaState = SchemaState(Seq.empty, Seq.empty)
+
   // ---- tiny JSON (de)serializers for the fixed log shapes ----------
+
+  private def schemaJson(st: SchemaState): String = {
+    val ren = st.renames.map { case (p, l) => s""""$p>$l"""" }
+      .mkString("[", ",", "]")
+    val drop = st.drops.map(d => s""""$d"""").mkString("[", ",", "]")
+    s""""ren":$ren,"drop":$drop"""
+  }
+
+  private def parseSchema(raw: String): Option[SchemaState] =
+    if (!raw.contains("\"ren\":")) None
+    else Some(SchemaState(
+      arrayBody(raw, "ren").map(_.stripPrefix("\"").stripSuffix("\""))
+        .map { s =>
+          val i = s.indexOf('>')
+          (s.substring(0, i), s.substring(i + 1))
+        },
+      arrayBody(raw, "drop")
+        .map(_.stripPrefix("\"").stripSuffix("\""))))
 
   private def groupsJson(gs: Seq[Group]): String = {
     val names = gs.map(g => s""""${g.name}"""").mkString("[", ",", "]")
@@ -163,14 +206,16 @@ object VersionedTable {
       groups: Seq[Group], expected: Long, replace: Boolean,
       staged: Seq[String], batchId: Option[Long] = None,
       arbiterFor: org.apache.hadoop.fs.FileSystem => CommitArbiter =
-        CommitArbiter.forFs): Long = {
+        CommitArbiter.forFs,
+      schema: Option[SchemaState] = None): Long = {
     val next = expected + 1
     val f = fs(spark, path)
     f.mkdirs(new Path(logDir(path)))
     val entry = new Path(logDir(path), f"v$next%08d.json")
     val batchJs = batchId.map(b => s""""batch":$b,""").getOrElse("")
+    val schemaJs = schema.map(st => s"${schemaJson(st)},").getOrElse("")
     val payload =
-      s"""{"version":$next,$batchJs"replace":$replace,${groupsJson(groups)}}"""
+      s"""{"version":$next,$batchJs$schemaJs"replace":$replace,${groupsJson(groups)}}"""
     if (!publishExclusive(f, entry, payload.getBytes("UTF-8"), arbiterFor)) {
       staged.foreach(g => f.delete(new Path(s"$path/data/$g"), true))
       throw new CommitConflictException(next)
@@ -190,7 +235,11 @@ object VersionedTable {
       val chk = new Path(logDir(path), f"chk-v$next%08d.json")
       val tmp = new Path(logDir(path),
         s".tmp-chk-${java.util.UUID.randomUUID()}")
-      val body = s"""{"version":$next,${groupsJson(live)}}"""
+      // checkpoints carry the schema state too: after expiry they can
+      // be the ONLY record of a rename/drop
+      val st = schema.getOrElse(schemaStateAt(spark, path, Some(next)))
+      val stJs = if (st.isEmpty) "" else s"${schemaJson(st)},"
+      val body = s"""{"version":$next,$stJs${groupsJson(live)}}"""
       try {
         val out = f.create(tmp, true)
         try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -224,7 +273,8 @@ object VersionedTable {
     // do not block the commit — the conflict/read paths surface real
     // problems; this gate only exists to catch mis-schema'd batches
     val known = scala.util.Try(
-      readGroups(spark, path, live).get.schema.fieldNames.toSet)
+      readGroups(spark, path, live,
+        schemaStateAt(spark, path, None)).get.schema.fieldNames.toSet)
       .getOrElse(return)
     val fresh = df.schema.fieldNames.filterNot(known)
     require(fresh.isEmpty,
@@ -382,6 +432,36 @@ object VersionedTable {
     }
   }
 
+  /** The column-mapping state in effect at `asOfVersion` (None =
+    * latest): base from the newest checkpoint ≤ the version, then the
+    * LATEST schema-carrying entry after it wins (full-snapshot
+    * semantics — same resolution walk as [[liveGroups]]). */
+  private[sources] def schemaStateAt(spark: SparkSession, path: String,
+      asOfVersion: Option[Long]): SchemaState = {
+    val f = fs(spark, logDir(path))
+    val d = new Path(logDir(path))
+    if (!f.exists(d)) return EmptySchemaState
+    val names = f.listStatus(d).map(_.getPath.getName).toSeq
+    val chk = names
+      .filter(n => n.startsWith("chk-v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("chk-v").stripSuffix(".json").toLong)
+      .filter(v => asOfVersion.forall(v <= _))
+      .sorted.lastOption
+    val base = chk
+      .flatMap(v => parseSchema(readJson(f, new Path(d, f"chk-v$v%08d.json"))))
+      .getOrElse(EmptySchemaState)
+    val from = chk.getOrElse(0L)
+    names
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .filter(v => v > from && asOfVersion.forall(v <= _))
+      .sorted
+      .foldLeft(base) { (acc, v) =>
+        parseSchema(readJson(f, new Path(d, f"v$v%08d.json")))
+          .getOrElse(acc)
+      }
+  }
+
   /** One relation over a set of data groups (None when empty) — the
     * single place the group-file read lives (read / mergePruned /
     * deleteRange / changeFeed / optimize all route here). Reads are
@@ -393,16 +473,19 @@ object VersionedTable {
     * version naturally returns the narrow schema (only narrow groups
     * are live there). */
   private def readGroups(spark: SparkSession, path: String,
-      gs: Seq[Group]): Option[DataFrame] =
-    gs.map(g => spark.read.parquet(groupPath(path, g.name)))
+      gs: Seq[Group], schema: SchemaState): Option[DataFrame] =
+    gs.map(g => schema(spark.read.parquet(groupPath(path, g.name))))
       .reduceOption(_.unionByName(_, allowMissingColumns = true))
 
-  /** Read the table as of `asOfVersion` (None = latest). Returns
+  /** Read the table as of `asOfVersion` (None = latest), with the
+    * column mapping in effect AT that version applied (time travel
+    * to a pre-rename version naturally shows the old names). Returns
     * None when no version exists yet. */
   def read(spark: SparkSession, path: String,
       asOfVersion: Option[Long] = None): Option[DataFrame] = {
     val live = liveGroups(spark, path, asOfVersion)
-    readGroups(spark, path, live)
+    readGroups(spark, path, live,
+      schemaStateAt(spark, path, asOfVersion))
   }
 
   /** MERGE (upsert by key), full-rewrite form: rows of `updates`
@@ -457,7 +540,8 @@ object VersionedTable {
         case _ => true // no stats -> conservative rewrite
       }
     }
-    val touchedDf = readGroups(spark, path, touched)
+    val touchedDf = readGroups(spark, path, touched,
+      schemaStateAt(spark, path, Some(v)))
     val rewritten = touchedDf match {
       case Some(t) =>
         // reconciling union: on a mixed-schema table (or a widening
@@ -538,7 +622,8 @@ object VersionedTable {
     val unbounded = touched.exists(g => g.lo.isEmpty || g.hi.isEmpty)
     val protLo = (uLo +: touched.flatMap(_.lo)).min
     val protHi = (uHi +: touched.flatMap(_.hi)).max
-    val rewritten = readGroups(spark, path, touched) match {
+    val rewritten = readGroups(spark, path, touched,
+        schemaStateAt(spark, path, Some(v0))) match {
       case Some(t) =>
         t.join(updates.select(col(keyCol)).distinct(), Seq(keyCol),
           "left_anti").unionByName(updates, allowMissingColumns = true)
@@ -603,7 +688,8 @@ object VersionedTable {
       }
     }
     val k = col(keyCol).cast("long")
-    (readGroups(spark, path, overlapping)
+    (readGroups(spark, path, overlapping,
+        schemaStateAt(spark, path, asOfVersion))
       .map(_.filter(k >= lo && k <= hi)), overlapping.size)
   }
 
@@ -633,7 +719,8 @@ object VersionedTable {
     }
     if (touched.isEmpty) return (v, 0)
     val k = col(keyCol).cast("long")
-    val remaining = readGroups(spark, path, touched).get
+    val remaining = readGroups(spark, path, touched,
+        schemaStateAt(spark, path, Some(v))).get
       .filter(k.isNull || k < lo || k > hi)
     val g = stageGroup(spark, path, remaining, Some(keyCol))
     val keep = dropIfEmpty(spark, path, g).toSeq
@@ -668,6 +755,12 @@ object VersionedTable {
     val toG = liveGroups(spark, path, Some(toVersion))
     require(fromG.nonEmpty || toG.nonEmpty,
       s"changeFeed: no live data at either version ($fromVersion, $toVersion)")
+    // each side reads under ITS OWN column mapping (the same rule as
+    // time travel); a rename between the versions surfaces as the
+    // logical columns differing and the existing key/type requires
+    // fire — the reader's problem, as with s16/s17 evolution
+    val fromSt = schemaStateAt(spark, path, Some(fromVersion))
+    val toSt = schemaStateAt(spark, path, Some(toVersion))
     val shared =
       if (skipShared) fromG.map(_.name).toSet intersect toG.map(_.name).toSet
       else Set.empty[String]
@@ -683,8 +776,12 @@ object VersionedTable {
       val nonShared = (toG ++ fromG).filterNot(g => shared(g.name))
       if (nonShared.nonEmpty) nonShared else Seq((toG ++ fromG).head)
     }
+    val toNames = toG.map(_.name).toSet
     val payload = probeGroups
-      .map(g => spark.read.parquet(groupPath(path, g.name)).schema)
+      .map { g =>
+        val st = if (toNames(g.name)) toSt else fromSt
+        st(spark.read.parquet(groupPath(path, g.name))).schema
+      }
       .reduce { (a, b) =>
         val have = a.fieldNames.toSet
         b.foldLeft(a) { (acc, f) =>
@@ -700,8 +797,9 @@ object VersionedTable {
     require(payload.fieldNames.contains(keyCol),
       s"changeFeed: key column $keyCol absent from table schema")
     val others = payload.fields.filterNot(_.name == keyCol).toSeq
-    def side(gs: Seq[Group], tag: String): DataFrame = {
-      val base = readGroups(spark, path, gs.filterNot(g => shared(g.name)))
+    def side(gs: Seq[Group], tag: String, st: SchemaState): DataFrame = {
+      val base = readGroups(spark, path,
+          gs.filterNot(g => shared(g.name)), st)
         .getOrElse(spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payload))
       // columns this side's generations predate read as typed NULLs,
@@ -717,7 +815,7 @@ object VersionedTable {
     // which would split an unchanged null-key row into a spurious
     // delete+insert pair. NULL is treated as one key value here — the
     // same one-row-per-key reading the write paths apply.
-    val j = side(fromG, "_o").join(side(toG, "_n"),
+    val j = side(fromG, "_o", fromSt).join(side(toG, "_n", toSt),
         col("_k_o") <=> col("_k_n"), "full_outer")
       .withColumn(keyCol, coalesce(col("_k_o"), col("_k_n")))
       // unchanged rows drop HERE so the image array below never needs
@@ -796,7 +894,11 @@ object VersionedTable {
     // a reader never sees the tail without its base
     val live = liveGroups(spark, path, Some(horizon))
     val chk = new Path(d, f"chk-v$horizon%08d.json")
-    val body = s"""{"version":$horizon,${groupsJson(live)}}"""
+    // the horizon checkpoint may become the ONLY record of a
+    // rename/drop whose entry is about to be dropped
+    val st = schemaStateAt(spark, path, Some(horizon))
+    val stJs = if (st.isEmpty) "" else s"${schemaJson(st)},"
+    val body = s"""{"version":$horizon,$stJs${groupsJson(live)}}"""
     val out = f.create(chk, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     var dropped = 0L
@@ -836,7 +938,11 @@ object VersionedTable {
       f.getContentSummary(new Path(groupPath(path, g.name))).getLength
     }.sum
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val snapshot = readGroups(spark, path, live).get
+    // the compacted group is written under LOGICAL names, so the
+    // mapping becomes vacuous for it (rename/drop history stays in
+    // the log for time travel)
+    val snapshot = readGroups(spark, path, live,
+      schemaStateAt(spark, path, Some(v))).get
     val committed = commit(spark, path, snapshot.repartition(nFiles), v,
       replace = true, statsCol = statsCol)
     (committed, nFiles.toLong)
@@ -867,7 +973,8 @@ object VersionedTable {
     val v = currentVersion(spark, path)
     val live = liveGroups(spark, path, Some(v))
     require(live.nonEmpty, "optimizeClustered on an empty table")
-    val snap = readGroups(spark, path, live).get
+    val snap = readGroups(spark, path, live,
+        schemaStateAt(spark, path, Some(v))).get
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val k = col(keyCol).cast("long")
@@ -926,8 +1033,12 @@ object VersionedTable {
         s"data group ${g.name} referenced by v$toVersion is missing " +
           "on disk — cannot restore")
     }
+    // restore the schema state of the target era too (Delta RESTORE
+    // semantics): published even when empty — an empty state must
+    // still OVERRIDE later renames/drops in the latest-wins walk
     commitEntry(spark, path, target, v, replace = true,
-      staged = Seq.empty, arbiterFor = arbiterFor)
+      staged = Seq.empty, arbiterFor = arbiterFor,
+      schema = Some(schemaStateAt(spark, path, Some(toVersion))))
   }
 
   /** SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE` verb):
@@ -957,6 +1068,56 @@ object VersionedTable {
       s"clone source $src has no live data" +
         asOfVersion.fold("")(v => s" at v$v"))
     val refs = live.map(g => g.copy(name = groupPath(src, g.name)))
-    commitEntry(spark, dst, refs, 0L, replace = true, staged = Seq.empty)
+    commitEntry(spark, dst, refs, 0L, replace = true, staged = Seq.empty,
+      schema = Some(schemaStateAt(spark, src, asOfVersion)))
+  }
+
+  /** RENAME COLUMN, metadata-only (the Delta columnMapping idea,
+    * name-keyed): publishes a replace commit carrying the updated
+    * column mapping; groups written before the rename keep their
+    * physical name and every read maps it (per group, before the
+    * reconciling union). Chained renames compose (a→b then b→c maps
+    * both physical generations to c). New writes use the new name;
+    * a batch still using the OLD name is refused by the schema gate.
+    * Time travel to a pre-rename version shows the old names.
+    * Caveat (Delta's, too): a DROPPED logical name stays masked for
+    * every group generation, so re-using it for a new column is
+    * undefined — pick a fresh name. Throws
+    * [[CommitConflictException]] on a lost race (nothing staged). */
+  def renameColumn(spark: SparkSession, path: String,
+      oldName: String, newName: String): Long = {
+    require(oldName != newName, "rename to the same name is a no-op")
+    require(!oldName.contains(">") && !newName.contains(">"),
+      "column names containing '>' are not supported by the log format")
+    val v = currentVersion(spark, path)
+    require(v >= 1, "rename on an empty table")
+    val st = schemaStateAt(spark, path, Some(v))
+    val cols = read(spark, path, Some(v)).get.schema.fieldNames.toSet
+    require(cols(oldName), s"column $oldName does not exist (have: " +
+      cols.mkString(", ") + ")")
+    require(!cols(newName), s"column $newName already exists")
+    val ren = (st.renames.map { case (p, l) =>
+      if (l == oldName) (p, newName) else (p, l)
+    } :+ (oldName -> newName)).filter(pl => pl._1 != pl._2).distinct
+    commitEntry(spark, path, liveGroups(spark, path, Some(v)), v,
+      replace = true, staged = Seq.empty,
+      schema = Some(SchemaState(ren, st.drops)))
+  }
+
+  /** DROP COLUMN, metadata-only: the column is masked at read time
+    * for every group generation — zero data rewritten, and time
+    * travel to a pre-drop version still shows it. See
+    * [[renameColumn]] for the name-reuse caveat. */
+  def dropColumn(spark: SparkSession, path: String,
+      colName: String): Long = {
+    val v = currentVersion(spark, path)
+    require(v >= 1, "drop on an empty table")
+    val st = schemaStateAt(spark, path, Some(v))
+    val cols = read(spark, path, Some(v)).get.schema.fieldNames.toSet
+    require(cols(colName), s"column $colName does not exist")
+    require(cols.size > 1, "cannot drop the table's last column")
+    commitEntry(spark, path, liveGroups(spark, path, Some(v)), v,
+      replace = true, staged = Seq.empty,
+      schema = Some(SchemaState(st.renames, st.drops :+ colName)))
   }
 }
