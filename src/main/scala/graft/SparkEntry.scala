@@ -94,6 +94,7 @@ object SparkEntry {
       graft.queries.Parity75.queries ++
       graft.queries.Parity76.queries ++
       graft.queries.Parity77.queries ++
+      graft.queries.Parity78.queries ++
       graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -177,5 +178,6 @@ object SparkEntry {
       graft.queries.Parity75.oracles ++
       graft.queries.Parity76.oracles ++
       graft.queries.Parity77.oracles ++
+      graft.queries.Parity78.oracles ++
       graft.queries.ExtQueries.oracles
 }
