@@ -1552,6 +1552,100 @@ object ScaleBench {
             f""""r10":${t10._1 / t1._1}%.2f,"r100":${t100._1 / t10._1}%.2f}}""")
       }
 
+      // MERGE-vs-append contention (round-14 batch 11): the race a
+      // 100 TB table lives in — a range-confined MERGE running while
+      // append-ingest lands elsewhere in the keyspace. The naive arm
+      // re-derives (re-read + re-stage the touched group) on every
+      // lost CAS; the rebase arm folds the disjoint appends into its
+      // replace entry and re-publishes — one staging ever. Appenders
+      // run a FIXED stream so the naive arm terminates; the requires
+      // pin exactly-once content on both arms and the one-staging
+      // property of the rebase arm.
+      if (blockOn("merge_rebase")) locally {
+        import graft.sources.VersionedTable
+        def clean(p: String): Unit = {
+          val fsp = new org.apache.hadoop.fs.Path(p)
+          val fsx = fsp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fsx.exists(fsp)) fsx.delete(fsp, true)
+        }
+        val appWriters = 4
+        val appEach = 6
+        val baseN = 200000L
+        def run(rebase: Boolean): (Double, Long, Long) = {
+          val p = s"target/mrebase_$rebase"
+          clean(p)
+          var v = 0L
+          (0L until 4L).foreach { i =>
+            v = VersionedTable.commit(spark, p,
+              spark.range(i * baseN / 4, (i + 1) * baseN / 4)
+                .select(col("id").as("k"), (col("id") * 3).as("pay")),
+              v, statsCol = Some("k"))
+          }
+          val updates = spark.range(0L, 25000L)
+            .select(col("id").as("k"), (col("id") * 3 + 7).as("pay"))
+          val stagings = new java.util.concurrent.atomic.AtomicLong(0)
+          val retries = new java.util.concurrent.atomic.AtomicLong(0)
+          val errs =
+            new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+          val barrier = new java.util.concurrent.CyclicBarrier(appWriters + 1)
+          val appenders = (0 until appWriters).map { i =>
+            new Thread(() => {
+              try {
+                barrier.await()
+                (0 until appEach).foreach { j =>
+                  VersionedTable.commitAppendWithRetry(spark, p,
+                    spark.range(1).select(
+                      lit(10000000L + i * 100000L + j).as("k"),
+                      lit(1L).as("pay")),
+                    statsCol = Some("k"))
+                }
+              } catch { case t: Throwable => errs.add(t) }
+            })
+          }
+          appenders.foreach(_.start())
+          barrier.await()
+          val t0 = System.nanoTime()
+          if (rebase) {
+            val (_, _, rb) =
+              VersionedTable.mergePrunedRebase(spark, p, updates, "k")
+            stagings.incrementAndGet(); retries.set(rb.toLong)
+          } else {
+            var done = false
+            while (!done) {
+              stagings.incrementAndGet()
+              try {
+                VersionedTable.mergePruned(spark, p, updates, "k")
+                done = true
+              } catch {
+                case _: VersionedTable.CommitConflictException =>
+                  retries.incrementAndGet()
+              }
+            }
+          }
+          val sec = (System.nanoTime() - t0) / 1e9
+          appenders.foreach(_.join(120000))
+          require(errs.isEmpty, s"appender failures: $errs")
+          val got = VersionedTable.read(spark, p).get
+            .agg(count(lit(1)), sum(col("pay"))).head()
+          val wantN = baseN + appWriters * appEach
+          val wantSum = (0L until baseN).map(_ * 3).sum + 7L * 25000L +
+            appWriters * appEach
+          require(got.getLong(0) == wantN && got.getLong(1) == wantSum,
+            s"content mismatch: ${got.getLong(0)}/$wantN rows, " +
+              s"${got.getLong(1)}/$wantSum sum")
+          if (rebase) require(stagings.get() == 1,
+            "rebase arm must stage exactly once")
+          (sec, stagings.get(), retries.get())
+        }
+        val (nSec, nStage, nRetry) = run(rebase = false)
+        val (rSec, rStage, rRetry) = run(rebase = true)
+        System.err.println(
+          s"""[scalebench] {"merge_rebase":{""" +
+            f""""naive":{"sec":$nSec%.2f,"stagings":$nStage,"retries":$nRetry},""" +
+            f""""rebase":{"sec":$rSec%.2f,"stagings":$rStage,"rebases":$rRetry},""" +
+            f""""speedup":${nSec / rSec}%.2f}}""")
+      }
+
       // k-truss tiers (round-14 batch 10): each peel round is one
       // support pass of the x9_triangles kernel (orientation-bounded
       // adjacency intersection exploded to the triangle stream) — 4
