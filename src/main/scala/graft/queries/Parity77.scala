@@ -150,12 +150,66 @@ object Parity77 {
     rank
   }
 
+  private val MisRounds = 4
+
+  /** Deterministic per-round Luby priority: md5("round:node") with
+    * the zero-padded node id on the tail, so priorities are distinct
+    * and a strict max is well-defined (the x9_random_walk hash-min
+    * convention, flipped to max). */
+  private def misPr(r: Int, node: Column): Column =
+    concat(md5(concat_ws(":", lit(r.toString), node.cast("string"))),
+      lpad(node.cast("string"), 12, "0"))
+
+  /** Luby's maximal-independent-set rounds over a distinct (u<v)
+    * edge list: each round, every undecided node whose priority
+    * beats ALL its undecided neighbors' joins the MIS (two adjacent
+    * nodes can never both win — strict total order), its neighbors
+    * leave as `removed`, and the round repeats on the shrunken
+    * graph. Fixed round count (the kcore/ktruss unroll convention);
+    * returns (node, status ∈ mis|removed|undecided, round; -1 for
+    * undecided). Exposed for the spec's planted pins. */
+  private[graft] def luby(e0: DataFrame, rounds: Int): DataFrame = {
+    val e = graft.ops.Iter.truncate(e0, None)
+    var und = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node"))).distinct()
+    var decided: DataFrame = null
+    for (r <- 0 until rounds) {
+      und = graft.ops.Iter.truncate(und, None)
+      // adjacency restricted to the still-undecided subgraph
+      val adj = e.join(und.select(col("node").as("u")), Seq("u"))
+        .join(und.select(col("node").as("v")), Seq("v"))
+      val both = adj.select(col("u").as("node"), col("v").as("nb"))
+        .unionAll(adj.select(col("v").as("node"), col("u").as("nb")))
+      val nbrMax = both
+        .select(col("node"), misPr(r, col("nb")).as("npr"))
+        .groupBy(col("node")).agg(max(col("npr")).as("mx"))
+      val sel = und.join(nbrMax, Seq("node"), "left")
+        .filter(col("mx").isNull || misPr(r, col("node")) > col("mx"))
+        .select(col("node"))
+      val rem = both.join(sel.select(col("node").as("nb")), Seq("nb"))
+        .select(col("node")).distinct()
+      val round = sel.select(col("node"), lit("mis").as("status"),
+          lit(r).as("round"))
+        .unionAll(rem.select(col("node"), lit("removed").as("status"),
+          lit(r).as("round")))
+      decided =
+        if (decided == null) round else decided.unionAll(round)
+      und = und.join(sel.unionAll(rem), Seq("node"), "left_anti")
+    }
+    decided.unionAll(und.select(col("node"),
+      lit("undecided").as("status"), lit(-1).as("round")))
+  }
+
   val queries: Map[String, Q] = Map(
     "x9_ktruss" -> { (s, d) =>
       ktruss(Parity24.edges(s, d), TrussK, TrussRounds)
         .orderBy(col("u"), col("v"))
     },
-    "x9_ppr" -> (pprQ(_, _)))
+    "x9_ppr" -> (pprQ(_, _)),
+    "x9_mis" -> { (s, d) =>
+      luby(Parity24.edges(s, d), MisRounds)
+        .orderBy(col("node"))
+    })
 
   /** Support CTEs for edge set `e$i`: degrees → orientation →
     * apex-enumerated triangles (closure join on the ORIENTED b→c
@@ -196,7 +250,49 @@ object Parity77 {
        FROM sd n CROSS JOIN ns LEFT JOIN s$i ON s$i.node = n.node)"""
   }.mkString(",\n     ")
 
+  private def misPrSql(i: Int, e: String): String =
+    s"""md5(CAST($i AS VARCHAR) || ':' || CAST($e AS VARCHAR))
+        || lpad(CAST($e AS VARCHAR), 12, '0')"""
+
+  private def misRoundSql(i: Int): String =
+    s"""ad$i AS MATERIALIZED (
+         SELECT e.u AS node, e.v AS nb FROM e0 e
+           JOIN u$i a ON a.node = e.u JOIN u$i b ON b.node = e.v
+         UNION ALL
+         SELECT e.v, e.u FROM e0 e
+           JOIN u$i a ON a.node = e.u JOIN u$i b ON b.node = e.v),
+       m$i AS MATERIALIZED (
+         SELECT node, max(${misPrSql(i, "nb")}) AS mx
+         FROM ad$i GROUP BY node),
+       s$i AS MATERIALIZED (
+         SELECT u.node FROM u$i u LEFT JOIN m$i m ON m.node = u.node
+         WHERE m.mx IS NULL OR ${misPrSql(i, "u.node")} > m.mx),
+       r$i AS MATERIALIZED (
+         SELECT DISTINCT a.node FROM ad$i a JOIN s$i s ON s.node = a.nb),
+       u${i + 1} AS MATERIALIZED (
+         SELECT node FROM u$i
+         EXCEPT SELECT node FROM s$i
+         EXCEPT SELECT node FROM r$i)"""
+
   val oracles: Map[String, String] = Map(
+    "x9_mis" -> {
+      val rounds = (0 until MisRounds).map(misRoundSql).mkString(",\n")
+      val branches = (0 until MisRounds).map { i =>
+        s"""SELECT node, 'mis' AS status, $i AS round FROM s$i
+           UNION ALL SELECT node, 'removed', $i FROM r$i"""
+      }.mkString("\n UNION ALL ")
+      s"""WITH e0 AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         u0 AS MATERIALIZED (
+           SELECT u AS node FROM e0 UNION SELECT v FROM e0),
+         $rounds
+         SELECT node, status, round FROM (
+           $branches
+           UNION ALL SELECT node, 'undecided', -1 FROM u$MisRounds)
+         ORDER BY node"""
+    },
     "x9_ppr" ->
       s"""WITH eo AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

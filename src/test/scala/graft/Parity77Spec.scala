@@ -120,4 +120,37 @@ class Parity77Spec extends AnyFunSuite {
     assert(total > 990000000000L && total <= 1000000000000L,
       s"mass stays in the seed component, minus DIV truncation: $total")
   }
+
+  test("Luby MIS: independent (no edge inside the set), maximal " +
+      "(every outside node has a set neighbor), converged on planted " +
+      "graphs; a triangle yields exactly one member in round 0") {
+    def misOf(es: Seq[(Long, Long)]): Map[Long, (String, Int)] =
+      graft.queries.Parity77.luby(edges(es: _*), rounds = 4)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getInt(2))).toMap
+    def check(es: Seq[(Long, Long)]): Map[Long, (String, Int)] = {
+      val m = misOf(es)
+      val mis = m.collect { case (n, ("mis", _)) => n }.toSet
+      assert(!m.values.exists(_._1 == "undecided"),
+        s"planted graphs must converge inside the unroll: $m")
+      es.foreach { case (a, b) =>
+        assert(!(mis(a) && mis(b)),
+          s"edge ($a,$b) inside the independent set: $m")
+      }
+      val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).toSet }
+      m.collect { case (n, (st, _)) if st == "removed" => n }
+        .foreach { n =>
+          assert(adj(n).exists(mis),
+            s"removed node $n has no MIS neighbor (not maximal): $m")
+        }
+      m
+    }
+    val tri = check(Seq(1L -> 2L, 2L -> 3L, 1L -> 3L))
+    assert(tri.values.count(_._1 == "mis") == 1 &&
+      tri.values.forall(_._2 == 0),
+      s"a triangle decides entirely in round 0 with one winner: $tri")
+    check(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L))
+    check(Seq(0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L))
+  }
 }
