@@ -182,6 +182,41 @@ object Parity76 {
         .select(col("o_orderkey"), col("price"))
         .withColumn("head_version", lit(v4))
         .orderBy(col("o_orderkey"))
+    },
+
+    // ---- DELETION VECTORS: point delete without rewrite ------------
+    // GDPR-delete on a 100 TB table: deleting k rows costs k-row key
+    // sidecars on the stats-overlapping groups, not a rewrite of
+    // every touched multi-GB group. The range-confined delete pins
+    // exactly ONE vectored group (dv_groups); the later pruned upsert
+    // of a subset of the deleted keys rewrites that group from its
+    // MASKED rows — the upserted keys resurrect (+77), the rest stay
+    // deleted (DeletionVectorSpec pins the full protocol interplay).
+    "x1_delete_vectors" -> { (s, d) =>
+      val target = Scratch.dir("rst", "dv", d)
+      Scratch.clean(s, target)
+      var v = 0L
+      Bounds.foreach { case (lo, hi) =>
+        v = VersionedTable.commit(s, target,
+          baseRows(s, d)
+            .filter(col("o_orderkey") > lo && col("o_orderkey") <= hi), v,
+          statsCol = Some("o_orderkey"))
+      }
+      val (_, dvGroups) = VersionedTable.deleteKeys(s, target,
+        orders(s, d)
+          .filter(col("o_orderkey") % 250 === 0 && col("o_orderkey") <= 4000)
+          .select(col("o_orderkey")), "o_orderkey")
+      val (_, rewrites) = VersionedTable.mergePruned(s, target,
+        orders(s, d)
+          .filter(col("o_orderkey") % 500 === 0 && col("o_orderkey") <= 4000)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + 77).cast("decimal(15,2)")
+              .as("o_totalprice")), "o_orderkey")
+      VersionedTable.read(s, target).get
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("dv_groups", lit(dvGroups.toLong))
+        .withColumn("rewrites", lit(rewrites.toLong))
+        .orderBy(col("o_orderkey"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -236,6 +271,18 @@ object Parity76 {
            UNION ALL
            SELECT o_orderkey, o_totalprice FROM orders
            WHERE o_orderkey % 50 = 25 AND o_orderkey <= 4000)
+         ORDER BY o_orderkey""",
+    "x1_delete_vectors" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey % 500 = 0 AND o_orderkey <= 4000
+                     THEN CAST(o_totalprice + 77 AS DECIMAL(15,2))
+                     ELSE o_totalprice END AS o_totalprice,
+                CAST(1 AS BIGINT) AS dv_groups,
+                CAST(1 AS BIGINT) AS rewrites
+         FROM orders
+         WHERE o_orderkey % 50 = 0
+           AND NOT (o_orderkey % 250 = 0 AND o_orderkey <= 4000
+                    AND o_orderkey % 500 <> 0)
          ORDER BY o_orderkey"""
   )
 }

@@ -91,9 +91,12 @@ object VersionedTable {
     if (name.startsWith("/") || name.contains("://")) name
     else s"$path/data/$name"
 
-  /** A live file group: name + optional [min,max] stats of the
-    * table's clustering/merge key. */
-  final case class Group(name: String, lo: Option[Long], hi: Option[Long])
+  /** A live file group: name + optional [min,max] key stats +
+    * optional DELETION VECTOR — a small parquet of this group's
+    * deleted keys ([[deleteKeys]]); reads anti-join it, rewrites of
+    * the group drop it. */
+  final case class Group(name: String, lo: Option[Long], hi: Option[Long],
+      dv: Option[String] = None)
 
   private case class Entry(version: Long, groups: Seq[Group],
       replace: Boolean)
@@ -149,7 +152,9 @@ object VersionedTable {
       .mkString("[", ",", "]")
     val hi = gs.map(_.hi.map(_.toString).getOrElse("null"))
       .mkString("[", ",", "]")
-    s""""groups":$names,"lo":$lo,"hi":$hi"""
+    val dvs = gs.map(_.dv.map(d => s""""$d"""").getOrElse("null"))
+      .mkString("[", ",", "]")
+    s""""groups":$names,"lo":$lo,"hi":$hi,"dvs":$dvs"""
   }
 
   private def arrayBody(raw: String, key: String): Seq[String] = {
@@ -164,8 +169,14 @@ object VersionedTable {
       .map(s => if (s == "null") None else Some(s.toLong))
     val hi = arrayBody(raw, "hi")
       .map(s => if (s == "null") None else Some(s.toLong))
+    // older entries predate the "dvs" field: all-None then
+    val dvs: Seq[Option[String]] =
+      if (!raw.contains("\"dvs\":[")) Seq.empty
+      else arrayBody(raw, "dvs").map(s =>
+        if (s == "null") None
+        else Some(s.stripPrefix("\"").stripSuffix("\"")))
     names.indices.map(i => Group(names(i),
-      lo.lift(i).flatten, hi.lift(i).flatten))
+      lo.lift(i).flatten, hi.lift(i).flatten, dvs.lift(i).flatten))
   }
 
   private def jsonField(raw: String, k: String): String =
@@ -474,8 +485,21 @@ object VersionedTable {
     * are live there). */
   private def readGroups(spark: SparkSession, path: String,
       gs: Seq[Group], schema: SchemaState): Option[DataFrame] =
-    gs.map(g => schema(spark.read.parquet(groupPath(path, g.name))))
-      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+    gs.map { g =>
+      val base = schema(spark.read.parquet(groupPath(path, g.name)))
+      g.dv match {
+        case Some(d) =>
+          // the DV is a key list scoped to THIS group; broadcast
+          // anti-join (key lists are deleted-row-count-sized). The
+          // mapping applies to the DV too, so key-column renames
+          // track automatically.
+          val dvf = schema(spark.read.parquet(groupPath(path, d)))
+          val c = dvf.columns.head
+          base.join(broadcast(dvf.select(col(c)).distinct()),
+            Seq(c), "left_anti")
+        case None => base
+      }
+    }.reduceOption(_.unionByName(_, allowMissingColumns = true))
 
   /** Read the table as of `asOfVersion` (None = latest), with the
     * column mapping in effect AT that version applied (time travel
@@ -728,6 +752,71 @@ object VersionedTable {
       staged = keep.map(_.name)), touched.size)
   }
 
+  /** Point DELETE via per-group DELETION VECTORS (the Delta DV
+    * idea): instead of rewriting every group whose stats overlap the
+    * deleted keys, each such group gets a small sidecar parquet of
+    * ITS deleted keys (intersected with the group's actual rows, so
+    * the vector stays deleted-row-count-sized, merged with any prior
+    * vector) and the commit is a replace entry updating the DV
+    * references — data files untouched. Reads broadcast-anti-join
+    * each group against its own vector; a later rewrite of the group
+    * (pruned MERGE, OPTIMIZE) reads masked and drops the vector, so
+    * an upsert after a delete resurrects the key. At 100 TB this is
+    * the GDPR-delete shape: the cost of deleting k rows is O(groups
+    * whose stats overlap) scans + k-row sidecars, not a rewrite of
+    * every touched multi-GB group. Stats stay on the group
+    * (conservative — a DV only removes rows). Null keys are never
+    * deleted (the [[deleteRange]] rule). One optimistic attempt at
+    * the current version; lost races surface as
+    * [[CommitConflictException]] with the staged vectors cleaned.
+    * Returns (version after the call, groups that gained a vector).
+    * When the stats prove no group overlaps, metadata-only no-op. */
+  def deleteKeys(spark: SparkSession, path: String, keys: DataFrame,
+      keyCol: String): (Long, Int) = {
+    val v = currentVersion(spark, path)
+    val live = liveGroups(spark, path, Some(v))
+    require(live.nonEmpty, "deleteKeys on an empty table")
+    val st = schemaStateAt(spark, path, Some(v))
+    val k = keys.select(col(keyCol)).filter(col(keyCol).isNotNull)
+      .distinct()
+    val r = k.agg(min(col(keyCol).cast("long")),
+      max(col(keyCol).cast("long"))).head()
+    if (r.isNullAt(0)) return (v, 0)
+    val (kLo, kHi) = (r.getLong(0), r.getLong(1))
+    var staged = List.empty[String]
+    val updated = live.map { g =>
+      val overlaps = (g.lo, g.hi) match {
+        case (Some(lo), Some(hi)) => lo <= kHi && kLo <= hi
+        case _ => true // no stats -> conservative check
+      }
+      if (!overlaps) g
+      else {
+        // this group's share of the delete: keys its (mapped, already
+        // DV-masked) rows actually contain — checking through
+        // readGroups keeps a re-delete of an already-deleted key a
+        // no-op instead of a duplicate vector entry
+        val hit = readGroups(spark, path, Seq(g), st).get
+          .select(col(keyCol)).join(k, Seq(keyCol), "left_semi")
+        if (hit.limit(1).isEmpty) g
+        else {
+          val all = g.dv match {
+            case Some(d) =>
+              hit.unionByName(st(spark.read.parquet(groupPath(path, d)))
+                .select(col(keyCol))).distinct()
+            case None => hit
+          }
+          val name = java.util.UUID.randomUUID().toString
+          all.write.mode("overwrite").parquet(s"$path/data/$name")
+          staged ::= name
+          g.copy(dv = Some(name))
+        }
+      }
+    }
+    if (staged.isEmpty) return (v, 0)
+    (commitEntry(spark, path, updated, v, replace = true,
+      staged = staged), staged.size)
+  }
+
   /** CHANGE DATA FEED between two versions: the row-level
     * insert / delete / update_preimage / update_postimage changelog a
     * reader needs to incrementally maintain a downstream copy (the
@@ -761,9 +850,14 @@ object VersionedTable {
     // fire — the reader's problem, as with s16/s17 evolution
     val fromSt = schemaStateAt(spark, path, Some(fromVersion))
     val toSt = schemaStateAt(spark, path, Some(toVersion))
+    // a group is "shared" only when BOTH its data files AND its
+    // deletion vector are identical across the versions — a new DV on
+    // an unchanged group changes its visible rows, so it must be read
     val shared =
-      if (skipShared) fromG.map(_.name).toSet intersect toG.map(_.name).toSet
-      else Set.empty[String]
+      if (skipShared)
+        fromG.map(g => (g.name, g.dv)).toSet intersect
+          toG.map(g => (g.name, g.dv)).toSet
+      else Set.empty[(String, Option[String])]
     // payload schema RECONCILED across every group whose data this
     // feed reads (footer-only schema reads): on a mixed-schema table
     // — a supported state since readGroups reconciles generations —
@@ -773,7 +867,7 @@ object VersionedTable {
     // (e.g. self-diff) touches a shared group at all, and then just
     // one footer for the schema of the (empty) result.
     val probeGroups = {
-      val nonShared = (toG ++ fromG).filterNot(g => shared(g.name))
+      val nonShared = (toG ++ fromG).filterNot(g => shared((g.name, g.dv)))
       if (nonShared.nonEmpty) nonShared else Seq((toG ++ fromG).head)
     }
     val toNames = toG.map(_.name).toSet
@@ -799,7 +893,7 @@ object VersionedTable {
     val others = payload.fields.filterNot(_.name == keyCol).toSeq
     def side(gs: Seq[Group], tag: String, st: SchemaState): DataFrame = {
       val base = readGroups(spark, path,
-          gs.filterNot(g => shared(g.name)), st)
+          gs.filterNot(g => shared((g.name, g.dv))), st)
         .getOrElse(spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payload))
       // columns this side's generations predate read as typed NULLs,
@@ -857,7 +951,8 @@ object VersionedTable {
       else f.listStatus(d).map(_.getPath).toSeq
         .filter(p => p.getName.endsWith(".json") &&
           (p.getName.startsWith("v") || p.getName.startsWith("chk-v")))
-        .flatMap(p => parseGroups(readJson(f, p)).map(_.name))
+        .flatMap(p => parseGroups(readJson(f, p))
+          .flatMap(g => g.name +: g.dv.toSeq))
         .toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     f.listStatus(dataDir).toSeq
@@ -1067,7 +1162,8 @@ object VersionedTable {
     require(live.nonEmpty,
       s"clone source $src has no live data" +
         asOfVersion.fold("")(v => s" at v$v"))
-    val refs = live.map(g => g.copy(name = groupPath(src, g.name)))
+    val refs = live.map(g => g.copy(name = groupPath(src, g.name),
+      dv = g.dv.map(groupPath(src, _))))
     commitEntry(spark, dst, refs, 0L, replace = true, staged = Seq.empty,
       schema = Some(schemaStateAt(spark, src, asOfVersion)))
   }
