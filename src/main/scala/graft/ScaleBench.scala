@@ -1681,6 +1681,69 @@ object ScaleBench {
             f""""r10":${t10._1 / t1._1}%.2f}}""")
       }
 
+      // Deletion-vector law (round-14 batch 12): deleting k rows from
+      // a table of growing group size — the DV arm writes k-row key
+      // sidecars on the overlapping groups; the rewrite arm
+      // (deleteRange-style copy-on-write) rewrites the groups' full
+      // data. The DV cost should stay ~flat as groups grow 100×
+      // (bounded by the overlap SCAN, not the write), the rewrite
+      // cost linear; reads after either arm agree (require-pinned).
+      if (blockOn("dv_arms")) locally {
+        import graft.sources.VersionedTable
+        def clean(p: String): Unit = {
+          val fsp = new org.apache.hadoop.fs.Path(p)
+          val fsx = fsp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fsx.exists(fsp)) fsx.delete(fsp, true)
+        }
+        def timed[A](f: => A): (A, Double) = {
+          val t0 = System.nanoTime(); val a = f
+          (a, (System.nanoTime() - t0) / 1e9)
+        }
+        // WIDE rows: the rewrite arm pays the payload bytes, the DV
+        // arm's scan projects only the key column (columnar) and its
+        // write is a 1000-key sidecar
+        def build(p: String, rows: Long): Unit = {
+          clean(p)
+          var v = 0L
+          val slice = rows / 4
+          (0L until 4L).foreach { i =>
+            v = VersionedTable.commit(spark, p,
+              spark.range(i * slice, (i + 1) * slice)
+                .select(col("id").as("k"), (col("id") * 3).as("pay"),
+                  expr("repeat(uuid(), 12)").as("blob")),
+              v, statsCol = Some("k"))
+          }
+        }
+        // delete the same 1000 keys (range-confined to group 0) at
+        // every tier so only the GROUP SIZE varies
+        val delKeys = spark.range(0L, 1000L).select(col("id").as("k"))
+        val out = Seq(1L, 10L, 100L).map { c =>
+          val rows = 100000L * c
+          val pDv = s"target/dvarm_dv_$c"
+          val pRw = s"target/dvarm_rw_$c"
+          build(pDv, rows); build(pRw, rows)
+          val ((_, nDv), dvSec) =
+            timed(VersionedTable.deleteKeys(spark, pDv, delKeys, "k"))
+          val ((_, nRw), rwSec) =
+            timed(VersionedTable.deleteRange(spark, pRw, "k", 0L, 999L))
+          require(nDv == 1 && nRw == 1,
+            s"both arms must touch exactly group 0: $nDv / $nRw")
+          val a = VersionedTable.read(spark, pDv).get
+            .agg(count(lit(1)), sum(col("pay"))).head()
+          val b = VersionedTable.read(spark, pRw).get
+            .agg(count(lit(1)), sum(col("pay"))).head()
+          require(a.getLong(0) == rows - 1000 &&
+            a.getLong(0) == b.getLong(0) &&
+            a.getLong(1) == b.getLong(1),
+            s"arms must agree: ${a.getLong(0)}/${b.getLong(0)} rows")
+          (c, rows, dvSec, rwSec)
+        }
+        val js = out.map { case (c, rows, dv, rw) =>
+          f""""x$c":{"rows":$rows,"dv_sec":$dv%.3f,"rewrite_sec":$rw%.3f}"""
+        }.mkString(",")
+        System.err.println(s"""[scalebench] {"dv_arms":{$js}}""")
+      }
+
       // Restore/clone law (round-14 batch 9): both verbs are
       // metadata-only — cost is one log resolution + one entry CAS,
       // independent of table SIZE (the structural requires pin the

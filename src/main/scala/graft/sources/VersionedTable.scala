@@ -797,18 +797,28 @@ object VersionedTable {
         // no-op instead of a duplicate vector entry
         val hit = readGroups(spark, path, Seq(g), st).get
           .select(col(keyCol)).join(k, Seq(keyCol), "left_semi")
-        if (hit.limit(1).isEmpty) g
-        else {
-          val all = g.dv match {
-            case Some(d) =>
-              hit.unionByName(st(spark.read.parquet(groupPath(path, d)))
+        // write-then-probe (the dropIfEmpty discipline): computing
+        // the hit set once and checking the WRITTEN sidecar costs a
+        // footer read, not a second key scan of the group
+        val name = java.util.UUID.randomUUID().toString
+        hit.write.mode("overwrite").parquet(s"$path/data/$name")
+        if (spark.read.parquet(s"$path/data/$name").limit(1).isEmpty) {
+          fs(spark, path).delete(new Path(s"$path/data/$name"), true)
+          g
+        } else g.dv match {
+          case Some(d) =>
+            // merge with the prior vector into a fresh sidecar
+            val merged = java.util.UUID.randomUUID().toString
+            spark.read.parquet(s"$path/data/$name")
+              .unionByName(st(spark.read.parquet(groupPath(path, d)))
                 .select(col(keyCol))).distinct()
-            case None => hit
-          }
-          val name = java.util.UUID.randomUUID().toString
-          all.write.mode("overwrite").parquet(s"$path/data/$name")
-          staged ::= name
-          g.copy(dv = Some(name))
+              .write.mode("overwrite").parquet(s"$path/data/$merged")
+            fs(spark, path).delete(new Path(s"$path/data/$name"), true)
+            staged ::= merged
+            g.copy(dv = Some(merged))
+          case None =>
+            staged ::= name
+            g.copy(dv = Some(name))
         }
       }
     }
