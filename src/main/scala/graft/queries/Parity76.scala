@@ -217,6 +217,49 @@ object Parity76 {
         .withColumn("dv_groups", lit(dvGroups.toLong))
         .withColumn("rewrites", lit(rewrites.toLong))
         .orderBy(col("o_orderkey"))
+    },
+
+    // ---- CHECK constraints: write-time row gate ---------------------
+    // ALTER TABLE ADD CONSTRAINT as a metadata commit riding the
+    // schema state: the valid append lands, the violating batch
+    // (negated prices) is REFUSED naming the constraint — pinned as
+    // refused=1 — and the refused batch leaves no version behind
+    // (head_version = 3). VersionedTableSchemaSpec pins the full
+    // contract (existing-data validation, merge gating, unresolvable
+    // batches, internal-rewrite skip, dropCheck).
+    "x1_check_constraint" -> { (s, d) =>
+      val target = Scratch.dir("rst", "check", d)
+      Scratch.clean(s, target)
+      VersionedTable.commit(s, target, baseRows(s, d), 0L,
+        statsCol = Some("o_orderkey"))
+      VersionedTable.addCheck(s, target, "price_pos",
+        "o_totalprice >= 0")
+      val v3 = VersionedTable.commit(s, target,
+        orders(s, d)
+          .filter(col("o_orderkey") % 50 === 25 && col("o_orderkey") <= 4000)
+          .select(col("o_orderkey"), col("o_totalprice")), 2L,
+        statsCol = Some("o_orderkey"))
+      val refused =
+        try {
+          VersionedTable.commit(s, target,
+            orders(s, d)
+              .filter(col("o_orderkey") % 50 === 25 &&
+                col("o_orderkey") > 4000 && col("o_orderkey") <= 8000)
+              .select(col("o_orderkey"),
+                (-col("o_totalprice")).cast("decimal(15,2)")
+                  .as("o_totalprice")), v3,
+            statsCol = Some("o_orderkey"))
+          0L
+        } catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("price_pos") => 1L
+        }
+      VersionedTable.read(s, target).get
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("head_version",
+          lit(VersionedTable.currentVersion(s, target)))
+        .withColumn("refused", lit(refused))
+        .orderBy(col("o_orderkey"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -283,6 +326,14 @@ object Parity76 {
          WHERE o_orderkey % 50 = 0
            AND NOT (o_orderkey % 250 = 0 AND o_orderkey <= 4000
                     AND o_orderkey % 500 <> 0)
+         ORDER BY o_orderkey""",
+    "x1_check_constraint" ->
+      """SELECT o_orderkey, o_totalprice,
+                CAST(3 AS BIGINT) AS head_version,
+                CAST(1 AS BIGINT) AS refused
+         FROM orders
+         WHERE o_orderkey % 50 = 0
+            OR (o_orderkey % 50 = 25 AND o_orderkey <= 4000)
          ORDER BY o_orderkey"""
   )
 }

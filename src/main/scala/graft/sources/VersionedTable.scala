@@ -110,8 +110,10 @@ object VersionedTable {
     * Snapshot semantics: the latest log entry (or checkpoint) that
     * carries schema fields holds the FULL current state. */
   final case class SchemaState(renames: Seq[(String, String)],
-      drops: Seq[String]) {
-    def isEmpty: Boolean = renames.isEmpty && drops.isEmpty
+      drops: Seq[String],
+      checks: Seq[(String, String)] = Seq.empty) {
+    def isEmpty: Boolean =
+      renames.isEmpty && drops.isEmpty && checks.isEmpty
     /** Map a single group's physical frame to logical columns. */
     def apply(df: DataFrame): DataFrame = {
       val renamed = renames.foldLeft(df) { case (d, (phys, logical)) =>
@@ -132,7 +134,9 @@ object VersionedTable {
     val ren = st.renames.map { case (p, l) => s""""$p>$l"""" }
       .mkString("[", ",", "]")
     val drop = st.drops.map(d => s""""$d"""").mkString("[", ",", "]")
-    s""""ren":$ren,"drop":$drop"""
+    val chk = st.checks.map { case (n, e) => s""""$n>$e"""" }
+      .mkString("[", ",", "]")
+    s""""ren":$ren,"drop":$drop,"chk":$chk"""
   }
 
   private def parseSchema(raw: String): Option[SchemaState] =
@@ -144,7 +148,14 @@ object VersionedTable {
           (s.substring(0, i), s.substring(i + 1))
         },
       arrayBody(raw, "drop")
-        .map(_.stripPrefix("\"").stripSuffix("\""))))
+        .map(_.stripPrefix("\"").stripSuffix("\"")),
+      if (!raw.contains("\"chk\":[")) Seq.empty
+      else arrayBody(raw, "chk")
+        .map(_.stripPrefix("\"").stripSuffix("\""))
+        .map { s =>
+          val i = s.indexOf('>')
+          (s.substring(0, i), s.substring(i + 1))
+        }))
 
   private def groupsJson(gs: Seq[Group]): String = {
     val names = gs.map(g => s""""${g.name}"""").mkString("[", ",", "]")
@@ -295,6 +306,67 @@ object VersionedTable {
         "silently corrupt every read)")
   }
 
+  /** Write-side CHECK-constraint gate: every active check must hold
+    * on the incoming batch (internal rewrites preserve constraints by
+    * induction and skip this). A batch that cannot even RESOLVE a
+    * check's expression (it lacks the column) is refused too — that
+    * batch would write NULLs into a constrained column. */
+  private def requireChecks(spark: SparkSession, path: String,
+      df: DataFrame): Unit = {
+    val st = schemaStateAt(spark, path, None)
+    st.checks.foreach { case (nm, ex) =>
+      val bad = scala.util.Try(df.filter(s"NOT ($ex)").limit(1).collect())
+      require(bad.isSuccess,
+        s"check constraint '$nm' ($ex) cannot be evaluated on this " +
+          s"batch (${bad.failed.get.getMessage.linesIterator.next()})")
+      require(bad.get.isEmpty,
+        s"check constraint '$nm' ($ex) violated by this batch, " +
+          s"e.g. ${bad.get.head}")
+    }
+  }
+
+  /** Add a named CHECK constraint (the Delta `ALTER TABLE ADD
+    * CONSTRAINT` verb): a metadata-only commit riding the schema
+    * state; every subsequent write batch must satisfy the expression
+    * or is refused with the constraint named. Existing data is
+    * validated FIRST — a constraint the table already violates is
+    * refused (Delta's rule). The tiny log format bounds the
+    * expression grammar: no commas, double quotes, or ']' (so no
+    * IN-lists); names additionally forbid '>'. */
+  def addCheck(spark: SparkSession, path: String, name: String,
+      exprSql: String): Long = {
+    require(name.nonEmpty && !name.exists(c => ">,\"]".contains(c)),
+      s"constraint name must be free of > , \" ]: $name")
+    require(!exprSql.exists(c => ",\"]".contains(c)),
+      s"constraint expression must be free of , \" ] " +
+        s"(log-format limit): $exprSql")
+    val v = currentVersion(spark, path)
+    require(v >= 1, "addCheck on an empty table")
+    val st = schemaStateAt(spark, path, Some(v))
+    require(!st.checks.exists(_._1 == name),
+      s"constraint '$name' already exists")
+    read(spark, path, Some(v)).foreach { df =>
+      require(df.filter(s"NOT ($exprSql)").limit(1).isEmpty,
+        s"existing rows violate '$name' ($exprSql) — clean the " +
+          "table first (a constraint the table already breaks would " +
+          "lie to every reader)")
+    }
+    commitEntry(spark, path, liveGroups(spark, path, Some(v)), v,
+      replace = true, staged = Seq.empty,
+      schema = Some(st.copy(checks = st.checks :+ (name -> exprSql))))
+  }
+
+  /** Drop a CHECK constraint by name — metadata-only. */
+  def dropCheck(spark: SparkSession, path: String, name: String): Long = {
+    val v = currentVersion(spark, path)
+    val st = schemaStateAt(spark, path, Some(v))
+    require(st.checks.exists(_._1 == name),
+      s"no such constraint: $name")
+    commitEntry(spark, path, liveGroups(spark, path, Some(v)), v,
+      replace = true, staged = Seq.empty,
+      schema = Some(st.copy(checks = st.checks.filterNot(_._1 == name))))
+  }
+
   /** Drop a just-staged group that turned out EMPTY (stats==None is
     * zero rows OR all-null keys; the one-row probe disambiguates) —
     * shared by the rewrite paths so the subtle distinction lives in
@@ -330,15 +402,20 @@ object VersionedTable {
     * same version first (the staged data group is cleaned up); any
     * OTHER IO failure propagates unchanged and leaves the staged
     * group as an orphan for [[vacuum]]. Returns the committed
-    * version. */
+    * version. `validate = false` skips the CHECK-constraint gate —
+    * ONLY for internal rewrites of already-validated rows
+    * ([[merge]], [[optimize]]), where constraints hold by induction
+    * and re-probing would cost a full scan. */
   def commit(spark: SparkSession, path: String, df: DataFrame,
       expectedVersion: Long, replace: Boolean = false,
       statsCol: Option[String] = None,
       batchId: Option[Long] = None,
       allowEvolution: Boolean = false,
       arbiterFor: org.apache.hadoop.fs.FileSystem => CommitArbiter =
-        CommitArbiter.forFs): Long = {
+        CommitArbiter.forFs,
+      validate: Boolean = true): Long = {
     requireKnownColumns(spark, path, df, allowEvolution)
+    if (validate) requireChecks(spark, path, df)
     val g = stageGroup(spark, path, df, statsCol)
     // append entries carry only the new group; a replace entry with
     // one group IS the whole new live set. `arbiterFor` is an
@@ -373,6 +450,7 @@ object VersionedTable {
         CommitArbiter.forFs): (Long, Int) = {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
     requireKnownColumns(spark, path, df, allowEvolution = false)
+    requireChecks(spark, path, df)
     val g = stageGroup(spark, path, df, statsCol)
     var conflicts = 0
     while (true) {
@@ -521,6 +599,7 @@ object VersionedTable {
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       keyCol: String, allowEvolution: Boolean = false): Long = {
     requireKnownColumns(spark, path, updates, allowEvolution)
+    requireChecks(spark, path, updates)
     val v = currentVersion(spark, path)
     val merged = read(spark, path, Some(v)) match {
       case Some(cur) =>
@@ -528,8 +607,11 @@ object VersionedTable {
           "left_anti").unionByName(updates, allowMissingColumns = true)
       case None => updates
     }
+    // validate = false: the updates were just gated above, carried
+    // rows hold by induction — re-probing would scan the snapshot
     commit(spark, path, merged, v, replace = true,
-      statsCol = Some(keyCol), allowEvolution = allowEvolution)
+      statsCol = Some(keyCol), allowEvolution = allowEvolution,
+      validate = false)
   }
 
   /** MERGE (upsert by key), stats-pruned copy-on-write form: only
@@ -544,6 +626,7 @@ object VersionedTable {
   def mergePruned(spark: SparkSession, path: String, updates: DataFrame,
       keyCol: String, allowEvolution: Boolean = false): (Long, Int) = {
     requireKnownColumns(spark, path, updates, allowEvolution)
+    requireChecks(spark, path, updates)
     val v = currentVersion(spark, path)
     val live = liveGroups(spark, path, Some(v))
     if (live.isEmpty)
@@ -622,6 +705,7 @@ object VersionedTable {
       maxRebases: Int = 16,
       fromVersion: Option[Long] = None): (Long, Int, Int) = {
     requireKnownColumns(spark, path, updates, allowEvolution = false)
+    requireChecks(spark, path, updates)
     val v0 = fromVersion.getOrElse(currentVersion(spark, path))
     val live = liveGroups(spark, path, Some(v0))
     val r = updates.agg(min(col(keyCol).cast("long")),
@@ -1049,7 +1133,7 @@ object VersionedTable {
     val snapshot = readGroups(spark, path, live,
       schemaStateAt(spark, path, Some(v))).get
     val committed = commit(spark, path, snapshot.repartition(nFiles), v,
-      replace = true, statsCol = statsCol)
+      replace = true, statsCol = statsCol, validate = false)
     (committed, nFiles.toLong)
   }
 

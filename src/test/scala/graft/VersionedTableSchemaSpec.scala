@@ -126,6 +126,51 @@ class VersionedTableSchemaSpec extends AnyFunSuite {
       Seq("k", "v"), "restore returns to the target era's names")
   }
 
+  test("CHECK constraints: adding validates existing data, writes " +
+      "that violate are refused NAMING the constraint, dropCheck " +
+      "re-opens, internal rewrites skip the re-probe") {
+    val p = tmp()
+    import spark.implicits._
+    val v1 = VersionedTable.commit(spark, p,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "pay"), 0L,
+      statsCol = Some("k"))
+    val before = dataGroupCount(p)
+    VersionedTable.addCheck(spark, p, "pay_pos", "pay >= 0")
+    assert(dataGroupCount(p) == before, "addCheck is metadata-only")
+    // a violated constraint cannot be added
+    val err0 = intercept[IllegalArgumentException] {
+      VersionedTable.addCheck(spark, p, "pay_big", "pay >= 100")
+    }
+    assert(err0.getMessage.contains("existing rows violate"))
+    // valid write passes; violating write refused with the name
+    val v3 = VersionedTable.commit(spark, p,
+      Seq((3L, 30L)).toDF("k", "pay"),
+      VersionedTable.currentVersion(spark, p), statsCol = Some("k"))
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.commit(spark, p, Seq((4L, -5L)).toDF("k", "pay"),
+        v3, statsCol = Some("k"))
+    }
+    assert(err.getMessage.contains("pay_pos"), err.getMessage)
+    // merge updates are gated too
+    intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, p, Seq((2L, -1L)).toDF("k", "pay"), "k")
+    }
+    // a batch that cannot even resolve the constrained column refuses
+    intercept[IllegalArgumentException] {
+      VersionedTable.commit(spark, p, Seq(Tuple1(9L)).toDF("k"),
+        VersionedTable.currentVersion(spark, p))
+    }
+    // OPTIMIZE (internal rewrite) passes without re-probing
+    VersionedTable.optimize(spark, p, statsCol = Some("k"))
+    assert(VersionedTable.read(spark, p).get.count() == 3)
+    // drop re-opens the gate
+    VersionedTable.dropCheck(spark, p, "pay_pos")
+    VersionedTable.commit(spark, p, Seq((4L, -5L)).toDF("k", "pay"),
+      VersionedTable.currentVersion(spark, p), statsCol = Some("k"))
+    assert(VersionedTable.read(spark, p).get.count() == 4)
+    assert(VersionedTable.read(spark, p, Some(v1)).isDefined)
+  }
+
   test("changeFeed between two post-rename versions diffs under the " +
       "logical names") {
     val p = tmp()
