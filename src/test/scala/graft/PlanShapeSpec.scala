@@ -447,6 +447,22 @@ class PlanShapeSpec extends AnyFunSuite {
         "offset gather:\n" + p)
   }
 
+  test("x2_sorted_blocking: the window-pair stage is a hash EQUI-join " +
+      "on the rank bucket, never a rank theta-join") {
+    // the rank stage itself runs inside the lineage truncation (its
+    // partition-local window shape is the x1_surrogate_keys pin);
+    // this plan covers the pair stage downstream of it
+    val p = planOf("x2_sorted_blocking")
+    assert(p.matches("(?s).*(BroadcastHashJoin|SortMergeJoin|" +
+      "ShuffledHashJoin).*bkt.*"),
+      "window pairs must equi-join on the bucket key:\n" + p)
+    // a rank-inequality formulation would surface as a cartesian
+    // with a range condition (the only nested-loop allowed is the
+    // 1-row n_candidates broadcast)
+    assert(!p.contains("CartesianProduct"),
+      "window pairs fell to a cartesian:\n" + p)
+  }
+
   test("Exchange arms (pagerank/LPA/HITS rounds): the broadcast arm " +
       "never shuffles, the message arm shuffle-hash-joins with only " +
       "the VECTOR moving (pre-partitioned edges reused)") {
