@@ -175,18 +175,29 @@ object Parity77 {
     var decided: DataFrame = null
     for (r <- 0 until rounds) {
       und = graft.ops.Iter.truncate(und, None)
-      // adjacency restricted to the still-undecided subgraph
-      val adj = e.join(und.select(col("node").as("u")), Seq("u"))
-        .join(und.select(col("node").as("v")), Seq("v"))
+      // adjacency restricted to the still-undecided subgraph; the
+      // undecided set is node-count-sized and SHRINKS every round,
+      // but its checkpointed scan carries no stats — without the
+      // broadcast hint both semi-joins fall to SMJ and re-sort the
+      // edge relation per round (the x9_kcore alive-set lesson,
+      // SCALE.md kcore_arms)
+      val adj = e.join(broadcast(und.select(col("node").as("u"))), Seq("u"))
+        .join(broadcast(und.select(col("node").as("v"))), Seq("v"))
       val both = adj.select(col("u").as("node"), col("v").as("nb"))
         .unionAll(adj.select(col("v").as("node"), col("u").as("nb")))
       val nbrMax = both
         .select(col("node"), misPr(r, col("nb")).as("npr"))
         .groupBy(col("node")).agg(max(col("npr")).as("mx"))
+      // NOT truncated: sel/rem have multiple consumers (next round's
+      // anti-join, the decided union, rem's probe), but they are
+      // lazy branches over the checkpointed und/e inputs — measured
+      // at sf0.1, re-execution (10.4 s) beats checkpointing the
+      // rem-sized sets per round (14.1 s)
       val sel = und.join(nbrMax, Seq("node"), "left")
         .filter(col("mx").isNull || misPr(r, col("node")) > col("mx"))
         .select(col("node"))
-      val rem = both.join(sel.select(col("node").as("nb")), Seq("nb"))
+      val rem = both.join(broadcast(sel.select(col("node").as("nb"))),
+          Seq("nb"))
         .select(col("node")).distinct()
       val round = sel.select(col("node"), lit("mis").as("status"),
           lit(r).as("round"))
