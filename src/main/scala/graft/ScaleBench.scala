@@ -1744,6 +1744,56 @@ object ScaleBench {
         System.err.println(s"""[scalebench] {"dv_arms":{$js}}""")
       }
 
+      // MIS + personalized-PageRank tiers (round-14 batch 13):
+      // replicas are disjoint, so Luby's decisions and the PPR mass
+      // flow stay replica-local — MIS membership and the seeded node
+      // count must track the tier linearly; per-round work is
+      // edge-linear (no triangle/wedge stream anywhere), so the
+      // seconds should track the edge relation.
+      if (blockOn("mis_ppr_tiers")) locally {
+        def run(name: String, dir: String, agg: DataFrame => (Long, Long))
+            : (Double, Long, Long) = {
+          val t0 = System.nanoTime()
+          val (a, b) = agg(SparkEntry.queries(name)(spark, dir))
+          ((System.nanoTime() - t0) / 1e9, a, b)
+        }
+        def best2(name: String, dir: String,
+            agg: DataFrame => (Long, Long)): (Double, Long, Long) = {
+          val x = run(name, dir, agg); val y = run(name, dir, agg)
+          if (x._1 <= y._1) x else y
+        }
+        val misAgg = (df: DataFrame) => {
+          val r = df.agg(
+            sum(when(col("status") === "mis", 1L).otherwise(0L)),
+            count(lit(1))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val pprAgg = (df: DataFrame) => {
+          val r = df.agg(sum(col("seed").cast("long")),
+            sum(when(col("rank_pico") > 0, 1L).otherwise(0L))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val m1 = best2("x9_mis", "target/sf01rw", misAgg)
+        val m10 = best2("x9_mis", "target/sf1", misAgg)
+        require(m10._2 >= 8 * m1._2 && m10._3 >= 8 * m1._3,
+          s"disjoint replicas: MIS size must track the tier: " +
+            s"${m1._2}/${m1._3} -> ${m10._2}/${m10._3}")
+        val p1 = best2("x9_ppr", "target/sf01rw", pprAgg)
+        val p10 = best2("x9_ppr", "target/sf1", pprAgg)
+        require(p10._2 >= 8 * p1._2,
+          s"seed count must track the tier: ${p1._2} -> ${p10._2}")
+        def js(t: (Double, Long, Long), k1: String, k2: String): String =
+          f"""{"sec":${t._1}%.2f,"$k1":${t._2},"$k2":${t._3}}"""
+        System.err.println(
+          s"""[scalebench] {"mis_ppr_tiers":{""" +
+            s""""mis_x1":${js(m1, "in_mis", "nodes")},""" +
+            s""""mis_x10":${js(m10, "in_mis", "nodes")},""" +
+            f""""mis_r10":${m10._1 / m1._1}%.2f,""" +
+            s""""ppr_x1":${js(p1, "seeds", "reached")},""" +
+            s""""ppr_x10":${js(p10, "seeds", "reached")},""" +
+            f""""ppr_r10":${p10._1 / p1._1}%.2f}}""")
+      }
+
       // Restore/clone law (round-14 batch 9): both verbs are
       // metadata-only — cost is one log resolution + one entry CAS,
       // independent of table SIZE (the structural requires pin the
