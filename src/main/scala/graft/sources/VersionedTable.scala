@@ -318,7 +318,9 @@ object VersionedTable {
       val bad = scala.util.Try(df.filter(s"NOT ($ex)").limit(1).collect())
       require(bad.isSuccess,
         s"check constraint '$nm' ($ex) cannot be evaluated on this " +
-          s"batch (${bad.failed.get.getMessage.linesIterator.next()})")
+          "batch (" + Option(bad.failed.get.getMessage)
+            .map(_.linesIterator.next())
+            .getOrElse(bad.failed.get.getClass.getSimpleName) + ")")
       require(bad.get.isEmpty,
         s"check constraint '$nm' ($ex) violated by this batch, " +
           s"e.g. ${bad.get.head}")
@@ -1218,9 +1220,11 @@ object VersionedTable {
     // missing directory means external tampering — refuse loudly
     // rather than commit a snapshot that cannot be read
     target.foreach { g =>
-      require(f.exists(new Path(groupPath(path, g.name))),
-        s"data group ${g.name} referenced by v$toVersion is missing " +
-          "on disk — cannot restore")
+      (g.name +: g.dv.toSeq).foreach { n =>
+        require(f.exists(new Path(groupPath(path, n))),
+          s"file $n referenced by v$toVersion is missing on disk — " +
+            "cannot restore")
+      }
     }
     // restore the schema state of the target era too (Delta RESTORE
     // semantics): published even when empty — an empty state must
