@@ -193,7 +193,9 @@ object Parity77 {
       // lazy branches over the checkpointed und/e inputs — measured
       // at sf0.1, re-execution (10.4 s) beats checkpointing the
       // rem-sized sets per round (14.1 s)
-      val sel = und.join(nbrMax, Seq("node"), "left")
+      // nbrMax is node-bounded too: broadcast it or the left join
+      // sort-merges two node-sized relations per round
+      val sel = und.join(broadcast(nbrMax), Seq("node"), "left")
         .filter(col("mx").isNull || misPr(r, col("node")) > col("mx"))
         .select(col("node"))
       val rem = both.join(broadcast(sel.select(col("node").as("nb"))),
@@ -205,7 +207,8 @@ object Parity77 {
           lit(r).as("round")))
       decided =
         if (decided == null) round else decided.unionAll(round)
-      und = und.join(sel.unionAll(rem), Seq("node"), "left_anti")
+      und = und.join(broadcast(sel.unionAll(rem)), Seq("node"),
+        "left_anti")
     }
     decided.unionAll(und.select(col("node"),
       lit("undecided").as("status"), lit(-1).as("round")))

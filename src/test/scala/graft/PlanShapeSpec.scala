@@ -463,6 +463,15 @@ class PlanShapeSpec extends AnyFunSuite {
       "window pairs fell to a cartesian:\n" + p)
   }
 
+  test("x9_mis round: both undecided-set semi-joins broadcast (the " +
+      "kcore alive-set lesson) — no sort-merge re-sort of the edge " +
+      "relation per round") {
+    val p = planOf("x9_mis")
+    assert(!p.contains("SortMergeJoin"),
+      "a MIS round re-sorted the edge relation:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("Exchange arms (pagerank/LPA/HITS rounds): the broadcast arm " +
       "never shuffles, the message arm shuffle-hash-joins with only " +
       "the VECTOR moving (pre-partitioned edges reused)") {
