@@ -146,6 +146,32 @@ object Parity78 {
                 (CAST(sxa AS DOUBLE) / n_arm))) / 10000, 4)""")
             .as("var_y_adj"))
         .orderBy(col("arm"))
+    },
+
+    // ---- difference-in-differences ---------------------------------
+    // The 2x2 quasi-experimental estimator next to x6_cuped: arm =
+    // user parity, period = the shared cutoff; cell sums are exact
+    // integer cents, the four cell means and the DiD contrast are one
+    // mirrored IEEE tail rounded once.
+    "x6_diff_in_diff" -> { (s, d) =>
+      val cells = eventsNs(s, d)
+        .select((col("user_id") % 2).cast("int").as("arm"),
+          when(col("ts") <= CutoffNs, 0).otherwise(1).as("period"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("arm"), col("period"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+      val wide = cells
+        .groupBy()
+        .pivot(concat(col("arm"), lit("_"), col("period")),
+          Seq("0_0", "0_1", "1_0", "1_1"))
+        .agg(first(expr("CAST(sc AS DOUBLE) / n")).as("m"))
+      wide.select(
+        expr("round(`0_0` / 100, 6)").as("ctrl_pre"),
+        expr("round(`0_1` / 100, 6)").as("ctrl_post"),
+        expr("round(`1_0` / 100, 6)").as("treat_pre"),
+        expr("round(`1_1` / 100, 6)").as("treat_post"),
+        expr("round(((`1_1` - `1_0`) - (`0_1` - `0_0`)) / 100, 6)")
+          .as("did"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -222,6 +248,30 @@ object Parity78 {
                th * th * (CAST(sxxa AS DOUBLE) / n_arm -
                  (CAST(sxa AS DOUBLE) / n_arm) *
                  (CAST(sxa AS DOUBLE) / n_arm))) / 10000, 4) AS var_y_adj
-         FROM wth ORDER BY arm"""
+         FROM wth ORDER BY arm""",
+    "x6_diff_in_diff" ->
+      s"""WITH cells AS (
+           SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+                  CASE WHEN epoch_us(ts) * 1000 <= $CutoffNs
+                       THEN 0 ELSE 1 END AS period,
+                  count(*) AS n,
+                  sum(CAST(floor(value * 100) AS BIGINT)) AS sc
+           FROM events GROUP BY 1, 2),
+         m AS (SELECT arm, period, CAST(sc AS DOUBLE) / n AS m
+           FROM cells)
+         SELECT
+           round((SELECT m FROM m WHERE arm = 0 AND period = 0) / 100, 6)
+             AS ctrl_pre,
+           round((SELECT m FROM m WHERE arm = 0 AND period = 1) / 100, 6)
+             AS ctrl_post,
+           round((SELECT m FROM m WHERE arm = 1 AND period = 0) / 100, 6)
+             AS treat_pre,
+           round((SELECT m FROM m WHERE arm = 1 AND period = 1) / 100, 6)
+             AS treat_post,
+           round((((SELECT m FROM m WHERE arm = 1 AND period = 1) -
+                   (SELECT m FROM m WHERE arm = 1 AND period = 0)) -
+                  ((SELECT m FROM m WHERE arm = 0 AND period = 1) -
+                   (SELECT m FROM m WHERE arm = 0 AND period = 0)))
+                 / 100, 6) AS did"""
   )
 }
