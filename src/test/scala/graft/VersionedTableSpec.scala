@@ -395,10 +395,16 @@ class VersionedTableSpec extends AnyFunSuite {
     // no debris was left behind)
     assert(new java.io.File(s"$p/data").listFiles().count(_.isDirectory)
       == 1 + n * perThread)
-    // with 8 threads racing, at least one race was genuinely lost
-    // (sanity that the retry path actually ran; overwhelmingly likely)
-    assert(conflicts.get() >= 1,
-      "expected contention on an 8-thread race")
+    // NOTE: no minimum-conflict assert. Even with the per-append
+    // barrier, the stagings serialize through the shared Spark
+    // scheduler, so each thread can legitimately observe the latest
+    // version and win first try — a zero-conflict run is correct,
+    // not a broken race (it flaked exactly once this way). The retry
+    // path itself is pinned DETERMINISTICALLY by the injected
+    // always-lose arbiter test below; this test pins exactly-once
+    // content + the stage-once group count under real threads, and
+    // reports the observed contention for the curious.
+    info(s"observed lost races: ${conflicts.get()}")
   }
 
   test("commitAppendWithRetry exhausting maxAttempts cleans its " +
