@@ -1606,8 +1606,12 @@ object ScaleBench {
           barrier.await()
           val t0 = System.nanoTime()
           if (rebase) {
+            // every interloper append can cost one rebase, so the cap
+            // must cover the full appender workload (4 writers x 6
+            // appends can interleave one-per-retry = 24 rebases)
             val (_, _, rb) =
-              VersionedTable.mergePrunedRebase(spark, p, updates, "k")
+              VersionedTable.mergePrunedRebase(spark, p, updates, "k",
+                maxRebases = appWriters * appEach + 8)
             stagings.incrementAndGet(); retries.set(rb.toLong)
           } else {
             var done = false

@@ -115,16 +115,21 @@ object VersionedTable {
     def isEmpty: Boolean =
       renames.isEmpty && drops.isEmpty && checks.isEmpty
     /** Map a single group's physical frame to logical columns. */
-    def apply(df: DataFrame): DataFrame = {
-      val renamed = renames.foldLeft(df) { case (d, (phys, logical)) =>
+    def apply(df: DataFrame): DataFrame =
+      drops.foldLeft(applyRenames(df)) { (d, c) =>
+        if (d.columns.contains(c)) d.drop(c) else d
+      }
+    /** Renames only — the mapping deletion-vector sidecars get: a DV
+      * holds exactly its group's key column, so applying `drops` to it
+      * could only ever empty the frame (dropping an unrelated column
+      * is a no-op, dropping the key column is guarded at
+      * [[VersionedTable.dropColumn]]). */
+    def applyRenames(df: DataFrame): DataFrame =
+      renames.foldLeft(df) { case (d, (phys, logical)) =>
         val have = d.columns.toSet
         if (have(phys) && !have(logical)) d.withColumnRenamed(phys, logical)
         else d
       }
-      drops.foldLeft(renamed) { (d, c) =>
-        if (d.columns.contains(c)) d.drop(c) else d
-      }
-    }
   }
   val EmptySchemaState: SchemaState = SchemaState(Seq.empty, Seq.empty)
 
@@ -310,12 +315,17 @@ object VersionedTable {
     * on the incoming batch (internal rewrites preserve constraints by
     * induction and skip this). A batch that cannot even RESOLVE a
     * check's expression (it lacks the column) is refused too — that
-    * batch would write NULLs into a constrained column. */
+    * batch would write NULLs into a constrained column. NON-TRUE is a
+    * violation (Delta's CHECK semantics, stricter than ANSI): a NULL
+    * in the constrained column makes `pay >= 0` evaluate to NULL, and
+    * letting that row through would contradict the resolve-failure
+    * rule above — so the probe filters on NOT(expr) OR expr IS NULL. */
   private def requireChecks(spark: SparkSession, path: String,
       df: DataFrame): Unit = {
     val st = schemaStateAt(spark, path, None)
     st.checks.foreach { case (nm, ex) =>
-      val bad = scala.util.Try(df.filter(s"NOT ($ex)").limit(1).collect())
+      val bad = scala.util.Try(
+        df.filter(s"NOT ($ex) OR ($ex) IS NULL").limit(1).collect())
       require(bad.isSuccess,
         s"check constraint '$nm' ($ex) cannot be evaluated on this " +
           "batch (" + Option(bad.failed.get.getMessage)
@@ -348,7 +358,9 @@ object VersionedTable {
     require(!st.checks.exists(_._1 == name),
       s"constraint '$name' already exists")
     read(spark, path, Some(v)).foreach { df =>
-      require(df.filter(s"NOT ($exprSql)").limit(1).isEmpty,
+      // same non-true-is-a-violation semantics as the write gate
+      require(df.filter(s"NOT ($exprSql) OR ($exprSql) IS NULL")
+          .limit(1).isEmpty,
         s"existing rows violate '$name' ($exprSql) — clean the " +
           "table first (a constraint the table already breaks would " +
           "lie to every reader)")
@@ -451,6 +463,11 @@ object VersionedTable {
       arbiterFor: org.apache.hadoop.fs.FileSystem => CommitArbiter =
         CommitArbiter.forFs): (Long, Int) = {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    // gates are evaluated against the snapshot at `gatedAt`; a lost
+    // race re-validates below iff a schema-carrying commit (addCheck /
+    // rename / drop) landed in between — republishing verbatim would
+    // bypass a constraint the winning writer just added
+    var gatedAt = currentVersion(spark, path)
     requireKnownColumns(spark, path, df, allowEvolution = false)
     requireChecks(spark, path, df)
     val g = stageGroup(spark, path, df, statsCol)
@@ -458,6 +475,19 @@ object VersionedTable {
     while (true) {
       val v = currentVersion(spark, path)
       try {
+        if (v > gatedAt && schemaEntryBetween(spark, path, gatedAt, v)) {
+          // re-run both gates at the new head; a now-failing batch
+          // must clean its staged group and refuse, same as exhaustion
+          try {
+            requireKnownColumns(spark, path, df, allowEvolution = false)
+            requireChecks(spark, path, df)
+          } catch {
+            case t: Throwable =>
+              fs(spark, path).delete(new Path(s"$path/data/${g.name}"), true)
+              throw t
+          }
+        }
+        if (v > gatedAt) gatedAt = v
         // staged = empty: a lost race must NOT clean the group — it
         // is re-published on the next attempt
         return (commitEntry(spark, path, Seq(g), v, replace = false,
@@ -570,10 +600,13 @@ object VersionedTable {
       g.dv match {
         case Some(d) =>
           // the DV is a key list scoped to THIS group; broadcast
-          // anti-join (key lists are deleted-row-count-sized). The
-          // mapping applies to the DV too, so key-column renames
-          // track automatically.
-          val dvf = schema(spark.read.parquet(groupPath(path, d)))
+          // anti-join (key lists are deleted-row-count-sized). Renames
+          // apply to the DV too (key-column renames track
+          // automatically) but drops do NOT — a drop of an unrelated
+          // column is a no-op on a key-only frame, and dropping the
+          // key itself is refused at dropColumn.
+          val dvf = schema.applyRenames(
+            spark.read.parquet(groupPath(path, d)))
           val c = dvf.columns.head
           base.join(broadcast(dvf.select(col(c)).distinct()),
             Seq(c), "left_anti")
@@ -664,6 +697,18 @@ object VersionedTable {
     val g = stageGroup(spark, path, rewritten, Some(keyCol))
     (commitEntry(spark, path, carried :+ g, v, replace = true,
       staged = Seq(g.name)), touched.size)
+  }
+
+  /** True when any log entry in (from, to] carries schema state — a
+    * rename/drop/CHECK landed in the window. One small-file read per
+    * version; callers probe only after a lost race. */
+  private def schemaEntryBetween(spark: SparkSession, path: String,
+      from: Long, to: Long): Boolean = {
+    val f = fs(spark, logDir(path))
+    (from + 1 to to).exists { v =>
+      readJson(f, new Path(logDir(path), f"v$v%08d.json"))
+        .contains("\"ren\":")
+    }
   }
 
   /** The raw log entries in (from, to], oldest first. */
@@ -1281,8 +1326,13 @@ object VersionedTable {
   def renameColumn(spark: SparkSession, path: String,
       oldName: String, newName: String): Long = {
     require(oldName != newName, "rename to the same name is a no-op")
-    require(!oldName.contains(">") && !newName.contains(">"),
-      "column names containing '>' are not supported by the log format")
+    // both ends serialize into the "phys>logical" log array, so both
+    // inherit the full reserved set (a ',' or '"' or ']' would corrupt
+    // arrayBody parsing of EVERY later entry, same rule as addCheck)
+    Seq(oldName, newName).foreach { n =>
+      require(n.nonEmpty && !n.exists(c => ">,\"]".contains(c)),
+        s"column name must be free of > , \" ] (log-format limit): $n")
+    }
     val v = currentVersion(spark, path)
     require(v >= 1, "rename on an empty table")
     val st = schemaStateAt(spark, path, Some(v))
@@ -1301,16 +1351,37 @@ object VersionedTable {
   /** DROP COLUMN, metadata-only: the column is masked at read time
     * for every group generation — zero data rewritten, and time
     * travel to a pre-drop version still shows it. See
-    * [[renameColumn]] for the name-reuse caveat. */
+    * [[renameColumn]] for the name-reuse caveat. Dropping the key
+    * column a LIVE deletion vector is keyed on is refused: the DV
+    * anti-join needs that column on both sides, so the drop would
+    * break every read of the group (and the rewrite paths that could
+    * repair it) — rewrite the group first ([[optimize]] or a pruned
+    * MERGE drops the vector), then drop the column. */
   def dropColumn(spark: SparkSession, path: String,
       colName: String): Long = {
+    require(colName.nonEmpty && !colName.exists(c => ">,\"]".contains(c)),
+      s"column name must be free of > , \" ] (log-format limit): $colName")
     val v = currentVersion(spark, path)
     require(v >= 1, "drop on an empty table")
     val st = schemaStateAt(spark, path, Some(v))
+    val live = liveGroups(spark, path, Some(v))
     val cols = read(spark, path, Some(v)).get.schema.fieldNames.toSet
     require(cols(colName), s"column $colName does not exist")
     require(cols.size > 1, "cannot drop the table's last column")
-    commitEntry(spark, path, liveGroups(spark, path, Some(v)), v,
+    live.foreach { g =>
+      g.dv.foreach { d =>
+        // one footer read per live DV: the sidecar's single column,
+        // mapped through renames, is the key the read-side anti-join
+        // joins on
+        val dvKey = st.applyRenames(
+          spark.read.parquet(groupPath(path, d))).columns.head
+        require(dvKey != colName,
+          s"column $colName is the deletion-vector key of live group " +
+            s"${g.name} — rewrite the group (optimize / pruned MERGE) " +
+            "before dropping it")
+      }
+    }
+    commitEntry(spark, path, live, v,
       replace = true, staged = Seq.empty,
       schema = Some(SchemaState(st.renames, st.drops :+ colName)))
   }

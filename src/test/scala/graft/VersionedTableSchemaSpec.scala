@@ -171,6 +171,113 @@ class VersionedTableSchemaSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, p, Some(v1)).isDefined)
   }
 
+  test("CHECK treats non-true as a violation: a NULL in the " +
+      "constrained column refuses the batch AND blocks addCheck on " +
+      "existing data (Delta semantics, not ANSI null-passes)") {
+    val p = tmp()
+    import spark.implicits._
+    val v1 = VersionedTable.commit(spark, p,
+      Seq((1L, Some(10L)), (2L, Some(20L))).toDF("k", "pay"), 0L,
+      statsCol = Some("k"))
+    VersionedTable.addCheck(spark, p, "pay_pos", "pay >= 0")
+    // NULL pay makes `pay >= 0` evaluate to NULL -> refused, named
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.commit(spark, p,
+        Seq((3L, None: Option[Long])).toDF("k", "pay"),
+        VersionedTable.currentVersion(spark, p), statsCol = Some("k"))
+    }
+    assert(err.getMessage.contains("pay_pos"), err.getMessage)
+    // a table already holding a NULL cannot gain the constraint
+    val p2 = tmp()
+    VersionedTable.commit(spark, p2,
+      Seq((1L, Some(10L)), (2L, None: Option[Long])).toDF("k", "pay"), 0L)
+    val err2 = intercept[IllegalArgumentException] {
+      VersionedTable.addCheck(spark, p2, "pay_pos", "pay >= 0")
+    }
+    assert(err2.getMessage.contains("existing rows violate"))
+  }
+
+  test("dropColumn refuses the key column of a LIVE deletion vector " +
+      "(the read anti-join needs it on both sides); dropping an " +
+      "unrelated column keeps DV-masked reads working") {
+    val p = tmp()
+    import spark.implicits._
+    val v1 = VersionedTable.commit(spark, p,
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+        .toDF("k", "pay", "tag"), 0L, statsCol = Some("k"))
+    VersionedTable.deleteKeys(spark, p, Seq(2L).toDF("k"), "k")
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.dropColumn(spark, p, "k")
+    }
+    assert(err.getMessage.contains("deletion-vector key"), err.getMessage)
+    // unrelated drop: DV sidecar keeps its key column (drops must not
+    // apply to the key-only DV frame) and the masked read still works
+    VersionedTable.dropColumn(spark, p, "tag")
+    val got = VersionedTable.read(spark, p).get
+    assert(got.columns.toSeq == Seq("k", "pay"))
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (3L, 30L)))
+    // after a rewrite drops the vector, the key column CAN be renamed
+    // away and back through optimize
+    VersionedTable.optimize(spark, p, statsCol = Some("k"))
+    VersionedTable.dropColumn(spark, p, "pay")
+    assert(VersionedTable.read(spark, p).get.columns.toSeq == Seq("k"))
+  }
+
+  test("rename/drop column names inherit addCheck's reserved-char " +
+      "guard: a ',' '\"' ']' would corrupt the log arrays") {
+    val p = tmp()
+    VersionedTable.commit(spark, p, df(1L -> "a"), 0L)
+    Seq("a,b", "a\"b", "a]b", "a>b").foreach { bad =>
+      intercept[IllegalArgumentException] {
+        VersionedTable.renameColumn(spark, p, "v", bad)
+      }
+      intercept[IllegalArgumentException] {
+        VersionedTable.dropColumn(spark, p, bad)
+      }
+    }
+  }
+
+  test("commitAppendWithRetry re-validates the CHECK gate after a " +
+      "lost race to a schema-carrying commit: a batch violating the " +
+      "just-added constraint is refused, its staged group cleaned; " +
+      "a clean batch through the same race path lands") {
+    val p = tmp()
+    import spark.implicits._
+    VersionedTable.commit(spark, p,
+      Seq((1L, 10L)).toDF("k", "pay"), 0L, statsCol = Some("k"))
+    // an arbiter that loses exactly once, and in the SAME window lets
+    // an interloping addCheck win the version — the deterministic form
+    // of "constraint lands between my gate evaluation and my publish"
+    def loseOnceToAddCheck(): org.apache.hadoop.fs.FileSystem =>
+        graft.sources.CommitArbiter = {
+      var first = true
+      _ => (f, entry, payload) =>
+        if (first) {
+          first = false
+          VersionedTable.addCheck(spark, p, "pay_pos", "pay >= 0")
+          false
+        } else graft.sources.CommitArbiter.forFs(f)
+          .publish(f, entry, payload)
+    }
+    val groupsBefore = dataGroupCount(p)
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.commitAppendWithRetry(spark, p,
+        Seq((2L, -5L)).toDF("k", "pay"), statsCol = Some("k"),
+        arbiterFor = loseOnceToAddCheck())
+    }
+    assert(err.getMessage.contains("pay_pos"), err.getMessage)
+    assert(dataGroupCount(p) == groupsBefore,
+      "refused batch must clean its staged group")
+    VersionedTable.dropCheck(spark, p, "pay_pos")
+    // same race, clean batch: re-validation passes and the append lands
+    val (v, lost) = VersionedTable.commitAppendWithRetry(spark, p,
+      Seq((3L, 30L)).toDF("k", "pay"), statsCol = Some("k"),
+      arbiterFor = loseOnceToAddCheck())
+    assert(lost == 1)
+    assert(VersionedTable.read(spark, p).get.count() == 2)
+  }
+
   test("changeFeed between two post-rename versions diffs under the " +
       "logical names") {
     val p = tmp()
