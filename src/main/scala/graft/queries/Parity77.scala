@@ -167,8 +167,36 @@ object Parity77 {
     * leave as `removed`, and the round repeats on the shrunken
     * graph. Fixed round count (the kcore/ktruss unroll convention);
     * returns (node, status ∈ mis|removed|undecided, round; -1 for
-    * undecided). Exposed for the spec's planted pins. */
-  private[graft] def luby(e0: DataFrame, rounds: Int): DataFrame = {
+    * undecided). Exposed for the spec's planted pins.
+    *
+    * Two exchange arms (bit-equal results, one oracle — the
+    * pagerank/kcore convention):
+    *
+    *  - `msg = false` (broadcast arm): the undecided/selected/removed
+    *    sets ship to every executor per round as broadcast
+    *    semi-joins. Early Luby rounds select+remove a constant
+    *    FRACTION of all nodes, so unlike pagerank's always-node-sized
+    *    vector these sets START node-scale — the arm dies first on
+    *    billion-node graphs (the round-14 verdict's one named
+    *    scale-killer).
+    *  - `msg = true` (message arm, the kcorePeelMsg posture): the
+    *    SYMMETRIZED adjacency is partitioned on its source column
+    *    once and cached; each round shuffle-hash-joins the undecided
+    *    vector into the edge partitions (vector moves, edges never
+    *    do). Symmetry does double duty: (node, nb) and (nb, node) are
+    *    the same relation, so the ONE cached copy serves both the
+    *    priority-max scatter (join on sender, group by receiver) and
+    *    the neighbor-removal scatter (join on selected sender,
+    *    project receiver) — no dual cache like HITS needs for its
+    *    directed edges. Per-round wire volume: the node-bounded
+    *    vector + map-side-partial-aggregated maxima; no edge-sized
+    *    shuffle anywhere.
+    */
+  private[graft] def luby(e0: DataFrame, rounds: Int,
+      msg: Boolean = false): DataFrame =
+    if (msg) lubyMsg(e0, rounds) else lubyBroadcast(e0, rounds)
+
+  private def lubyBroadcast(e0: DataFrame, rounds: Int): DataFrame = {
     val e = graft.ops.Iter.truncate(e0, None)
     var und = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node"))).distinct()
@@ -214,6 +242,78 @@ object Parity77 {
       lit("undecided").as("status"), lit(-1).as("round")))
   }
 
+  /** The message arm: see [[luby]]. The broadcast arm restricts the
+    * adjacency to undecided×undecided BEFORE the max; here the
+    * priority scatter restricts only the SENDER side (receivers that
+    * are already decided get maxima too, harmlessly — the left join
+    * FROM the undecided set discards them), which keeps every
+    * per-round join a vector-into-cached-edges shuffle-hash join. */
+  private def lubyMsg(e0: DataFrame, rounds: Int): DataFrame = {
+    val e = graft.ops.Iter.truncate(e0, None)
+    // symmetrized adjacency, partitioned on the sender column ONCE
+    // and cached — an InMemoryRelation keeps its child's
+    // hashpartitioning statically, so every round's shuffle-hash
+    // join reuses it and only the vector shuffles (the pagerankQ
+    // msg-arm lesson: a checkpoint here would report
+    // UnknownPartitioning under AQE and reshuffle the edges per
+    // round)
+    val adjP = e.select(col("u").as("node"), col("v").as("nb"))
+      .unionAll(e.select(col("v").as("node"), col("u").as("nb")))
+      .repartition(col("node")).persist()
+    adjP.count() // materialize NOW so the partitioning is visible
+    var und = adjP.select(col("node")).distinct()
+    var decided: DataFrame = null
+    try {
+      for (r <- 0 until rounds) {
+        und = graft.ops.Iter.truncate(und, None)
+        // every undecided node scatters its round-r priority to ALL
+        // its neighbors; receivers take the max. Map-side partial
+        // aggregation bounds the exchange at (distinct receivers per
+        // partition), not edges.
+        val nbrMax = graft.ops.Exchange
+          .vecJoinUsing(und, adjP, Seq("node"), msg = true)
+          .select(col("nb").as("rcv"), misPr(r, col("node")).as("npr"))
+          .groupBy(col("rcv")).agg(max(col("npr")).as("mx"))
+          .select(col("rcv").as("node"), col("mx"))
+        // node-sized × node-sized joins from here on — plain shuffles,
+        // no broadcast of anything node-scale
+        val sel = und.join(nbrMax, Seq("node"), "left")
+          .filter(col("mx").isNull || misPr(r, col("node")) > col("mx"))
+          .select(col("node"))
+        // neighbors of the selected set, by the same symmetry (join
+        // the cached copy on the SENDER, project the receiver), then
+        // restricted to still-undecided
+        val rem = graft.ops.Exchange
+          .vecJoinUsing(sel, adjP, Seq("node"), msg = true)
+          .select(col("nb").as("node")).distinct()
+          .join(und, Seq("node"), "left_semi")
+        val round = sel.select(col("node"), lit("mis").as("status"),
+            lit(r).as("round"))
+          .unionAll(rem.select(col("node"), lit("removed").as("status"),
+            lit(r).as("round")))
+        decided =
+          if (decided == null) round else decided.unionAll(round)
+        und = und.join(sel.unionAll(rem), Seq("node"), "left_anti")
+      }
+    } finally adjP.unpersist(blocking = false)
+    decided.unionAll(und.select(col("node"),
+      lit("undecided").as("status"), lit(-1).as("round")))
+  }
+
+  /** Arm routing for x9_mis, the x9_pagerank convention: node
+    * universe ≤ |part| (co-purchase nodes are part keys) — one
+    * metadata-cheap parquet count, memoized per data dir — fed to the
+    * measured-crossover model in [[graft.ops.Exchange.adviseMsg]].
+    * MIS vectors are node-FRACTION-sized in early rounds (und starts
+    * at ALL nodes), so the rank-arm crossover is if anything
+    * conservative here. */
+  private val nodeEstCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def advisedMsg(s: SparkSession, d: String): Boolean =
+    graft.ops.Exchange.adviseMsg(
+      nodeEstCache.computeIfAbsent(d,
+        _ => graft.Tables.part(s, d).count()))
+
   val queries: Map[String, Q] = Map(
     "x9_ktruss" -> { (s, d) =>
       ktruss(Parity24.edges(s, d), TrussK, TrussRounds)
@@ -221,7 +321,14 @@ object Parity77 {
     },
     "x9_ppr" -> (pprQ(_, _)),
     "x9_mis" -> { (s, d) =>
-      luby(Parity24.edges(s, d), MisRounds)
+      luby(Parity24.edges(s, d), MisRounds, msg = advisedMsg(s, d))
+        .orderBy(col("node"))
+    },
+    // forced message arm, same oracle (bit-equal results) — the
+    // x9_pagerank_msg convention: the harness proves the 100 TB arm
+    // on every run, not just past the crossover
+    "x9_mis_msg" -> { (s, d) =>
+      luby(Parity24.edges(s, d), MisRounds, msg = true)
         .orderBy(col("node"))
     })
 
@@ -288,25 +395,30 @@ object Parity77 {
          EXCEPT SELECT node FROM s$i
          EXCEPT SELECT node FROM r$i)"""
 
+  /** One SQL replay for BOTH mis arms (bit-equal results — the
+    * pagerank convention). */
+  private val misSql: String = {
+    val rounds = (0 until MisRounds).map(misRoundSql).mkString(",\n")
+    val branches = (0 until MisRounds).map { i =>
+      s"""SELECT node, 'mis' AS status, $i AS round FROM s$i
+         UNION ALL SELECT node, 'removed', $i FROM r$i"""
+    }.mkString("\n UNION ALL ")
+    s"""WITH e0 AS MATERIALIZED (
+         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       u0 AS MATERIALIZED (
+         SELECT u AS node FROM e0 UNION SELECT v FROM e0),
+       $rounds
+       SELECT node, status, round FROM (
+         $branches
+         UNION ALL SELECT node, 'undecided', -1 FROM u$MisRounds)
+       ORDER BY node"""
+  }
+
   val oracles: Map[String, String] = Map(
-    "x9_mis" -> {
-      val rounds = (0 until MisRounds).map(misRoundSql).mkString(",\n")
-      val branches = (0 until MisRounds).map { i =>
-        s"""SELECT node, 'mis' AS status, $i AS round FROM s$i
-           UNION ALL SELECT node, 'removed', $i FROM r$i"""
-      }.mkString("\n UNION ALL ")
-      s"""WITH e0 AS MATERIALIZED (
-           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-           FROM lineitem a JOIN lineitem b
-             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-         u0 AS MATERIALIZED (
-           SELECT u AS node FROM e0 UNION SELECT v FROM e0),
-         $rounds
-         SELECT node, status, round FROM (
-           $branches
-           UNION ALL SELECT node, 'undecided', -1 FROM u$MisRounds)
-         ORDER BY node"""
-    },
+    "x9_mis" -> misSql,
+    "x9_mis_msg" -> misSql,
     "x9_ppr" ->
       s"""WITH eo AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

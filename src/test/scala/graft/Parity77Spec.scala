@@ -153,4 +153,23 @@ class Parity77Spec extends AnyFunSuite {
     check(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L))
     check(Seq(0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L))
   }
+
+  test("Luby MIS message arm is bit-equal to the broadcast arm " +
+      "(node, status, round) on planted graphs — the shared-oracle " +
+      "contract x9_mis routes on") {
+    def both(es: Seq[(Long, Long)]): Unit = {
+      def run(msg: Boolean): Set[(Long, String, Int)] =
+        graft.queries.Parity77.luby(edges(es: _*), rounds = 4, msg = msg)
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(run(msg = true) == run(msg = false),
+        s"arms diverge on $es")
+    }
+    both(Seq(1L -> 2L, 2L -> 3L, 1L -> 3L))
+    both(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L))
+    both(Seq(0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L))
+    // a denser planted graph: two cliques sharing a bridge
+    both(Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L,
+      4L -> 5L, 4L -> 6L, 5L -> 6L))
+  }
 }
