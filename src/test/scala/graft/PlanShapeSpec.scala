@@ -32,6 +32,51 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  /** Shuffle exchanges only (BroadcastExchange excluded): formatted
+    * plans list each operator once as "(N) Exchange" in the details
+    * section — the stable thing to count. */
+  private def shuffleExchanges(p: String): Int =
+    "\\(\\d+\\) Exchange\\b".r.findAllIn(p).length
+
+  test("q3: top-10 plans as TakeOrdered (bounded heap, no global " +
+      "sort); customer broadcasts; exactly one shuffle (the agg)") {
+    val p = planOf("q3_top_revenue")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(shuffleExchanges(p) == 1,
+      s"q3 grew a shuffle (expected 1):\n$p")
+  }
+
+  test("q4: the EXISTS subquery plans as a semi-join, one shuffle " +
+      "(the agg), partial aggregation before it") {
+    val p = planOf("q4_order_priority")
+    assert(p.contains("LeftSemi"), p)
+    assert(shuffleExchanges(p) == 1,
+      s"q4 grew a shuffle (expected 1):\n$p")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && p.indexOf("HashAggregate", firstAgg + 1) >= 0,
+      "q4 lost its map-side partial aggregate:\n" + p)
+  }
+
+  test("q7: every dimension joins as broadcast (no SMJ anywhere); " +
+      "exactly one shuffle (the agg)") {
+    val p = planOf("q7_volume")
+    assert(!p.contains("SortMergeJoin"), p)
+    // customer, supplier, and both nation aliases are explicit
+    // broadcasts; orders rides under the threshold at this sf
+    assert("BroadcastHashJoin".r.findAllIn(p).length / 2 >= 4, p)
+    assert(shuffleExchanges(p) == 1,
+      s"q7 grew a shuffle (expected 1):\n$p")
+  }
+
+  test("q5: exactly one shuffle (the agg) — dims broadcast " +
+      "(no-regression exchange count for the headline snowflake)") {
+    val p = planOf("q5_region_revenue")
+    assert(shuffleExchanges(p) == 1,
+      s"q5 grew a shuffle (expected 1):\n$p")
+  }
+
   test("j10: fact-to-fact join is shuffle-based when neither side is broadcastable") {
     // at sf0.001 Catalyst (correctly) broadcasts the tiny orders side;
     // disabling the threshold simulates the 100 TB both-sides-big case
