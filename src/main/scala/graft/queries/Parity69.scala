@@ -203,6 +203,40 @@ object Parity69 {
         .orderBy(col("o_orderkey"))
     },
 
+    // ---- checkpointed change-feed TAIL --------------------------------
+    // The streaming-SOURCE form of the feed (round-14 verdict item 3):
+    // a CdfTail subscription replays the table's whole history in
+    // version-bounded batches through a checkpointed offset, applies
+    // each batch to a downstream snapshot (never re-scanning the
+    // table), and survives a simulated crash BETWEEN apply and commit
+    // — the replayed batch re-applies idempotently. Final state must
+    // equal the head read; batches_applied pins the bounded-batch
+    // count INCLUDING the replay (3 batches + 1 replay).
+    "x1_cdf_tail" -> { (s, d) =>
+      import graft.streaming.CdfTail
+      val (target, _, vTo, _, _) = buildFeedTable(s, d, "tail")
+      val ckpt = Scratch.dir("cdf", "tailckpt", d)
+      Scratch.clean(s, ckpt)
+      var state = VersionedTable.read(s, target, Some(vTo)).get.limit(0)
+      var applied = 0L
+      var crashed = false
+      var done = false
+      while (!done) {
+        CdfTail.next(s, target, "o_orderkey", ckpt,
+            maxVersionsPerBatch = 2) match {
+          case None => done = true
+          case Some(b) =>
+            state = graft.ops.Iter.truncate(
+              CdfTail.applyFeed(state, b.feed, "o_orderkey"), None)
+            applied += 1
+            if (!crashed && b.fromVersion >= 2) crashed = true
+            else CdfTail.commit(s, ckpt, b)
+        }
+      }
+      state.withColumn("batches_applied", lit(applied))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ---- stats-pruned point/range read -------------------------------
     // The read-side counterpart of mergePruned (the group skipping a
     // DSv2 filter-pushdown binding would do): a range lookup on the
@@ -259,6 +293,17 @@ object Parity69 {
                 CAST(SUM(CAST(CAST(p AS DECIMAL(18,2)) * 100 AS BIGINT))
                   AS BIGINT) AS spend_cents
          FROM final GROUP BY 1 ORDER BY bucket""",
+    "x1_cdf_tail" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 150 = 0 AND o_orderkey <= 4000
+                THEN CAST(o_totalprice + 100 AS DECIMAL(15,2))
+                ELSE o_totalprice END AS o_totalprice,
+           CAST(4 AS BIGINT) AS batches_applied
+         FROM orders
+         WHERE (o_orderkey % 50 = 0
+                AND NOT (o_orderkey > 4000 AND o_orderkey <= 6000))
+            OR (o_orderkey % 50 = 25 AND o_orderkey <= 4000)
+         ORDER BY o_orderkey""",
     "x1_schema_evolve" ->
       """SELECT o_orderkey, o_totalprice,
            CASE WHEN o_orderkey % 70 = 35 THEN o_orderstatus END
