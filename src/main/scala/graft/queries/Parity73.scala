@@ -174,43 +174,81 @@ object Parity73 {
         col("nb").cast("string"))),
       lpad(col("nb").cast("string"), 12, "0"))
 
-  /** One walk step, un-truncated (PlanShapeSpec pins this plan): the
-    * walks-sized frontier is explicitly BROADCAST — the checkpointed
-    * frontier scan carries no stats, and without the hint the join
-    * falls to sort-merge, re-shuffling AND re-sorting the full
-    * adjacency every step (the plan ScaleBench walk_tiers measured) —
-    * and the hash-min choice is a map-side-combinable min keyed by
-    * walk (a partial SortAggregate — the string key keeps it off the
-    * hash-aggregate path, but only one row per walk crosses the
-    * exchange). Grouping by walk alone is sound because a walk
+  /** One walk step, un-truncated (PlanShapeSpec pins this plan). Two
+    * exchange arms, the advisor-owned frontier call (round-14 verdict:
+    * "the advisor should own that call too"):
+    *
+    *  - `msg = false` (broadcast arm): the walks-sized frontier is
+    *    explicitly BROADCAST — the checkpointed frontier scan carries
+    *    no stats, and without the hint the join falls to sort-merge,
+    *    re-shuffling AND re-sorting the full adjacency every step
+    *    (the plan ScaleBench walk_tiers measured). Right while the
+    *    frontier (one row per walk, forever) fits executor memory.
+    *  - `msg = true` (message arm): past the rank-arm crossover the
+    *    frontier shuffle-hash-joins into the adjacency — the caller
+    *    pre-partitions and caches the adjacency on `node` so only the
+    *    walk-bounded frontier moves per step (the pagerankQ posture).
+    *
+    * Either way the hash-min choice is a map-side-combinable min
+    * keyed by walk (a partial SortAggregate — the string key keeps it
+    * off the hash-aggregate path, but only one row per walk crosses
+    * the exchange). Grouping by walk alone is sound because a walk
     * occupies exactly one node per step. */
   private[graft] def walkStep(cur: DataFrame, adj: DataFrame,
-      r: Int): DataFrame =
-    broadcast(cur).join(adj, Seq("node"))
+      r: Int, msg: Boolean = false): DataFrame =
+    graft.ops.Exchange.vecJoinUsing(cur, adj, Seq("node"), msg)
       .groupBy(col("walk"))
       .agg(min(stepKey(r)).as("k"))
       .select(col("walk"),
         substring(col("k"), 33, 12).cast("long").as("node"))
 
   /** Fixed-length walks. `adj` is a both-directions (node, nb) edge
-    * list with unique rows and non-negative ids. */
+    * list with unique rows and non-negative ids. Both arms are
+    * bit-equal (deterministic hash-min choice), one oracle. */
   private[graft] def randomWalks(adj0: DataFrame, seedHex: String,
-      steps: Int): DataFrame = {
-    val adj = graft.ops.Iter.truncate(adj0, None)
-    var cur = adj.select(col("node")).distinct()
-      .filter(substring(md5(col("node").cast("string")), 1, 3) <= seedHex)
-      .select(col("node").as("walk"), col("node"))
-    var traj = cur.select(col("walk"), lit(0L).as("step"), col("node"))
-    for (r <- 1 to steps) {
-      // truncate the frontier per step: the trajectory union holds one
-      // branch per step, and without the cut each branch would replay
-      // every prior frontier⋈adjacency join
-      cur = graft.ops.Iter.truncate(walkStep(cur, adj, r), None)
-      traj = traj.unionAll(
-        cur.select(col("walk"), lit(r.toLong).as("step"), col("node")))
-    }
-    traj
+      steps: Int, msg: Boolean = false): DataFrame = {
+    val adj =
+      if (msg) {
+        // message arm: partition the adjacency on the join key once
+        // and cache it — each step's shuffle-hash join then moves only
+        // the frontier (materialize NOW or AQE reports
+        // UnknownPartitioning and step 1 reshuffles the edges)
+        val a = adj0.repartition(col("node")).persist()
+        a.count()
+        a
+      } else graft.ops.Iter.truncate(adj0, None)
+    try {
+      var cur = adj.select(col("node")).distinct()
+        .filter(substring(md5(col("node").cast("string")), 1, 3) <= seedHex)
+        .select(col("node").as("walk"), col("node"))
+      var traj = cur.select(col("walk"), lit(0L).as("step"), col("node"))
+      for (r <- 1 to steps) {
+        // truncate the frontier per step: the trajectory union holds
+        // one branch per step, and without the cut each branch would
+        // replay every prior frontier⋈adjacency join
+        cur = graft.ops.Iter.truncate(walkStep(cur, adj, r, msg), None)
+        traj = traj.unionAll(
+          cur.select(col("walk"), lit(r.toLong).as("step"), col("node")))
+      }
+      // eagerly cut the whole trajectory before releasing the cached
+      // adjacency the step branches reference
+      if (msg) graft.ops.Iter.truncate(traj, None) else traj
+    } finally if (msg) adj.unpersist(blocking = false)
   }
+
+  /** Frontier-arm routing for x9_random_walk: one walk per sampled
+    * node (3-hex-char md5 prefix ≤ [[WalkHex]] = (0x$WalkHex+1)/4096
+    * of nodes), node universe ≤ |part| — a metadata-cheap count,
+    * memoized per data dir — against the measured rank-arm crossover.
+    * The walk frontier stays exactly walks-sized every step, so the
+    * rank-vector byte model applies unchanged. */
+  private val walkEstCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def advisedMsg(s: SparkSession, d: String): Boolean =
+    graft.ops.Exchange.adviseMsg(
+      walkEstCache.computeIfAbsent(d,
+        _ => graft.Tables.part(s, d).count() *
+          (java.lang.Long.parseLong(WalkHex, 16) + 1) / 4096))
 
   val queries: Map[String, Q] = Map(
     "x4_blocklist_gate" -> ((s, d) => blocklistGate(documents(s, d))),
@@ -220,7 +258,15 @@ object Parity73 {
       val pairs = Parity24.edges(s, d)
       val adj = pairs.select(col("u").as("node"), col("v").as("nb"))
         .unionAll(pairs.select(col("v").as("node"), col("u").as("nb")))
-      randomWalks(adj, WalkHex, WalkSteps)
+      randomWalks(adj, WalkHex, WalkSteps, msg = advisedMsg(s, d))
+    },
+    // forced message arm, same oracle (bit-equal trajectories) — the
+    // x9_pagerank_msg convention
+    "x9_random_walk_msg" -> { (s, d) =>
+      val pairs = Parity24.edges(s, d)
+      val adj = pairs.select(col("u").as("node"), col("v").as("nb"))
+        .unionAll(pairs.select(col("v").as("node"), col("u").as("nb")))
+      randomWalks(adj, WalkHex, WalkSteps, msg = true)
     })
 
   private def walkStepSql(i: Int): String = {
@@ -296,7 +342,12 @@ object Parity73 {
       SELECT r.rec_id, CAST(coalesce(c.comp, r.rec_id) AS BIGINT)
         AS entity_id
       FROM recs r LEFT JOIN comp c ON r.rec_id = c.id""",
-    "x9_random_walk" -> s"""
+    "x9_random_walk" -> walkSql,
+    "x9_random_walk_msg" -> walkSql
+  )
+
+  /** One SQL replay for BOTH walk arms (bit-equal trajectories). */
+  private lazy val walkSql: String = s"""
       WITH pairs AS MATERIALIZED (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         FROM lineitem a JOIN lineitem b
@@ -312,5 +363,4 @@ object Parity73 {
       ${(1 to WalkSteps).map(i =>
         s"UNION ALL SELECT walk, CAST($i AS BIGINT), node FROM s$i")
         .mkString("\n      ")}"""
-  )
 }

@@ -117,4 +117,19 @@ class Parity73Spec extends AnyFunSuite {
     assert(a == b)
     assert(a.filter(_._2 == 0L).forall(t => t._1 == t._3))
   }
+
+  test("random walks: the message arm produces bit-equal " +
+      "trajectories to the broadcast arm — the shared-oracle " +
+      "contract x9_random_walk routes on") {
+    import spark.implicits._
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 2L -> 4L)
+    val e = edges.toDF("node", "nb")
+    val adj = e.unionAll(e.select(col("nb").as("node"),
+      col("node").as("nb")))
+    def run(msg: Boolean): Set[(Long, Long, Long)] =
+      graft.queries.Parity73.randomWalks(adj, "fff", 4, msg = msg)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(msg = true) == run(msg = false))
+  }
 }

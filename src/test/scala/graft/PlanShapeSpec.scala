@@ -648,5 +648,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // crosses the wire.
     assert(p.contains("partial_min"),
       "hash-min not map-side combined:\n" + p)
+    // the message arm must NOT broadcast the frontier: shuffle-hash,
+    // frontier as build side, adjacency in place
+    val pm = queries.Parity73.walkStep(cur, adj, 1, msg = true)
+      .queryExecution.explainString(FormattedMode)
+    assert(pm.contains("ShuffledHashJoin"), pm)
+    assert(!pm.contains("BroadcastHashJoin"), pm)
   }
 }
