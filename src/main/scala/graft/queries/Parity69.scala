@@ -203,6 +203,24 @@ object Parity69 {
         .orderBy(col("o_orderkey"))
     },
 
+    // ---- deletion-vector MERGE (merge-on-read) ------------------------
+    // The DV form of the pruned MERGE (round-14 verdict item 4): the
+    // one range-overlapping group is MASKED (dv_masked = 1, its data
+    // files untouched), the batch appends as one group, nothing is
+    // rewritten (dv_rewritten = 0) — yet the visible content is
+    // row-equal to the copy-on-write merge the x1_recluster oracle
+    // replays. Update cost tracked the batch, not the group bytes.
+    "x1_merge_dv" -> { (s, d) =>
+      val (target, _) = buildBaseTable(s, d, "mdv")
+      val (_, masked, rewrote) = VersionedTable.mergeDv(s, target,
+        updatesBatch(s, d).unionByName(insertsBatch(s, d)),
+        "o_orderkey", maxDvFraction = 0.5)
+      VersionedTable.read(s, target).get
+        .withColumn("dv_masked", lit(masked.toLong))
+        .withColumn("dv_rewritten", lit(rewrote.toLong))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ---- checkpointed change-feed TAIL --------------------------------
     // The streaming-SOURCE form of the feed (round-14 verdict item 3):
     // a CdfTail subscription replays the table's whole history in
@@ -293,6 +311,17 @@ object Parity69 {
                 CAST(SUM(CAST(CAST(p AS DECIMAL(18,2)) * 100 AS BIGINT))
                   AS BIGINT) AS spend_cents
          FROM final GROUP BY 1 ORDER BY bucket""",
+    "x1_merge_dv" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 150 = 0 AND o_orderkey <= 4000
+                THEN CAST(o_totalprice + 100 AS DECIMAL(15,2))
+                ELSE o_totalprice END AS o_totalprice,
+           CAST(1 AS BIGINT) AS dv_masked,
+           CAST(0 AS BIGINT) AS dv_rewritten
+         FROM orders
+         WHERE o_orderkey % 50 = 0
+            OR (o_orderkey % 50 = 25 AND o_orderkey <= 4000)
+         ORDER BY o_orderkey""",
     "x1_cdf_tail" ->
       """SELECT o_orderkey,
            CASE WHEN o_orderkey % 150 = 0 AND o_orderkey <= 4000

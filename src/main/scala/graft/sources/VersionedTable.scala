@@ -699,6 +699,132 @@ object VersionedTable {
       staged = Seq(g.name)), touched.size)
   }
 
+  /** MERGE (upsert by key) via DELETION VECTORS — the merge-on-read
+    * form (the Delta DV-update idea): instead of REWRITING every
+    * group whose stats overlap the batch ([[mergePruned]] — O(touched
+    * group BYTES) per merge, however small the batch), each touched
+    * group gets a sidecar masking ITS updated keys (the [[deleteKeys]]
+    * machinery) and the batch itself is appended as ONE new group —
+    * update cost tracks the BATCH size, not the bytes of the groups
+    * it grazes (SCALE.md `merge_dv_arms` measures the gap). Visible
+    * content is spec-pinned row-equal to [[mergePruned]]: the old
+    * row is masked where the new one is appended, and the
+    * one-row-per-key invariant holds because a key's live row moves
+    * to the appended group.
+    *
+    * The trade is read-side debt: every read of a masked group pays
+    * the DV anti-join, and the vectors grow merge after merge. Past
+    * `maxDvFraction` (masked rows / group's physical rows) the group
+    * is REWRITTEN instead — masked-visible rows minus the batch keys,
+    * vector dropped — so the debt is bounded and the steady state
+    * self-compacts exactly where it is worth it ([[optimize]] clears
+    * all residual vectors). Groups without stats are conservatively
+    * probed. Null-key update rows mask nothing and ride the appended
+    * group (the [[mergePruned]] rule). One optimistic attempt at the
+    * current version; a lost race cleans every staged sidecar/group
+    * and rethrows. Returns
+    * (committedVersion, groupsMasked, groupsRewritten). */
+  def mergeDv(spark: SparkSession, path: String, updates: DataFrame,
+      keyCol: String, maxDvFraction: Double = 0.3,
+      allowEvolution: Boolean = false,
+      arbiterFor: org.apache.hadoop.fs.FileSystem => CommitArbiter =
+        CommitArbiter.forFs): (Long, Int, Int) = {
+    require(maxDvFraction >= 0.0 && maxDvFraction <= 1.0,
+      s"maxDvFraction must be in [0,1]: $maxDvFraction")
+    requireKnownColumns(spark, path, updates, allowEvolution)
+    requireChecks(spark, path, updates)
+    val v = currentVersion(spark, path)
+    val live = liveGroups(spark, path, Some(v))
+    if (live.isEmpty)
+      return (commit(spark, path, updates, v, replace = true,
+        statsCol = Some(keyCol), allowEvolution = allowEvolution,
+        validate = false), 0, 0)
+    val st = schemaStateAt(spark, path, Some(v))
+    val k = updates.select(col(keyCol)).filter(col(keyCol).isNotNull)
+      .distinct()
+    val r = updates.agg(min(col(keyCol).cast("long")),
+      max(col(keyCol).cast("long"))).head()
+    var staged = List.empty[String]
+    var masked = 0
+    var rewrote = 0
+    def cleanup(): Unit = staged.foreach(g =>
+      fs(spark, path).delete(new Path(s"$path/data/$g"), true))
+    try {
+      val updated = live.map { g =>
+        val overlaps = (g.lo, g.hi, if (r.isNullAt(0)) None else Some(()))
+          match {
+          case (_, _, None) => false // all-null batch keys match nothing
+          case (Some(lo), Some(hi), _) =>
+            lo <= r.getLong(1) && r.getLong(0) <= hi
+          case _ => true // no stats -> conservative probe
+        }
+        if (!overlaps) g
+        else {
+          // this group's share of the update: batch keys its VISIBLE
+          // (mapped, DV-masked) rows actually contain — a key already
+          // masked by a prior delete/merge needs no new vector entry
+          val hit = readGroups(spark, path, Seq(g), st).get
+            .select(col(keyCol)).join(k, Seq(keyCol), "left_semi")
+          val name = java.util.UUID.randomUUID().toString
+          hit.write.mode("overwrite").parquet(s"$path/data/$name")
+          if (spark.read.parquet(s"$path/data/$name").limit(1).isEmpty) {
+            fs(spark, path).delete(new Path(s"$path/data/$name"), true)
+            g
+          } else {
+            // merge with any prior vector (the deleteKeys discipline)
+            val vec = g.dv match {
+              case Some(d) =>
+                val merged = java.util.UUID.randomUUID().toString
+                spark.read.parquet(s"$path/data/$name")
+                  .unionByName(st.applyRenames(
+                    spark.read.parquet(groupPath(path, d)))
+                    .select(col(keyCol))).distinct()
+                  .write.mode("overwrite").parquet(s"$path/data/$merged")
+                fs(spark, path)
+                  .delete(new Path(s"$path/data/$name"), true)
+                merged
+              case None => name
+            }
+            val dvRows = spark.read.parquet(s"$path/data/$vec").count()
+            val physRows =
+              spark.read.parquet(groupPath(path, g.name)).count()
+            if (dvRows <= maxDvFraction * physRows) {
+              staged ::= vec
+              masked += 1
+              g.copy(dv = Some(vec))
+            } else {
+              // density fallback: rewrite the group without the batch
+              // keys, vector dropped — the copy-on-write arm, chosen
+              // only where the vector stopped being "small"
+              fs(spark, path).delete(new Path(s"$path/data/$vec"), true)
+              val remaining = readGroups(spark, path, Seq(g), st).get
+                .join(k, Seq(keyCol), "left_anti")
+              val ng = stageGroup(spark, path, remaining, Some(keyCol))
+              dropIfEmpty(spark, path, ng) match {
+                case Some(kept) =>
+                  staged ::= kept.name
+                  rewrote += 1
+                  kept
+                case None =>
+                  rewrote += 1
+                  null // group emptied entirely: drop from the live set
+              }
+            }
+          }
+        }
+      }.filter(_ != null)
+      val gNew = stageGroup(spark, path, updates, Some(keyCol))
+      staged ::= gNew.name
+      (commitEntry(spark, path, updated :+ gNew, v, replace = true,
+        staged = staged, arbiterFor = arbiterFor), masked, rewrote)
+    } catch {
+      // commitEntry already cleans `staged` on a lost race; the
+      // re-delete here is a no-op then, and the real cleanup for any
+      // failure BEFORE the publish (IO mid-staging)
+      case e: Throwable => cleanup(); throw e
+    }
+  }
+
   /** True when any log entry in (from, to] carries schema state — a
     * rename/drop/CHECK landed in the window. One small-file read per
     * version; callers probe only after a lost race. */
