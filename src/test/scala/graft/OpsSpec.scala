@@ -300,6 +300,47 @@ class OpsSpec extends AnyFunSuite {
     feats.foreach(f => assert(again(f.media_id) == f.feature.toSeq))
   }
 
+  test("VideoDecoder seam: an injected fake-codec binding drives " +
+      "decodeFrameStats and decodeVideoFp end-to-end; the default " +
+      "AVI binding refuses the fake container (and vice versa)") {
+    import spark.implicits._
+    // fake container format: "FAKE" magic + one frame-count byte;
+    // frame j renders as a 2x2 image whose pixels are (id-free)
+    // j-arithmetic — the stand-in for an H.264 binding over JNI
+    object FakeCodec extends Multimodal.VideoDecoder {
+      def frames(payload: Array[Byte])
+          : Option[Seq[Option[java.awt.image.BufferedImage]]] = {
+        if (payload.length < 5 ||
+          new String(payload.take(4), "US-ASCII") != "FAKE") return None
+        val n = payload(4).toInt
+        Some((0 until n).map { j =>
+          val img = new java.awt.image.BufferedImage(2, 2,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          for (y <- 0 until 2; x <- 0 until 2)
+            img.getRaster.setSample(x, y, 0, (j * 10 + x + y) % 256)
+          Some(img): Option[java.awt.image.BufferedImage]
+        })
+      }
+    }
+    val payload = "FAKE".getBytes("US-ASCII") :+ 3.toByte
+    val media = Seq((7L, payload)).toDF("media_id", "payload")
+    val stats = Multimodal.decodeFrameStats(spark, media, FakeCodec)
+      .collect().map(s => (s.frame_idx, s.lum_sum)).toSet
+    // frame j luminance = sum of (j*10 + x + y) over the 2x2 raster
+    assert(stats == Set((0, 4L), (1, 44L), (2, 84L)), s"got $stats")
+    val fp = Multimodal.decodeVideoFp(spark, media, FakeCodec).collect()
+    assert(fp.length == 1 && fp.head.getLong(0) == 7L)
+    // container filters: each binding refuses the other's payloads
+    assert(Multimodal.decodeFrameStats(spark, media).isEmpty,
+      "default AVI binding must refuse the fake container")
+    val avi = Seq((8L, Multimodal.encodeVideo(8L)))
+      .toDF("media_id", "payload")
+    assert(Multimodal.decodeFrameStats(spark, avi, FakeCodec).isEmpty,
+      "fake binding must refuse a real AVI")
+    assert(Multimodal.decodeFrameStats(spark, avi).count() > 0,
+      "default binding must decode its own AVI")
+  }
+
   test("PNG encode/decode roundtrips raster samples bit-exact") {
     val bytes = Multimodal.encodeGrayPng(5, 3, (x, y) => (x * 50 + y * 17) % 256)
     val img = Multimodal.decodeImage(bytes).get
