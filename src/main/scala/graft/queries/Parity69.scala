@@ -255,6 +255,40 @@ object Parity69 {
         .orderBy(col("o_orderkey"))
     },
 
+    // ---- end-to-end table REPLICATION ---------------------------------
+    // The capstone composing the round's two halves: a CdfTail
+    // subscription (bounded batches, crash+replay mid-log) maintains a
+    // versioned-table REPLICA through the commit protocol — upserts
+    // via the merge-on-read mergeDv (batch-sized sidecars, no group
+    // rewrites), deletes via deleteKeys. O(changed rows) per batch off
+    // an arbitrarily large source; the replayed batch re-applies
+    // content-idempotently (the replica gains versions, never rows).
+    "x1_replicate" -> { (s, d) =>
+      import graft.streaming.CdfTail
+      val (target, _, _, _, _) = buildFeedTable(s, d, "repl")
+      val ckpt = Scratch.dir("cdf", "replckpt", d)
+      Scratch.clean(s, ckpt)
+      val replica = Scratch.dir("cdf", "replica", d)
+      Scratch.clean(s, replica)
+      var applied = 0L
+      var crashed = false
+      var done = false
+      while (!done) {
+        CdfTail.next(s, target, "o_orderkey", ckpt,
+            maxVersionsPerBatch = 2) match {
+          case None => done = true
+          case Some(b) =>
+            CdfTail.applyToTable(s, b, replica, "o_orderkey")
+            applied += 1
+            if (!crashed && b.fromVersion >= 2) crashed = true
+            else CdfTail.commit(s, ckpt, b)
+        }
+      }
+      VersionedTable.read(s, replica).get
+        .withColumn("batches_applied", lit(applied))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ---- stats-pruned point/range read -------------------------------
     // The read-side counterpart of mergePruned (the group skipping a
     // DSv2 filter-pushdown binding would do): a range lookup on the
@@ -311,6 +345,17 @@ object Parity69 {
                 CAST(SUM(CAST(CAST(p AS DECIMAL(18,2)) * 100 AS BIGINT))
                   AS BIGINT) AS spend_cents
          FROM final GROUP BY 1 ORDER BY bucket""",
+    "x1_replicate" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 150 = 0 AND o_orderkey <= 4000
+                THEN CAST(o_totalprice + 100 AS DECIMAL(15,2))
+                ELSE o_totalprice END AS o_totalprice,
+           CAST(4 AS BIGINT) AS batches_applied
+         FROM orders
+         WHERE (o_orderkey % 50 = 0
+                AND NOT (o_orderkey > 4000 AND o_orderkey <= 6000))
+            OR (o_orderkey % 50 = 25 AND o_orderkey <= 4000)
+         ORDER BY o_orderkey""",
     "x1_merge_dv" ->
       """SELECT o_orderkey,
            CASE WHEN o_orderkey % 150 = 0 AND o_orderkey <= 4000

@@ -266,6 +266,10 @@ object Parity77 {
     try {
       for (r <- 0 until rounds) {
         und = graft.ops.Iter.truncate(und, None)
+        // (the per-round sel/rem branches stay lazy over adjP — the
+        // broadcast arm's measured re-execution trade — but the WHOLE
+        // result is truncated below before the cache is released, so
+        // consumers never recompute the edge repartition)
         // every undecided node scatters its round-r priority to ALL
         // its neighbors; receivers take the max. Map-side partial
         // aggregation bounds the exchange at (distinct receivers per
@@ -295,9 +299,14 @@ object Parity77 {
           if (decided == null) round else decided.unionAll(round)
         und = und.join(sel.unionAll(rem), Seq("node"), "left_anti")
       }
+      // eagerly cut the node-sized result while the cached adjacency
+      // its lazy branches reference is still resident (the randomWalks
+      // msg-arm rule) — without this, every consumption re-repartitions
+      // the edge relation once per round branch
+      graft.ops.Iter.truncate(
+        decided.unionAll(und.select(col("node"),
+          lit("undecided").as("status"), lit(-1).as("round"))), None)
     } finally adjP.unpersist(blocking = false)
-    decided.unionAll(und.select(col("node"),
-      lit("undecided").as("status"), lit(-1).as("round")))
   }
 
   /** Arm routing for x9_mis, the x9_pagerank convention: node

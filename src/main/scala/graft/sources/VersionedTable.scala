@@ -633,9 +633,14 @@ object VersionedTable {
     * committed version. */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       keyCol: String, allowEvolution: Boolean = false): Long = {
+    // version FIRST, gates second: a schema-carrying commit landing
+    // between the gate evaluation and the publish then moves the head
+    // past `v` and the publish CONFLICTS (caller re-derives, gates
+    // re-run) — gates-first left a window where an old-schema batch
+    // could land cleanly one version after a rename (race-spec pinned)
+    val v = currentVersion(spark, path)
     requireKnownColumns(spark, path, updates, allowEvolution)
     requireChecks(spark, path, updates)
-    val v = currentVersion(spark, path)
     val merged = read(spark, path, Some(v)) match {
       case Some(cur) =>
         cur.join(updates.select(col(keyCol)).distinct(), Seq(keyCol),
@@ -660,9 +665,10 @@ object VersionedTable {
     * (committedVersion, rewrittenGroupCount). */
   def mergePruned(spark: SparkSession, path: String, updates: DataFrame,
       keyCol: String, allowEvolution: Boolean = false): (Long, Int) = {
+    // version before gates — the merge() rule
+    val v = currentVersion(spark, path)
     requireKnownColumns(spark, path, updates, allowEvolution)
     requireChecks(spark, path, updates)
-    val v = currentVersion(spark, path)
     val live = liveGroups(spark, path, Some(v))
     if (live.isEmpty)
       return (commit(spark, path, updates, v, replace = true,
@@ -731,9 +737,10 @@ object VersionedTable {
         CommitArbiter.forFs): (Long, Int, Int) = {
     require(maxDvFraction >= 0.0 && maxDvFraction <= 1.0,
       s"maxDvFraction must be in [0,1]: $maxDvFraction")
+    // version before gates — the merge() rule
+    val v = currentVersion(spark, path)
     requireKnownColumns(spark, path, updates, allowEvolution)
     requireChecks(spark, path, updates)
-    val v = currentVersion(spark, path)
     val live = liveGroups(spark, path, Some(v))
     if (live.isEmpty)
       return (commit(spark, path, updates, v, replace = true,
@@ -877,9 +884,11 @@ object VersionedTable {
       updates: DataFrame, keyCol: String,
       maxRebases: Int = 16,
       fromVersion: Option[Long] = None): (Long, Int, Int) = {
+    // version before gates — the merge() rule (an explicit
+    // fromVersion pins the snapshot even earlier, same safety)
+    val v0 = fromVersion.getOrElse(currentVersion(spark, path))
     requireKnownColumns(spark, path, updates, allowEvolution = false)
     requireChecks(spark, path, updates)
-    val v0 = fromVersion.getOrElse(currentVersion(spark, path))
     val live = liveGroups(spark, path, Some(v0))
     val r = updates.agg(min(col(keyCol).cast("long")),
       max(col(keyCol).cast("long"))).head()

@@ -53,7 +53,21 @@ object CdfTail {
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def offsetFile(ckpt: String) = new Path(ckpt, "offset.json")
+  /** Offsets publish as MONOTONIC files (`offset-v<N>.json`), newest
+    * wins — each commit is one atomic create, never a delete+rename
+    * of a shared name (whose crash window would leave NO offset and
+    * force a full-history replay; correct under the idempotent apply
+    * but a 100 TB-table re-read). Older files are cleaned
+    * opportunistically AFTER the new one exists, so every crash point
+    * leaves at least one committed offset on disk. */
+  private def offsetVersions(f: org.apache.hadoop.fs.FileSystem,
+      ckptDir: String): Seq[Long] = {
+    val d = new Path(ckptDir)
+    if (!f.exists(d)) return Seq.empty
+    f.listStatus(d).map(_.getPath.getName).toSeq
+      .filter(n => n.startsWith("offset-v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("offset-v").stripSuffix(".json").toLong)
+  }
 
   /** The last version the consumer committed, or `startVersion` when
     * the checkpoint is fresh. A fresh tail at startVersion = 0 reads
@@ -62,13 +76,8 @@ object CdfTail {
     * future changes only. */
   def committedOffset(spark: SparkSession, ckptDir: String,
       startVersion: Long = 0L): Long = {
-    val f = fs(spark, ckptDir)
-    val p = offsetFile(ckptDir)
-    if (!f.exists(p)) return startVersion
-    val in = f.open(p)
-    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    raw.split("\"version\":")(1).split("[,}]")(0).trim.toLong
+    val vs = offsetVersions(fs(spark, ckptDir), ckptDir)
+    if (vs.isEmpty) startVersion else vs.max
   }
 
   /** The next undelivered batch, or None when the tail is caught up.
@@ -98,18 +107,16 @@ object CdfTail {
         s"checkpoint is at v$cur — exactly one consumer may own a tail")
     val f = fs(spark, ckptDir)
     f.mkdirs(new Path(ckptDir))
-    val tmp = new Path(ckptDir, s".tmp-${java.util.UUID.randomUUID()}")
-    val body = s"""{"version":${batch.toVersion}}"""
-    try {
-      val out = f.create(tmp, true)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
-      // rename-over: atomic replace on local/HDFS (same discipline as
-      // the log checkpoint publish)
-      f.delete(offsetFile(ckptDir), false)
-      f.rename(tmp, offsetFile(ckptDir))
-    } finally {
-      if (f.exists(tmp)) f.delete(tmp, false)
-    }
+    val next = new Path(ckptDir,
+      f"offset-v${batch.toVersion}%08d.json")
+    val out = f.create(next, false) // single-owner: the name is fresh
+    try out.write(s"""{"version":${batch.toVersion}}"""
+      .getBytes("UTF-8")) finally out.close()
+    // cleanup AFTER the new offset exists — a crash anywhere above
+    // leaves the previous offset readable, anywhere below leaves two
+    // (max wins)
+    offsetVersions(f, ckptDir).filter(_ < batch.toVersion).foreach(v =>
+      f.delete(new Path(ckptDir, f"offset-v$v%08d.json"), false))
   }
 
   /** Apply one feed batch to a keyed one-row-per-key snapshot:
@@ -128,5 +135,40 @@ object CdfTail {
       .drop("change_type")
     state.join(touched, Seq(keyCol), "left_anti")
       .unionByName(incoming)
+  }
+
+  /** Apply one feed batch to a downstream
+    * [[graft.sources.VersionedTable]] REPLICA, through the commit
+    * protocol: upserts (inserts + postimages) land via the
+    * merge-on-read [[graft.sources.VersionedTable.mergeDv]] — batch-
+    * sized cost, never a replica group rewrite below the density
+    * threshold — and deletes via
+    * [[graft.sources.VersionedTable.deleteKeys]] (sidecar-sized).
+    * Content-IDEMPOTENT like [[applyFeed]]: replaying a batch after a
+    * crash between apply and offset commit re-masks and re-appends
+    * identical rows and re-deletes absent keys — the replica's
+    * VISIBLE content is unchanged (it gains versions, not rows), so
+    * the tail's at-least-once delivery still yields exactly-once
+    * state. Composing the two halves is table REPLICATION: a replica
+    * maintained at O(changed rows) per batch off a 100 TB source —
+    * the feed diff skips shared groups, the apply writes batch-sized
+    * sidecars. Returns the replica version after the batch. */
+  def applyToTable(spark: SparkSession, batch: Batch,
+      replicaPath: String, keyCol: String): Long = {
+    val upserts = batch.feed
+      .filter(col("change_type").isin("insert", "update_postimage"))
+      .drop("change_type")
+    // a key appears under exactly ONE verb per feed batch (changeFeed
+    // emits insert XOR delete XOR pre+post per key), so verb order
+    // within the batch cannot conflict
+    if (!upserts.isEmpty)
+      VersionedTable.mergeDv(spark, replicaPath, upserts, keyCol)
+    val delKeys = batch.feed
+      .filter(col("change_type") === "delete")
+      .select(col(keyCol))
+    if (VersionedTable.currentVersion(spark, replicaPath) > 0 &&
+        !delKeys.isEmpty)
+      VersionedTable.deleteKeys(spark, replicaPath, delKeys, keyCol)
+    VersionedTable.currentVersion(spark, replicaPath)
   }
 }

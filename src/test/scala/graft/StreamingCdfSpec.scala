@@ -131,6 +131,59 @@ class StreamingCdfSpec extends AnyFunSuite {
     assert(rows == Set((7L, 70L, "insert")), s"got $rows")
   }
 
+  test("applyToTable maintains a versioned REPLICA through mergeDv + " +
+      "deleteKeys; a replayed batch leaves visible content unchanged " +
+      "(versions grow, rows do not)") {
+    val (p, _) = fixture()
+    val ckpt = tmp()
+    val replica = tmp() + "/replica"
+    var last: CdfTail.Batch = null
+    var b = CdfTail.next(spark, p, "k", ckpt, maxVersionsPerBatch = 2)
+    while (b.isDefined) {
+      CdfTail.applyToTable(spark, b.get, replica, "k")
+      CdfTail.commit(spark, ckpt, b.get)
+      last = b.get
+      b = CdfTail.next(spark, p, "k", ckpt, maxVersionsPerBatch = 2)
+    }
+    def content(path: String): Set[(Long, Long)] =
+      VersionedTable.read(spark, path).get
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(content(replica) == content(p),
+      "replica must equal the source head")
+    // replay the final batch (crash-between-apply-and-commit form):
+    // content unchanged, only the version count moves
+    val before = content(replica)
+    CdfTail.applyToTable(spark, last, replica, "k")
+    assert(content(replica) == before,
+      "replayed batch must be content-idempotent on the replica")
+  }
+
+  test("offset publish is crash-safe: a commit interrupted between " +
+      "create and cleanup leaves two offset files and the MAX wins; " +
+      "a clean commit leaves exactly one") {
+    val (p, _) = fixture()
+    val ckpt = tmp()
+    val b1 = CdfTail.next(spark, p, "k", ckpt,
+      maxVersionsPerBatch = 2).get
+    CdfTail.commit(spark, ckpt, b1)
+    // clean commit: exactly one offset file
+    def offsetFiles() = new java.io.File(ckpt).list()
+      .filter(_.startsWith("offset-v")).sorted.toSeq
+    assert(offsetFiles().size == 1, offsetFiles())
+    // simulate the crash window: an older offset file survives next
+    // to the committed one (cleanup never ran)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(ckpt, "offset-v00000001.json"),
+      """{"version":1}""".getBytes("UTF-8"))
+    assert(CdfTail.committedOffset(spark, ckpt) == b1.toVersion,
+      "max offset must win over stale crash debris")
+    // the next commit cleans the debris
+    val b2 = CdfTail.next(spark, p, "k", ckpt).get
+    assert(b2.fromVersion == b1.toVersion)
+    CdfTail.commit(spark, ckpt, b2)
+    assert(offsetFiles().size == 1, offsetFiles())
+  }
+
   test("stale commit is refused: a second consumer (or an out-of-" +
       "order replay) cannot move the offset backwards or over a gap") {
     val (p, _) = fixture()
