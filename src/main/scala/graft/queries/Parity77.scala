@@ -280,17 +280,24 @@ object Parity77 {
           .groupBy(col("rcv")).agg(max(col("npr")).as("mx"))
           .select(col("rcv").as("node"), col("mx"))
         // node-sized × node-sized joins from here on — plain shuffles,
-        // no broadcast of anything node-scale
-        val sel = und.join(nbrMax, Seq("node"), "left")
-          .filter(col("mx").isNull || misPr(r, col("node")) > col("mx"))
-          .select(col("node"))
+        // no broadcast of anything node-scale. UNLIKE the broadcast
+        // arm, sel/rem are truncated: they have 3/2 consumers each,
+        // and re-executing a branch here replays a vector shuffle
+        // into the cached adjacency plus an edge-wide aggregate
+        // (measured 21 s -> 13 s at sf0.1), where the broadcast arm's
+        // re-execution is map-side and measured cheaper than the cut
+        val sel = graft.ops.Iter.truncate(
+          und.join(nbrMax, Seq("node"), "left")
+            .filter(col("mx").isNull || misPr(r, col("node")) > col("mx"))
+            .select(col("node")), None)
         // neighbors of the selected set, by the same symmetry (join
         // the cached copy on the SENDER, project the receiver), then
         // restricted to still-undecided
-        val rem = graft.ops.Exchange
-          .vecJoinUsing(sel, adjP, Seq("node"), msg = true)
-          .select(col("nb").as("node")).distinct()
-          .join(und, Seq("node"), "left_semi")
+        val rem = graft.ops.Iter.truncate(
+          graft.ops.Exchange
+            .vecJoinUsing(sel, adjP, Seq("node"), msg = true)
+            .select(col("nb").as("node")).distinct()
+            .join(und, Seq("node"), "left_semi"), None)
         val round = sel.select(col("node"), lit("mis").as("status"),
             lit(r).as("round"))
           .unionAll(rem.select(col("node"), lit("removed").as("status"),
