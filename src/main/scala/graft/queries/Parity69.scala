@@ -255,6 +255,36 @@ object Parity69 {
         .orderBy(col("o_orderkey"))
     },
 
+    // ---- streaming keyed UPSERT sink ----------------------------------
+    // The CDC write side (round-15): three micro-batches land through
+    // VersionedSink.upsertBatch (mergeDv per batch — batch-sized
+    // sidecars, batchId-tagged), with batch 1 RETRIED mid-stream (the
+    // Structured Streaming failure-recovery shape) — the retry is a
+    // no-op, so exactly 3 versions exist (n_versions pinned) and the
+    // final content is last-write-per-key: batch 2's +500 overrides
+    // batch 1's +100 on the %300 keys.
+    "x1_stream_upsert" -> { (s, d) =>
+      import graft.streaming.VersionedSink
+      val target = Scratch.dir("cdf", "supsert", d)
+      Scratch.clean(s, target)
+      val base = orders(s, d).filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      VersionedSink.upsertBatch(s, target, base, 0L, "o_orderkey")
+      val b1 = updatesBatch(s, d).unionByName(insertsBatch(s, d))
+      VersionedSink.upsertBatch(s, target, b1, 1L, "o_orderkey")
+      // the recovery retry: same batchId, must commit nothing
+      VersionedSink.upsertBatch(s, target, b1, 1L, "o_orderkey")
+      val b2 = orders(s, d)
+        .filter(col("o_orderkey") % 300 === 0 && col("o_orderkey") <= 4000)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 500).cast("decimal(15,2)")
+            .as("o_totalprice"))
+      val v = VersionedSink.upsertBatch(s, target, b2, 2L, "o_orderkey")
+      VersionedTable.read(s, target).get
+        .withColumn("n_versions", lit(v))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ---- end-to-end table REPLICATION ---------------------------------
     // The capstone composing the round's two halves: a CdfTail
     // subscription (bounded batches, crash+replay mid-log) maintains a
@@ -345,6 +375,18 @@ object Parity69 {
                 CAST(SUM(CAST(CAST(p AS DECIMAL(18,2)) * 100 AS BIGINT))
                   AS BIGINT) AS spend_cents
          FROM final GROUP BY 1 ORDER BY bucket""",
+    "x1_stream_upsert" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 300 = 0 AND o_orderkey <= 4000
+                THEN CAST(o_totalprice + 500 AS DECIMAL(15,2))
+                WHEN o_orderkey % 150 = 0 AND o_orderkey <= 4000
+                THEN CAST(o_totalprice + 100 AS DECIMAL(15,2))
+                ELSE o_totalprice END AS o_totalprice,
+           CAST(3 AS BIGINT) AS n_versions
+         FROM orders
+         WHERE o_orderkey % 50 = 0
+            OR (o_orderkey % 50 = 25 AND o_orderkey <= 4000)
+         ORDER BY o_orderkey""",
     "x1_replicate" ->
       """SELECT o_orderkey,
            CASE WHEN o_orderkey % 150 = 0 AND o_orderkey <= 4000

@@ -204,6 +204,33 @@ object VersionedTable {
     finally in.close()
   }
 
+  /** The EARLIEST version a read/diff can still faithfully resolve
+    * after retention ([[expireVersions]]): 0 while the full log is
+    * present (entry v1 exists), otherwise the newest checkpoint at or
+    * below the oldest surviving entry — versions BELOW it resolve to
+    * a silently-empty live set (their entries are gone), which a
+    * change-feed consumer would misread as "everything was inserted
+    * since" and, worse, MISS interim deletes. [[graft.streaming
+    * .CdfTail]] refuses offsets behind this horizon. */
+  def earliestResolvable(spark: SparkSession, path: String): Long = {
+    val f = fs(spark, logDir(path))
+    val d = new Path(logDir(path))
+    if (!f.exists(d)) return 0L
+    val names = f.listStatus(d).map(_.getPath.getName).toSeq
+    val entries = names
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+    if (entries.isEmpty || entries.min == 1L) return 0L
+    val chks = names
+      .filter(n => n.startsWith("chk-v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("chk-v").stripSuffix(".json").toLong)
+      .filter(_ < entries.min)
+    require(chks.nonEmpty,
+      s"log at $path is truncated below v${entries.min} with no " +
+        "covering checkpoint — unreadable history")
+    chks.max
+  }
+
   /** Latest committed version, or 0 when the table is empty. */
   def currentVersion(spark: SparkSession, path: String): Long = {
     val f = fs(spark, logDir(path))
@@ -734,7 +761,8 @@ object VersionedTable {
       keyCol: String, maxDvFraction: Double = 0.3,
       allowEvolution: Boolean = false,
       arbiterFor: org.apache.hadoop.fs.FileSystem => CommitArbiter =
-        CommitArbiter.forFs): (Long, Int, Int) = {
+        CommitArbiter.forFs,
+      batchId: Option[Long] = None): (Long, Int, Int) = {
     require(maxDvFraction >= 0.0 && maxDvFraction <= 1.0,
       s"maxDvFraction must be in [0,1]: $maxDvFraction")
     // version before gates — the merge() rule
@@ -745,7 +773,8 @@ object VersionedTable {
     if (live.isEmpty)
       return (commit(spark, path, updates, v, replace = true,
         statsCol = Some(keyCol), allowEvolution = allowEvolution,
-        validate = false), 0, 0)
+        validate = false, batchId = batchId,
+        arbiterFor = arbiterFor), 0, 0)
     val st = schemaStateAt(spark, path, Some(v))
     val k = updates.select(col(keyCol)).filter(col(keyCol).isNotNull)
       .distinct()
@@ -823,7 +852,8 @@ object VersionedTable {
       val gNew = stageGroup(spark, path, updates, Some(keyCol))
       staged ::= gNew.name
       (commitEntry(spark, path, updated :+ gNew, v, replace = true,
-        staged = staged, arbiterFor = arbiterFor), masked, rewrote)
+        staged = staged, batchId = batchId,
+        arbiterFor = arbiterFor), masked, rewrote)
     } catch {
       // commitEntry already cleans `staged` on a lost race; the
       // re-delete here is a no-op then, and the real cleanup for any

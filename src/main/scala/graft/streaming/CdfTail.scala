@@ -90,6 +90,17 @@ object CdfTail {
     val from = committedOffset(spark, ckptDir, startVersion)
     val head = VersionedTable.currentVersion(spark, table)
     if (head <= from) return None
+    // retention fence: an offset behind the expiry horizon resolves
+    // to a silently-EMPTY from-snapshot — the diff would emit the
+    // whole table as inserts and MISS every interim delete. Refuse
+    // loudly; the consumer's recovery is a full re-sync (read at
+    // head, restart the tail from there).
+    val earliest = VersionedTable.earliestResolvable(spark, table)
+    require(from >= earliest,
+      s"tail fell behind retention: offset v$from predates the " +
+        s"earliest resolvable version v$earliest (expireVersions " +
+        "dropped the interim log) — re-sync the downstream from a " +
+        "full read at the head and restart the tail there")
     val to = math.min(head, from + maxVersionsPerBatch)
     Some(Batch(
       VersionedTable.changeFeed(spark, table, keyCol, from, to),

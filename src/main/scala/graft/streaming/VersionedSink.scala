@@ -48,4 +48,47 @@ object VersionedSink {
     appendBatch(df.sparkSession, path, df, batchId, statsCol)
     ()
   }
+
+  /** Idempotently UPSERT one micro-batch by key — the streaming CDC
+    * write side (the Delta `foreachBatch` + MERGE idiom): each batch
+    * lands through the merge-on-read
+    * [[graft.sources.VersionedTable.mergeDv]] (batch-sized sidecars
+    * + one appended group, never a group rewrite below the density
+    * threshold), tagged with the micro-batch id so Structured
+    * Streaming's retry of a failed batch is a no-op (the
+    * [[appendBatch]] head-inspection rule). A lost race against a
+    * concurrent writer re-derives at the new head — merge content
+    * depends on the snapshot, so unlike appends the staged data
+    * cannot be republished verbatim. Returns the version holding the
+    * batch. */
+  def upsertBatch(spark: SparkSession, path: String, df: DataFrame,
+      batchId: Long, keyCol: String, maxDvFraction: Double = 0.3,
+      maxAttempts: Int = 16): Long = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    var attempts = 0
+    while (true) {
+      val head = VersionedTable.currentVersion(spark, path)
+      if (VersionedTable.headBatchId(spark, path).contains(batchId))
+        return head
+      try {
+        return VersionedTable.mergeDv(spark, path, df, keyCol,
+          maxDvFraction = maxDvFraction, batchId = Some(batchId))._1
+      } catch {
+        case e: VersionedTable.CommitConflictException =>
+          attempts += 1
+          if (attempts >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** foreachBatch adapter for keyed upserts:
+    * `writeStream.foreachBatch(upsertInto(path, "k"))`. */
+  def upsertInto(path: String, keyCol: String,
+      maxDvFraction: Double = 0.3): (DataFrame, Long) => Unit = {
+    (df, batchId) =>
+      upsertBatch(df.sparkSession, path, df, batchId, keyCol,
+        maxDvFraction)
+      ()
+  }
 }

@@ -184,6 +184,54 @@ class StreamingCdfSpec extends AnyFunSuite {
     assert(offsetFiles().size == 1, offsetFiles())
   }
 
+  test("retention fence: a tail whose offset fell behind " +
+      "expireVersions' horizon is refused LOUDLY (a silent resume " +
+      "would re-insert everything and miss interim deletes); a tail " +
+      "at or past the horizon keeps working") {
+    val (p, head) = fixture()
+    val ckpt = tmp()
+    val b1 = CdfTail.next(spark, p, "k", ckpt,
+      maxVersionsPerBatch = 1).get // offset -> v1
+    CdfTail.commit(spark, ckpt, b1)
+    // drop everything below v4 (keepLast = 1 on a 5-version table)
+    VersionedTable.expireVersions(spark, p, keepLast = 1)
+    val horizon = VersionedTable.earliestResolvable(spark, p)
+    assert(horizon == head - 1, s"horizon $horizon")
+    val err = intercept[IllegalArgumentException] {
+      CdfTail.next(spark, p, "k", ckpt)
+    }
+    assert(err.getMessage.contains("fell behind retention"),
+      err.getMessage)
+    // a fresh tail subscribed at the horizon still works
+    val ckpt2 = tmp()
+    val b = CdfTail.next(spark, p, "k", ckpt2, startVersion = horizon).get
+    assert(b.fromVersion == horizon && b.toVersion == head)
+  }
+
+  test("upsertBatch: keyed streaming upserts through mergeDv — a " +
+      "retried batchId commits nothing, later batches override " +
+      "earlier values per key, a fresh batchId after a no-op retry " +
+      "still lands") {
+    import graft.streaming.VersionedSink
+    val p = tmp() + "/t"
+    val v0 = VersionedSink.upsertBatch(spark, p,
+      df(1L -> 10L, 2L -> 20L), 0L, "k")
+    assert(v0 == 1L)
+    val v1 = VersionedSink.upsertBatch(spark, p,
+      df(2L -> 21L, 3L -> 30L), 1L, "k")
+    assert(v1 == 2L)
+    // recovery retry of batch 1: same version back, nothing committed
+    assert(VersionedSink.upsertBatch(spark, p,
+      df(2L -> 21L, 3L -> 30L), 1L, "k") == v1)
+    assert(VersionedTable.currentVersion(spark, p) == v1)
+    val v2 = VersionedSink.upsertBatch(spark, p,
+      df(3L -> 31L), 2L, "k")
+    assert(v2 == 3L)
+    val got = VersionedTable.read(spark, p).get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 21L), (3L, 31L)))
+  }
+
   test("stale commit is refused: a second consumer (or an out-of-" +
       "order replay) cannot move the offset backwards or over a gap") {
     val (p, _) = fixture()
