@@ -319,6 +319,30 @@ object Parity69 {
         .orderBy(col("o_orderkey"))
     },
 
+    // ---- relation-integrated indexed scan ------------------------------
+    // readRange's Catalyst-native twin (round-15): the snapshot as a
+    // standard parquet relation over VTableFileIndex, the BETWEEN
+    // arriving as an ordinary DataFrame filter — group skipping
+    // happens inside Catalyst's file listing (the scan's numFiles
+    // metric proves it: `pruned` pins opened < total), and the read
+    // itself is the stock vectorized parquet scan.
+    "x1_index_scan" -> { (s, d) =>
+      val (target, _) = buildBaseTable(s, d, "idxscan")
+      def scannedFiles(df: DataFrame): Long = {
+        df.collect()
+        df.queryExecution.executedPlan.collectLeaves()
+          .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+      }
+      val total = scannedFiles(
+        VersionedTable.readIndexed(s, target, "o_orderkey").get)
+      val filtered = VersionedTable.readIndexed(s, target, "o_orderkey")
+        .get.filter(col("o_orderkey").between(4500L, 7500L))
+      val opened = scannedFiles(filtered)
+      filtered.select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("pruned", lit(if (opened < total) 1L else 0L))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ---- stats-pruned point/range read -------------------------------
     // The read-side counterpart of mergePruned (the group skipping a
     // DSv2 filter-pushdown binding would do): a range lookup on the
@@ -437,6 +461,13 @@ object Parity69 {
          FROM orders
          WHERE o_orderkey % 50 = 0
             OR (o_orderkey % 50 = 25 AND o_orderkey <= 4000)
+         ORDER BY o_orderkey""",
+    "x1_index_scan" ->
+      """SELECT o_orderkey, o_totalprice,
+           CAST(1 AS BIGINT) AS pruned
+         FROM orders
+         WHERE o_orderkey % 50 = 0
+           AND o_orderkey BETWEEN 4500 AND 7500
          ORDER BY o_orderkey""",
     "x1_read_pruned" ->
       """SELECT o_orderkey, o_totalprice,

@@ -652,6 +652,36 @@ object VersionedTable {
       schemaStateAt(spark, path, asOfVersion))
   }
 
+  /** Relation-integrated read (round-15): expose the snapshot as a
+    * STANDARD parquet relation over a
+    * [[org.apache.spark.sql.graft.VTableFileIndex]], so Catalyst's
+    * own filter pushdown drives the stats-based group skipping —
+    * `readIndexed(...).get.filter($"k" between (lo, hi))` opens only
+    * the overlapping groups' files (the scan's `numFiles` metric
+    * shows it; PlanShapeSpec pins it), and everything downstream is
+    * the stock vectorized parquet scan. [[readRange]] remains the
+    * imperative twin for callers that want the opened-group count.
+    *
+    * Gated to the snapshots the flat relation can represent
+    * faithfully — no deletion vectors, no column mapping, uniform
+    * schema across groups (one footer read per group to check) —
+    * returning None otherwise so callers fall back to [[read]] (the
+    * reconciling path). None on an empty table too. */
+  def readIndexed(spark: SparkSession, path: String, keyCol: String,
+      asOfVersion: Option[Long] = None): Option[DataFrame] = {
+    val live = liveGroups(spark, path, asOfVersion)
+    if (live.isEmpty) return None
+    if (live.exists(_.dv.isDefined)) return None
+    if (!schemaStateAt(spark, path, asOfVersion).isEmpty) return None
+    val dirs = live.map(g => groupPath(path, g.name))
+    val schemas = dirs.map(d => spark.read.parquet(d).schema)
+    if (schemas.distinct.size != 1) return None
+    Some(org.apache.spark.sql.graft.VTableFileIndex.frame(
+      spark, path, keyCol,
+      live.map(g => (groupPath(path, g.name), g.lo, g.hi)),
+      schemas.head))
+  }
+
   /** MERGE (upsert by key), full-rewrite form: rows of `updates`
     * replace same-key rows, everything else carries over — the whole
     * snapshot is rewritten as one replace commit. One optimistic

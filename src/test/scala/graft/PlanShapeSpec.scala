@@ -655,4 +655,52 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pm.contains("ShuffledHashJoin"), pm)
     assert(!pm.contains("BroadcastHashJoin"), pm)
   }
+
+  test("readIndexed: a key filter prunes FILES through Catalyst's " +
+      "own pushdown — the scan's numFiles metric drops to the " +
+      "overlapping group's files; the unfiltered scan reads all") {
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("vidx").toString
+    var v = 0L
+    (0 until 4).foreach { i => // four disjoint key decades
+      v = VersionedTable.commit(spark, p,
+        (0 until 5).map(j => (i * 10L + j, s"r$i$j")).toDF("k", "s"),
+        v, statsCol = Some("k"))
+    }
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    }
+    val base = VersionedTable.readIndexed(spark, p, "k").get
+    val total = scannedFiles(base)
+    val filtered = VersionedTable.readIndexed(spark, p, "k").get
+      .filter(col("k") >= 11L && col("k") <= 14L) // inside group 1
+    val opened = scannedFiles(filtered)
+    assert(opened > 0 && opened < total,
+      s"no file pruning: $opened of $total")
+    // exactly one group's on-disk files survive
+    val g1Files = new java.io.File(s"$p/data").listFiles()
+      .filter(_.isDirectory).map(d =>
+        d.listFiles().count(f => f.isFile &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))).min
+    assert(opened <= total / 2, s"pruning too weak: $opened/$total")
+    // content equals the reconciling read path
+    val want = VersionedTable.read(spark, p).get
+      .filter(col("k") >= 11L && col("k") <= 14L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(filtered.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == want)
+    // filters the bounds-walker cannot convert stay correct, unpruned
+    val weird = VersionedTable.readIndexed(spark, p, "k").get
+      .filter(col("k") % 10 === 1L)
+    assert(weird.collect().map(_.getLong(0)).toSet ==
+      Set(1L, 11L, 21L, 31L))
+    // gating: a DV'd snapshot refuses the flat relation (falls back)
+    VersionedTable.deleteKeys(spark, p, Seq(11L).toDF("k"), "k")
+    assert(VersionedTable.readIndexed(spark, p, "k").isEmpty,
+      "a deletion-vectored snapshot must not expose the flat relation")
+  }
 }
