@@ -1748,6 +1748,65 @@ object ScaleBench {
         System.err.println(s"""[scalebench] {"dv_arms":{$js}}""")
       }
 
+      // Indexed-scan tiers (round-15): the VTableFileIndex law — a
+      // fixed-width key-range query against key-clustered tables
+      // whose GROUP COUNT grows 100x opens a FLAT number of files
+      // (the stats prune everything disjoint), while the unfiltered
+      // scan's file count tracks the table. The require pins the flat
+      // half exactly; the printed seconds carry the planning-cost
+      // reading (log resolution + group listing is O(groups) metadata
+      // — the same linear term Delta pays in log replay).
+      if (blockOn("index_tiers")) locally {
+        import graft.sources.VersionedTable
+        def clean(p: String): Unit = {
+          val fsp = new org.apache.hadoop.fs.Path(p)
+          val fsx = fsp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fsx.exists(fsp)) fsx.delete(fsp, true)
+        }
+        def scanned(df: DataFrame): Long = {
+          // collect() (not a noop WRITE and not an agg): the write
+          // command wraps the plan in its own QueryExecution and an
+          // aggregate wraps it in AdaptiveSparkPlanExec — both leave
+          // THIS df's scan metrics unreadable; the raw collect
+          // executes the scan+filter plan directly (≤ 800k tiny rows
+          // here)
+          df.collect()
+          df.queryExecution.executedPlan.collectLeaves()
+            .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+        }
+        // two tiers: a build is g SEQUENTIAL commits (the honest way
+        // to produce g live groups), so 800 groups would spend ~10
+        // min building fixture, not measuring — 10x group growth
+        // already exhibits the flat law
+        val out = Seq(8, 80).map { g =>
+          val p = s"target/idxt_$g"
+          clean(p)
+          var v = 0L
+          (0 until g).foreach { i =>
+            // one file per group: the law under measurement is group
+            // skipping, not per-group file fanout
+            v = VersionedTable.commit(spark, p,
+              spark.range(i * 1000L, (i + 1) * 1000L)
+                .select(col("id").as("k"), (col("id") * 3).as("pay"))
+                .repartition(1),
+              v, statsCol = Some("k"))
+          }
+          val t0 = System.nanoTime()
+          val opened = scanned(
+            VersionedTable.readIndexed(spark, p, "k").get
+              .filter(col("k") >= 1500L && col("k") <= 2500L))
+          val sec = (System.nanoTime() - t0) / 1e9
+          val total = scanned(VersionedTable.readIndexed(spark, p, "k").get)
+          require(opened == 2 && total == g.toLong,
+            s"flat-law violation at $g groups: opened $opened of $total")
+          (g, opened, total, sec)
+        }
+        val js = out.map { case (g, o, t, sec) =>
+          f""""g$g":{"opened":$o,"total":$t,"filtered_sec":$sec%.3f}"""
+        }.mkString(",")
+        System.err.println(s"""[scalebench] {"index_tiers":{$js}}""")
+      }
+
       // BPE-train tiers (round-15 verdict item 6): the only
       // multi-round operator family without a measured law. Each of
       // the 5 rounds is (a) one corpus-LINEAR window pass (lead +

@@ -674,12 +674,23 @@ object VersionedTable {
     if (live.exists(_.dv.isDefined)) return None
     if (!schemaStateAt(spark, path, asOfVersion).isEmpty) return None
     val dirs = live.map(g => groupPath(path, g.name))
-    val schemas = dirs.map(d => spark.read.parquet(d).schema)
-    if (schemas.distinct.size != 1) return None
+    // uniform-schema gate in TWO planning reads, not one per group
+    // (index_tiers measured the per-group form at ~65 ms/group — a
+    // linear planning term a 10k-group table cannot pay): the
+    // DISTRIBUTED mergeSchema footer sweep throws on type conflicts,
+    // and a merged field set differing from any single group's means
+    // some group lacks a column — both non-flat, fall back
+    val first = spark.read.parquet(dirs.head).schema
+    val merged = scala.util.Try(
+      spark.read.option("mergeSchema", "true")
+        .parquet(dirs: _*).schema).getOrElse(return None)
+    def fieldSet(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).toSet
+    if (fieldSet(merged) != fieldSet(first)) return None
     Some(org.apache.spark.sql.graft.VTableFileIndex.frame(
       spark, path, keyCol,
       live.map(g => (groupPath(path, g.name), g.lo, g.hi)),
-      schemas.head))
+      first))
   }
 
   /** MERGE (upsert by key), full-rewrite form: rows of `updates`
